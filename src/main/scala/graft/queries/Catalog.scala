@@ -1,0 +1,13 @@
+package graft.queries
+
+/** The full query catalog. Every SURVEY.md §2 operator the engine claims is
+  * represented here by at least one named query (plus ScalaTest specs for
+  * the non-relational surface).
+  */
+object Catalog {
+  val all: Seq[Q] = CoreQueries.qs
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  require(all.map(_.name).distinct.size == all.size, "duplicate query names in catalog")
+}

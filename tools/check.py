@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Assumes Verify has already been run:
+  sbt "runMain graft.Verify <sfDir> <outDir>"
+
+For each query result parquet in outDir, runs the matching oracle SQL from
+oracle_sql.json in DuckDB over the same sfDir tables and compares:
+schema (sorted column names), row count, and values (exact; doubles exact
+too — the engine computes in decimal specifically so this holds).
+"""
+import duckdb, glob, json, math, os, sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    return v
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = n_noracle = 0
+    for d in sorted(glob.glob(os.path.join(outdir, "*"))):
+        if not os.path.isdir(d):
+            continue
+        name = os.path.basename(d)
+        spark_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(spark_rel.fetchall())} rows")
+            n_noracle += 1
+            continue
+        try:
+            duck_rel = con.sql(oracle[name])
+            s_cols = sorted(spark_rel.columns)
+            d_cols = sorted(duck_rel.columns)
+            if s_cols != d_cols:
+                print(f"  FAIL {name}: columns {s_cols} != {d_cols}")
+                n_fail += 1
+                continue
+            s_rows = sorted(
+                (tuple(norm_cell(r[spark_rel.columns.index(c)]) for c in s_cols)
+                 for r in spark_rel.fetchall()),
+                key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+            d_rows = sorted(
+                (tuple(norm_cell(r[duck_rel.columns.index(c)]) for c in d_cols)
+                 for r in duck_rel.fetchall()),
+                key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+            if len(s_rows) != len(d_rows):
+                print(f"  FAIL {name}: rows {len(s_rows)} != {len(d_rows)}")
+                n_fail += 1
+                continue
+            bad = None
+            for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+                if a != b:
+                    bad = (i, a, b)
+                    break
+            if bad:
+                i, a, b = bad
+                print(f"  FAIL {name}: first diff at sorted row {i}\n    spark={a}\n    duck ={b}")
+                n_fail += 1
+            else:
+                print(f"  PASS {name}: {len(s_rows)} rows, cols={s_cols}")
+                n_pass += 1
+        except Exception as e:
+            print(f"  FAIL {name}: oracle error: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.functions.Num
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / window / sort / set-op coverage
+  * (SURVEY.md §2.5 A4-A8, §2.6 W2-W6, §2.7, plus K4's latest-wins dedup
+  * as a batch query).
+  */
+object AggWindowQueries {
+  import Num.{d, dec}
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "a4_a6_dispatch_summary",
+      """A4 + A6: dispatch summary / UI stat-tile conditional counts
+        |(bakery_ops_helper.py:222-227, LiveDataComparison.js:436-453), per
+        |event type: total, conditional successes, distinct users, exact
+        |value sum. Distinct-count is a capability extension (reference has
+        |none). Single hash aggregate, map-side partials.""".stripMargin,
+      Some(
+        """SELECT event_type,
+          |       COUNT(*) AS total,
+          |       COUNT(*) FILTER (WHERE value > 50) AS n_high,
+          |       COUNT(DISTINCT user_id) AS n_users,
+          |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("total"),
+            count(when(col("value") > 50, 1)).as("n_high"),
+            countDistinct(col("user_id")).as("n_users"),
+            d(sum(dec(col("value")))).as("sum_value"))
+          .orderBy("event_type")),
+
+    Q(
+      "a5_onhand_clamped",
+      """A5/K7: inventory on-hand mutation as a batch aggregate
+        |(main.py:1770-1789): USAGE decrements, everything else increments,
+        |final on-hand clamped at zero — `greatest(0, sum(signed))` per
+        |product. 'purchase' plays USAGE.""".stripMargin,
+      Some(
+        """SELECT user_id AS product_key,
+          |       CAST(GREATEST(CAST(0 AS DECIMAL(18,4)),
+          |                     SUM(CASE WHEN event_type = 'purchase'
+          |                              THEN -CAST(value AS DECIMAL(18,4))
+          |                              ELSE CAST(value AS DECIMAL(18,4)) END)) AS DOUBLE) AS on_hand,
+          |       COUNT(*) AS n_adjustments
+          |FROM events
+          |GROUP BY user_id
+          |ORDER BY product_key""".stripMargin),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id").as("product_key"))
+          .agg(
+            d(greatest(
+              lit(0).cast(Num.Money),
+              sum(when(col("event_type") === "purchase", -dec(col("value")))
+                .otherwise(dec(col("value")))))).as("on_hand"),
+            count(lit(1)).as("n_adjustments"))
+          .orderBy("product_key")),
+
+    Q(
+      "a7_schema_maxlen",
+      """A7: schema-inference max-string-length scan
+        |(schema_manager.py:208) per group: the VARCHAR(n) sizing pass.""".stripMargin,
+      Some(
+        """SELECT lang,
+          |       COUNT(*) AS n_docs,
+          |       MAX(length(text)) AS max_text_len,
+          |       MAX(length(source)) AS max_source_len
+          |FROM documents
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            max(length(col("text"))).as("max_text_len"),
+            max(length(col("source"))).as("max_source_len"))
+          .orderBy("lang")),
+
+    Q(
+      "a8_next_version",
+      """A8: next-version counter (schema_manager.py:69-75):
+        |COALESCE(MAX(version),0)+1 per registry key.""".stripMargin,
+      Some(
+        """SELECT source, COALESCE(MAX(doc_id), 0) + 1 AS next_version
+          |FROM documents
+          |GROUP BY source
+          |ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg((coalesce(max(col("doc_id")), lit(0)) + 1).as("next_version"))
+          .orderBy("source")),
+
+    Q(
+      "w2_w4_pagination",
+      """W2 + W4: sort-by-name + offset/size pagination
+        |(main.py:1691-1696). Offset implemented as a row_number filter —
+        |the distributed equivalent of the reference's list slice. Page:
+        |offset 10, size 20 over the distinct sorted name domain.""".stripMargin,
+      Some(
+        """WITH names AS (SELECT DISTINCT p_name FROM part),
+          |numbered AS (
+          |  SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS rn FROM names)
+          |SELECT p_name, rn FROM numbered
+          |WHERE rn > 10 AND rn <= 30
+          |ORDER BY rn""".stripMargin),
+      (s, dir) => {
+        val w = Window.orderBy("p_name")
+        Tables.part(s, dir).select("p_name").distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") > 10 && col("rn") <= 30)
+          .orderBy("rn")
+      }),
+
+    Q(
+      "w5_topk_latest",
+      """W5/W6: latest-N inspection (dag_bakery_ops_to_jde.py:24-30,
+        |s3_helper.py:218): ORDER BY ts DESC LIMIT 10. Spark plans this as
+        |TakeOrderedAndProject — a per-partition top-k + driver merge, no
+        |global sort, which is exactly what survives at 100 TB.""".stripMargin,
+      Some(
+        """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+          |FROM events
+          |ORDER BY ts DESC, event_id DESC
+          |LIMIT 10""".stripMargin),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .limit(10)),
+
+    Q(
+      "set_ops_membership",
+      """§2.7 set operations (capability the reference only approximates
+        |with python set membership): INTERSECT / EXCEPT both directions over
+        |two key domains, tagged and unioned. big = customers with any
+        |order > 400k; neg = customers with negative balance.""".stripMargin,
+      Some(
+        """WITH big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000),
+          |neg AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal < 0)
+          |SELECT 'both' AS tag, k FROM (SELECT k FROM big INTERSECT SELECT k FROM neg)
+          |UNION ALL
+          |SELECT 'big_only' AS tag, k FROM (SELECT k FROM big EXCEPT SELECT k FROM neg)
+          |UNION ALL
+          |SELECT 'neg_only' AS tag, k FROM (SELECT k FROM neg EXCEPT SELECT k FROM big)
+          |ORDER BY tag, k""".stripMargin),
+      (s, dir) => {
+        val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("k")).distinct()
+        val neg = Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("k")).distinct()
+        val both = big.intersect(neg).select(lit("both").as("tag"), col("k"))
+        val bigOnly = big.except(neg).select(lit("big_only").as("tag"), col("k"))
+        val negOnly = neg.except(big).select(lit("neg_only").as("tag"), col("k"))
+        both.unionAll(bigOnly).unionAll(negOnly).orderBy("tag", "k")
+      }),
+
+    Q(
+      "k4_latest_wins_state",
+      """K4's merge semantic as a batch query: latest record per key wins
+        |(INSERT … ON CONFLICT DO UPDATE, jde_helper.py:1006-1023). Explicit
+        |version order (ts desc, event_id desc), row_number()=1. The
+        |stateful sink twin lives in graft.state.DispatchState.""".stripMargin,
+      Some(
+        """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+          |       value AS last_value
+          |FROM (SELECT user_id, event_id, event_type, value,
+          |             ROW_NUMBER() OVER (PARTITION BY user_id
+          |                                ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events)
+          |WHERE rn = 1
+          |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy("user_id")
+      }))
+}

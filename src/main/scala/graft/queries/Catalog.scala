@@ -5,7 +5,8 @@ package graft.queries
   * the non-relational surface).
   */
 object Catalog {
-  val all: Seq[Q] = CoreQueries.qs
+  val all: Seq[Q] =
+    CoreQueries.qs ++ ReportQueries.qs ++ LookupQueries.qs ++ AggWindowQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

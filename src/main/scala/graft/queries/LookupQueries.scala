@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.functions.Num
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lookup-shaped joins (SURVEY.md §2.4 J3/J4/J6/J7/J8).
+  *
+  * All four reference lookups are equality probes after key normalization
+  * (case-fold / trim / regexp-extract) — the pandas `df[df.x.str.lower()==k]
+  * .iloc[0]` loops (/root/reference/backend/main.py:486-492) become
+  * broadcast hash joins with an explicit first-match window where the
+  * reference relied on insertion order.
+  *
+  * Scale notes: every build side here is a dimension (part, customer,
+  * nation) — broadcast, so the fact side never shuffles for the join
+  * itself. First-match dedup runs on the dimension BEFORE the join, so the
+  * window sees |dim| rows, not |fact|.
+  */
+object LookupQueries {
+  import Num.{d, dec}
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "j3_ci_first_match",
+      """J3: case-insensitive left lookup, first match wins
+        |(main.py:486-492; dict-map build side main.py:809-848). The probe
+        |side carries UPPER-cased names; the lookup side is keyed
+        |lower(p_name) with row_number()=1 as the explicit first-match rule
+        |(reference used arbitrary insertion order — we pin p_partkey asc).
+        |Lookup dedup happens before the broadcast join.""".stripMargin,
+      Some(
+        """WITH probe AS (SELECT DISTINCT UPPER(p_name) AS txn_name FROM part),
+          |lookup AS (
+          |  SELECT lower(p_name) AS k, p_brand, p_size,
+          |         ROW_NUMBER() OVER (PARTITION BY lower(p_name) ORDER BY p_partkey) AS rn
+          |  FROM part)
+          |SELECT probe.txn_name, lookup.p_brand AS first_brand, lookup.p_size AS first_size
+          |FROM probe LEFT JOIN lookup ON lower(probe.txn_name) = lookup.k AND lookup.rn = 1
+          |ORDER BY probe.txn_name""".stripMargin),
+      (s, dir) => {
+        val part = Tables.part(s, dir)
+        val probe = part.select(upper(col("p_name")).as("txn_name")).distinct()
+        val firstMatch = Window.partitionBy("k").orderBy("p_partkey")
+        val lookup = part
+          .withColumn("k", lower(col("p_name")))
+          .withColumn("rn", row_number().over(firstMatch))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("p_brand").as("first_brand"), col("p_size").as("first_size"))
+        probe
+          .join(broadcast(lookup), lower(col("txn_name")) === col("k"), "left")
+          .select("txn_name", "first_brand", "first_size")
+          .orderBy("txn_name")
+      }),
+
+    Q(
+      "j4_movement_enrich",
+      """J4: movement → product left-enrichment (main.py:1837-1859). Events
+        |play the movements; customer plays the product dimension (probed on
+        |a reduced set so real misses exist). Missing products surface the
+        |reference's defaulted-entity shape (J8 fill semantics on the row
+        |level): name defaults, quantity kept. Broadcast dim join — the
+        |event stream never shuffles.""".stripMargin,
+      Some(
+        """SELECT e.event_id, e.user_id,
+          |       COALESCE(c.c_name, 'UNKNOWN_PRODUCT') AS product_name,
+          |       COALESCE(c.c_mktsegment, 'NONE') AS segment,
+          |       (c.c_custkey IS NOT NULL) AS found,
+          |       e.value
+          |FROM events e
+          |LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
+          |  ON e.user_id = c.c_custkey
+          |ORDER BY e.event_id""".stripMargin),
+      (s, dir) => {
+        val products = Tables.customer(s, dir).filter(col("c_custkey") < 100)
+        Tables.events(s, dir)
+          .join(broadcast(products), col("user_id") === col("c_custkey"), "left")
+          .select(
+            col("event_id"), col("user_id"),
+            coalesce(col("c_name"), lit("UNKNOWN_PRODUCT")).as("product_name"),
+            coalesce(col("c_mktsegment"), lit("NONE")).as("segment"),
+            col("c_custkey").isNotNull.as("found"),
+            col("value"))
+          .orderBy("event_id")
+      }),
+
+    Q(
+      "j6_notes_regexp_semi",
+      """J6: transaction-id-in-notes existence probe
+        |(jde_helper.py:422-465): regexp-extract an embedded id out of a
+        |free-text field, then a left-semi membership join. events.props
+        |plays the note; nation the dispatched-id set.""".stripMargin,
+      Some(
+        """SELECT e.event_id,
+          |       CAST(regexp_extract(e.props, '"k":\s*(\d+)', 1) AS INT) AS note_id
+          |FROM events e
+          |WHERE EXISTS (
+          |  SELECT 1 FROM nation n
+          |  WHERE n.n_nationkey = CAST(regexp_extract(e.props, '"k":\s*(\d+)', 1) AS INT))
+          |ORDER BY e.event_id""".stripMargin),
+      (s, dir) => {
+        val withId = Tables.events(s, dir)
+          .withColumn("note_id", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+        withId
+          .join(broadcast(Tables.nation(s, dir)), col("note_id") === col("n_nationkey"), "left_semi")
+          .select("event_id", "note_id")
+          .orderBy("event_id")
+      }),
+
+    Q(
+      "j7_trim_fold_lookup",
+      """J7: whitespace-and-case-insensitive batch lookup
+        |(jde_helper.py:348-418 — `lower(trim(batchNumber))` equality over a
+        |messy probe). Probe names arrive padded + upper-cased; the lookup is
+        |keyed lower(p_type) with per-key part counts.""".stripMargin,
+      Some(
+        """WITH probe AS (SELECT DISTINCT concat(' ', UPPER(p_type), '  ') AS raw_name FROM part),
+          |target AS (
+          |  SELECT lower(p_type) AS k, COUNT(*) AS n_parts,
+          |         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+          |  FROM part GROUP BY 1)
+          |SELECT probe.raw_name, target.n_parts, target.total_price
+          |FROM probe LEFT JOIN target ON lower(trim(probe.raw_name)) = target.k
+          |ORDER BY probe.raw_name""".stripMargin),
+      (s, dir) => {
+        val part = Tables.part(s, dir)
+        val probe = part.select(concat(lit(" "), upper(col("p_type")), lit("  ")).as("raw_name")).distinct()
+        val target = part
+          .groupBy(lower(col("p_type")).as("k"))
+          .agg(count(lit(1)).as("n_parts"), d(sum(dec(col("p_retailprice")))).as("total_price"))
+        probe
+          .join(broadcast(target), lower(trim(col("raw_name"))) === col("k"), "left")
+          .select("raw_name", "n_parts", "total_price")
+          .orderBy("raw_name")
+      }),
+
+    Q(
+      "j8_fetch_or_create",
+      """J8: fetch-or-create (jde_helper.py:254-289): look an entity up by
+        |key; on miss synthesize a defaulted entity and flag it for the
+        |to-create sink. Existing set = customers with custkey % 3 != 0 so
+        |real misses exist; output is one row per distinct ordering customer
+        |with the fetched-or-created entity.""".stripMargin,
+      Some(
+        """WITH existing AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+          |keys AS (SELECT DISTINCT o_custkey FROM orders)
+          |SELECT k.o_custkey AS custkey,
+          |       COALESCE(e.c_name, concat('NEW_', CAST(k.o_custkey AS VARCHAR))) AS name,
+          |       CAST(COALESCE(CAST(e.c_acctbal AS DECIMAL(18,4)), 0) AS DOUBLE) AS acctbal,
+          |       (e.c_custkey IS NULL) AS to_create
+          |FROM keys k LEFT JOIN existing e ON k.o_custkey = e.c_custkey
+          |ORDER BY custkey""".stripMargin),
+      (s, dir) => {
+        val existing = Tables.customer(s, dir).filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+        Tables.orders(s, dir).select(col("o_custkey")).distinct()
+          .join(broadcast(existing), col("o_custkey") === col("c_custkey"), "left")
+          .select(
+            col("o_custkey").as("custkey"),
+            coalesce(col("c_name"), concat(lit("NEW_"), col("o_custkey").cast("string"))).as("name"),
+            d(coalesce(dec(col("c_acctbal")), lit(0).cast(Num.Money))).as("acctbal"),
+            col("c_custkey").isNull.as("to_create"))
+          .orderBy("custkey")
+      }))
+}

@@ -1,0 +1,31 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Catalog-wide invariants + smoke execution of every query at sf0.001.
+  * The sf0.01 DuckDB hash-compare is the driver's gate; this suite catches
+  * breakage earlier and cheaper. */
+class CatalogSpec extends SparkSpec {
+
+  test("catalog names are unique and non-empty") {
+    assert(Catalog.all.nonEmpty)
+    assert(Catalog.all.map(_.name).distinct.size === Catalog.all.size)
+  }
+
+  test("every query runs at sf0.001 and returns a stable schema") {
+    Catalog.all.foreach { q =>
+      val df = q.build(spark, sfSmoke)
+      val n = df.count()
+      withClue(s"query ${q.name}: ") {
+        assert(n >= 0)
+        assert(df.columns.nonEmpty)
+        assert(df.columns.distinct.length === df.columns.length,
+          s"duplicate output columns in ${q.name}")
+      }
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -6,7 +6,8 @@ package graft.queries
   */
 object Catalog {
   val all: Seq[Q] =
-    CoreQueries.qs ++ ReportQueries.qs ++ LookupQueries.qs ++ AggWindowQueries.qs
+    CoreQueries.qs ++ ReportQueries.qs ++ LookupQueries.qs ++ AggWindowQueries.qs ++
+      ScalarQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar library for the training-data pipeline extensions
+  * (beyond-parity per SURVEY.md §7.5): tokenization, n-gram shingling,
+  * quality heuristics, language-ID scoring, fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (split / transform /
+  * filter / md5) — no UDFs, so these run inside whole-stage codegen at any
+  * scale. Shingling uses higher-order functions (interpreted expressions,
+  * still vectorized per row, zero shuffle).
+  */
+object Text {
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), " ")
+
+  /** Word n-gram shingles (space-joined). Guard: < n tokens -> empty. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*)))
+      .otherwise(array())
+  }
+
+  /** Count of tokens drawn from a marker list (language-ID / stopword hits). */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+
+  /** Exact-dedup normalization key: md5 of the sorted distinct token set —
+    * word-order-insensitive content identity. */
+  def normalizedKey(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Document fingerprint: md5 of the raw text (byte identity). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Winnowing-style rolling fingerprint: the minimum md5 over all k-word
+    * windows — stable under appends outside the minimizing window. */
+  def winnow(text: Column, k: Int): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+}

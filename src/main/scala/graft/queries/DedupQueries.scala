@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family over `documents` (training-data pipeline
+  * extension): exact/normalized hash dedup, n-gram Jaccard with blocking,
+  * MinHash+LSH banding, SimHash bit-fingerprints.
+  *
+  * Scale design: every variant is either (a) a per-row expression at the
+  * scan (simhash, normalized keys), (b) a hash aggregate on a derived key
+  * (exact dedup, LSH bands — shuffle is key-cardinality-sized), or (c) a
+  * blocked pairwise compare where the blocking key bounds the quadratic
+  * term (Jaccard within source). Nothing is driver-side.
+  */
+object DedupQueries {
+
+  private val nSeeds = 8
+  private val bandSize = 4 // 2 bands of 4 seeds
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "dd_exact_groups",
+      """Exact + normalized dedup: md5 over the raw text (byte identity)
+        |and over the sorted distinct token set (word-order-insensitive).
+        |Output is per normalized key: group size, keeper (min doc_id),
+        |whether the group is byte-identical too. Hash groupBy — the
+        |canonical first dedup pass at any scale.""".stripMargin,
+      Some(
+        """SELECT md5(array_to_string(list_sort(list_distinct(
+          |         string_split(lower(trim(text)), ' '))), ' ')) AS norm_key,
+          |       COUNT(*) AS n_docs,
+          |       MIN(doc_id) AS keeper,
+          |       (COUNT(DISTINCT md5(text)) = 1) AS byte_identical
+          |FROM documents
+          |GROUP BY 1
+          |ORDER BY norm_key""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(Text.normalizedKey(col("text")).as("norm_key"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("keeper"),
+            (countDistinct(Text.fingerprint(col("text"))) === 1).as("byte_identical"))
+          .orderBy("norm_key")),
+
+    Q(
+      "dd_ngram_jaccard",
+      """N-gram Jaccard near-dup with blocking: 3-word shingles, candidate
+        |pairs restricted to the same `source` (the blocking key that bounds
+        |the quadratic term — at 100 TB this is the shard/bucket key), true
+        |Jaccard |A∩B|/|A∪B| from distinct-shingle counts, threshold 0.05.
+        |The shingle self-join shuffles on (source, shingle); per-doc
+        |shingle sets are distinct'd first so the join is set-sized.""".stripMargin,
+      Some(
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, source, unnest(list_transform(
+          |    range(len(string_split(lower(trim(text)), ' ')) - 2),
+          |    i -> concat_ws(' ',
+          |           string_split(lower(trim(text)), ' ')[i+1],
+          |           string_split(lower(trim(text)), ' ')[i+2],
+          |           string_split(lower(trim(text)), ' ')[i+3]))) AS shingle
+          |  FROM documents
+          |  WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          |  FROM sh a JOIN sh b
+          |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, n_inter,
+          |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = doc_a
+          |JOIN sizes sb ON sb.doc_id = doc_b
+          |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+          |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) => {
+        // Blocked pairwise sets, NOT a shingle self-join: an equi-join on
+        // the shared shingle produces sum-over-shingles(k^2) rows (ruinous
+        // when shingles are common). Instead: per-doc DISTINCT shingle sets
+        // hashed to int64 (xxhash64 — string intersects are ~10x costlier
+        // and 64-bit collisions are negligible for counting), one row per
+        // pair via a BROADCAST join on the block key (the set table is one
+        // row per doc), intersect row-local. Nothing shuffles but the final
+        // tiny ordered output. Pairs with empty intersection fall out at
+        // the threshold filter, so semantics match the oracle's inner join.
+        // At 100 TB the set table outgrows broadcast — the scale path is
+        // LSH candidate pairs (dd_minhash_lsh) feeding this same row-local
+        // exact-Jaccard confirm.
+        val sets = Tables.documents(s, dir)
+          .filter(size(Text.tokens(col("text"))) >= 3)
+          .select(col("doc_id"), col("source"),
+            array_distinct(transform(Text.shingles(col("text"), 3), sh => xxhash64(sh))).as("sh"))
+          .withColumn("n_sh", size(col("sh")))
+        val a = sets.select(col("source"), col("doc_id").as("doc_a"),
+          col("sh").as("sh_a"), col("n_sh").as("n_a"))
+        val b = sets.select(col("source"), col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"), col("n_sh").as("n_b"))
+        val paired = a.join(broadcast(b), Seq("source")).filter(col("doc_a") < col("doc_b"))
+          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        val jac = col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))
+        paired
+          .filter(jac >= 0.05)
+          .select(col("doc_a"), col("doc_b"), col("n_inter"), round(jac, 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    Q(
+      "dd_minhash_lsh",
+      """MinHash + LSH banding: 8 unigram min-hashes (lexicographic min of
+        |md5(seed|token) — md5 hex order == 128-bit numeric order, so no
+        |hex->int step), banded 2x4; output is band-collision groups with
+        |>= 2 members (the candidate-pair generator). Per-doc signatures are
+        |row-local folds; the only shuffle is the band-key aggregate.""".stripMargin,
+      Some {
+        val mins = (0 until nSeeds)
+          .map(i => s"list_min(list_transform(toks, w -> md5('$i|' || w))) AS h$i")
+          .mkString(",\n         ")
+        val b0 = (0 until bandSize).map(i => s"h$i").mkString(" || ")
+        val b1 = (bandSize until nSeeds).map(i => s"h$i").mkString(" || ")
+        s"""WITH sig AS (
+           |  SELECT doc_id,
+           |         $mins
+           |  FROM (SELECT doc_id,
+           |               list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+           |        FROM documents)),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band_id, md5($b0) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band_id, md5($b1) AS band_key FROM sig)
+           |SELECT band_id, band_key, COUNT(*) AS n_docs,
+           |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+           |FROM bands
+           |GROUP BY 1, 2
+           |HAVING COUNT(*) >= 2
+           |ORDER BY band_id, band_key""".stripMargin
+      },
+      (s, dir) => {
+        val toks = array_distinct(Text.tokens(col("text")))
+        def minHash(seed: Int) =
+          array_min(transform(toks, w => md5(concat(lit(s"$seed|"), w)))).as(s"h$seed")
+        val sig = Tables.documents(s, dir)
+          .select(col("doc_id") +: (0 until nSeeds).map(minHash): _*)
+        val band0 = md5(concat((0 until bandSize).map(i => col(s"h$i")): _*))
+        val band1 = md5(concat((bandSize until nSeeds).map(i => col(s"h$i")): _*))
+        val bands = sig.select(col("doc_id"), lit(0).as("band_id"), band0.as("band_key"))
+          .unionAll(sig.select(col("doc_id"), lit(1).as("band_id"), band1.as("band_key")))
+        bands.groupBy("band_id", "band_key")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("band_id", "band_key")
+      }),
+
+    Q(
+      "dd_simhash",
+      """SimHash: 32-bit fingerprint — bit j is the sign of the sum over
+        |distinct tokens of ±1 by the top bit of md5 nibble j (hex char >=
+        |'8'). Entirely row-local expression folds (no explode, no shuffle);
+        |dup-group size via one window over the fingerprint.""".stripMargin,
+      Some {
+        val toks = "list_distinct(string_split(lower(trim(text)), ' '))"
+        val bits = (1 to 32).map(j =>
+          s"CASE WHEN list_sum(list_transform($toks, w -> CASE WHEN substr(md5(w), $j, 1) >= '8' THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH fp AS (SELECT doc_id, ($bits) AS simhash FROM documents)
+           |SELECT doc_id, simhash,
+           |       COUNT(*) OVER (PARTITION BY simhash) AS n_same
+           |FROM fp
+           |ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val toks = array_distinct(Text.tokens(col("text")))
+        def bit(j: Int) = when(
+          aggregate(toks, lit(0),
+            (acc, w) => acc + when(substring(md5(w), j, 1) >= "8", 1).otherwise(-1)) >= 0,
+          "1").otherwise("0")
+        val fp = Tables.documents(s, dir)
+          .select(col("doc_id"), concat((1 to 32).map(bit): _*).as("simhash"))
+        fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("simhash")))
+          .orderBy("doc_id")
+      }))
+}

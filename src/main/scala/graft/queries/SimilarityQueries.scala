@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.functions.Vectors
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (training-data pipeline
+  * extension): brute-force cosine top-k as the correctness baseline, a
+  * coordinate-hyperplane LSH bucketed variant as the scale path, and
+  * embedding near-dup as label-blocked nearest neighbor.
+  *
+  * Scale design: brute-force broadcasts the (small) probe set so the
+  * candidate scan never shuffles; LSH co-partitions probe and candidate by
+  * bucket so the pairwise cosine work drops by the bucket fan-out (256 here)
+  * while the bucket join stays an equi shuffle; near-dup blocks on `label`
+  * exactly like the Jaccard dedup blocks on `source`.
+  */
+object SimilarityQueries {
+
+  private val lshDims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+
+  /** DuckDB-side cosine between two DOUBLE[] exprs, rounded like
+    * [[Vectors.cosine]]. */
+  private def duckCos(a: String, b: String): String =
+    s"""round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+       |  / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |     * sqrt(list_sum(list_transform($b, x -> x * x)))), 6)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "ann_bruteforce_topk",
+      """Brute-force cosine top-k: 10 probe vectors against the full
+        |candidate set, top-5 each. The probe side is broadcast, so the
+        |candidate scan is shuffle-free; ranking is a per-probe window over
+        |the scored pairs. Cosine rounds to 6 dp BEFORE ranking so the
+        |tiebreak (cand id) is engine-stable.""".stripMargin,
+      Some(
+        s"""WITH probes AS (
+           |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+           |  FROM embeddings WHERE vec_id < 10),
+           |cands AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |scored AS (
+           |  SELECT probe_id, cand_id, ${duckCos("pv", "cv")} AS cos
+           |  FROM probes, cands
+           |  WHERE cand_id <> probe_id)
+           |SELECT probe_id, cand_id, cos, rn FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                               ORDER BY cos DESC, cand_id) AS rn
+           |  FROM scored)
+           |WHERE rn <= 5
+           |ORDER BY probe_id, rn""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+        cands.crossJoin(broadcast(probes))
+          .filter(col("cand_id") =!= col("probe_id"))
+          .withColumn("cos", Vectors.cosine(col("pv"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("probe_id", "cand_id", "cos", "rn")
+          .orderBy("probe_id", "rn")
+      }),
+
+    Q(
+      "ann_lsh_bucketed",
+      """LSH-bucketed ANN: coordinate-hyperplane sign bucket over 8 fixed
+        |dimensions (256 buckets), candidates restricted to the probe's
+        |bucket, top-3 within bucket. Same probes as brute-force, so recall
+        |vs the exact answer is directly inspectable. The bucket is computed
+        |at the scan; probe-candidate matching is an equi-join on it.""".stripMargin,
+      Some {
+        val duckBucket = lshDims
+          .map(d => s"CASE WHEN embedding[$d] >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v, ($duckBucket) AS bucket
+           |  FROM embeddings),
+           |probes AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT probe_id, b.vec_id AS cand_id, probes.bucket AS bucket,
+           |         ${duckCos("pv", "b.v")} AS cos
+           |  FROM probes JOIN b ON probes.bucket = b.bucket AND b.vec_id <> probe_id)
+           |SELECT probe_id, cand_id, bucket, cos, rn FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                               ORDER BY cos DESC, cand_id) AS rn
+           |  FROM scored)
+           |WHERE rn <= 3
+           |ORDER BY probe_id, rn""".stripMargin
+      },
+      (s, dir) => {
+        val b = Tables.embeddings(s, dir).select(
+          col("vec_id"), col("embedding"),
+          Vectors.signBucket(col("embedding"), lshDims).as("bucket"))
+        val probes = b.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("bucket"))
+        val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+        b.select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("bucket"))
+          .join(broadcast(probes), Seq("bucket"))
+          .filter(col("cand_id") =!= col("probe_id"))
+          .withColumn("cos", Vectors.cosine(col("pv"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("probe_id", "cand_id", "bucket", "cos", "rn")
+          .orderBy("probe_id", "rn")
+      }),
+
+    Q(
+      "dd_embed_neardup",
+      """Embedding near-dup: nearest same-label neighbor per vector
+        |(label is the blocking key bounding the pairwise term, as `source`
+        |does for Jaccard dedup). Output: each vector's nearest neighbor and
+        |whether it crosses the 0.9 near-dup threshold.""".stripMargin,
+      Some(
+        s"""WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
+           |         ${duckCos("a.v", "b.v")} AS cos
+           |  FROM b a JOIN b b ON a.label = b.label AND a.vec_id <> b.vec_id)
+           |SELECT vec_id, label, nn_id, cos, (cos >= 0.9) AS near_dup FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |                               ORDER BY cos DESC, nn_id) AS rn
+           |  FROM pairs)
+           |WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val b = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val a2 = b.select(col("label"), col("vec_id").as("nn_id"), col("embedding").as("nv"))
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+        b.join(a2, Seq("label"))
+          .filter(col("vec_id") =!= col("nn_id"))
+          .withColumn("cos", Vectors.cosine(col("embedding"), col("nv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"), col("nn_id"), col("cos"),
+            (col("cos") >= 0.9).as("near_dup"))
+          .orderBy("vec_id")
+      }))
+}

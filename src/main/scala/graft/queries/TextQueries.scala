@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (language-ID, quality scoring, token counting,
+  * fingerprinting). All per-row expression work at the scan: zero shuffle
+  * except final presentation sorts.
+  */
+object TextQueries {
+
+  /** Language marker profiles (heuristic scorer — the synthetic corpus
+    * shares one vocabulary, so this demonstrates the scoring mechanics;
+    * ties resolve in profile order). */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("row", "column"),
+    "fr" -> Seq("scan", "data"),
+    "es" -> Seq("slow", "agg"),
+    "zh" -> Seq("join", "small"))
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "t_token_quality",
+      """Token counting + quality scoring per document: token count,
+        |distinct-token count, type-token ratio, average token length,
+        |stopword ratio, and a quality ladder — the pre-training filter
+        |stack. Ratios are single double divisions of exact ints (no float
+        |accumulation), so the oracle compare is exact.""".stripMargin,
+      Some(
+        """SELECT doc_id,
+          |       len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+          |       len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_distinct,
+          |       CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS DOUBLE)
+          |         / len(string_split(lower(trim(text)), ' ')) AS ttr,
+          |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          |         / len(string_split(lower(trim(text)), ' ')) AS avg_token_len,
+          |       CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+          |                            t -> t IN ('the', 'a', 'of', 'in'))) AS DOUBLE)
+          |         / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio,
+          |       CASE WHEN len(string_split(lower(trim(text)), ' ')) BETWEEN 30 AND 80
+          |                 AND CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS DOUBLE)
+          |                     / len(string_split(lower(trim(text)), ' ')) >= 0.3
+          |            THEN 'good'
+          |            WHEN len(string_split(lower(trim(text)), ' ')) >= 15 THEN 'fair'
+          |            ELSE 'poor' END AS quality
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val toks = Text.tokens(col("text"))
+        val nTokens = size(toks)
+        val nDistinct = size(array_distinct(toks))
+        val ttr = nDistinct.cast("double") / nTokens
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          nTokens.as("n_tokens"),
+          nDistinct.as("n_distinct"),
+          ttr.as("ttr"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens).as("avg_token_len"),
+          (Text.markerHits(col("text"), Seq("the", "a", "of", "in")).cast("double") / nTokens)
+            .as("stopword_ratio"),
+          when(nTokens.between(30, 80) && ttr >= 0.3, "good")
+            .when(nTokens >= 15, "fair")
+            .otherwise("poor").as("quality"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
+      "t_langid_markers",
+      """Language-ID by marker-profile scoring: count marker hits per
+        |profile, predict the argmax (ties resolve in profile order en, de,
+        |fr, es, zh) — the n-gram-heuristic langid shape, as one scan-side
+        |expression ladder.""".stripMargin,
+      Some {
+        val scoreSql = profiles.map { case (l, ws) =>
+          s"len(list_filter(string_split(lower(trim(text)), ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+        }.mkString(",\n       ")
+        val maxExpr = s"greatest(${profiles.map(p => s"s_${p._1}").mkString(", ")})"
+        val ladder = profiles.map { case (l, _) => s"WHEN s_$l = $maxExpr THEN '$l'" }
+          .mkString("CASE ", " ", " END")
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |       $scoreSql
+           |  FROM documents)
+           |SELECT doc_id, lang AS labeled_lang,
+           |       ${profiles.map(p => s"s_${p._1}").mkString(", ")},
+           |       $ladder AS predicted_lang
+           |FROM scored
+           |ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val scored = Tables.documents(s, dir).select(
+          Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+            profiles.map { case (l, ws) => Text.markerHits(col("text"), ws).as(s"s_$l") }: _*)
+        val maxScore = greatest(profiles.map(p => col(s"s_${p._1}")): _*)
+        val ladder = profiles.tail.foldLeft(
+          when(col(s"s_${profiles.head._1}") === maxScore, profiles.head._1)) {
+          case (acc, (l, _)) => acc.when(col(s"s_$l") === maxScore, l)
+        }
+        scored
+          .select((scored.columns.map(col).toSeq :+ ladder.as("predicted_lang")): _*)
+          .orderBy("doc_id")
+      }),
+
+    Q(
+      "t_fingerprints",
+      """Document fingerprinting: byte-identity md5, a winnowing-style
+        |rolling fingerprint (min md5 over 5-word windows — stable under
+        |edits outside the minimizing window), and a 256-way shard bucket
+        |from the fingerprint prefix (the partitioning key a 100 TB dedup
+        |would shuffle on).""".stripMargin,
+      Some(
+        """SELECT doc_id,
+          |       md5(text) AS fp,
+          |       list_min(list_transform(
+          |         list_transform(range(len(string_split(lower(trim(text)), ' ')) - 4),
+          |           i -> concat_ws(' ',
+          |                  string_split(lower(trim(text)), ' ')[i+1],
+          |                  string_split(lower(trim(text)), ' ')[i+2],
+          |                  string_split(lower(trim(text)), ' ')[i+3],
+          |                  string_split(lower(trim(text)), ' ')[i+4],
+          |                  string_split(lower(trim(text)), ' ')[i+5])),
+          |         s -> md5(s))) AS winnow_fp,
+          |       substr(md5(text), 1, 2) AS shard_bucket
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          Text.fingerprint(col("text")).as("fp"),
+          Text.winnow(col("text"), 5).as("winnow_fp"),
+          substring(Text.fingerprint(col("text")), 1, 2).as("shard_bucket"))
+          .orderBy("doc_id")))
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.functions.Quantities
+import graft.state.DispatchState
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** §2.9 — the streaming re-expression of the reference's Airflow polling
+  * loops (SURVEY.md; /root/reference/backend/dags/dag_bakery_system_to_jde.py:
+  * 445-487): poll-every-N-minutes + days_back lookback + state-table dedup
+  * becomes Structured Streaming with watermark + dropDuplicates +
+  * foreachBatch state merge.
+  *
+  * Mapping, piece by piece:
+  *  - Airflow `schedule_interval` 5 min  -> `Trigger.ProcessingTime` /
+  *    `Trigger.AvailableNow` for catch-up batch runs;
+  *  - `days_back` re-read window         -> `withWatermark(eventTime, lateness)`:
+  *    bounded-lateness state instead of re-reading and re-filtering;
+  *  - `unique_transaction_id` state probe (J5) -> `dropDuplicates` within
+  *    the watermark + cross-run DispatchState anti-join in foreachBatch;
+  *  - per-row POST + ON CONFLICT upsert (K5+K4) -> foreachBatch: dispatch
+  *    callback per partition + one state merge per micro-batch.
+  */
+object MicroBatchPipeline {
+  /** Event-time dedup + hourly aggregation over a stream with bounded
+    * lateness — the streaming twin of query `w_tumbling_hourly`. */
+  def windowedCounts(events: DataFrame, lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** The dispatch pipeline: derive the idempotency key, drop in-stream
+    * duplicates within the watermark, then per micro-batch anti-join the
+    * cross-run state, hand pending rows to `dispatch`, and mark them done. */
+  def dispatchStream(
+      records: DataFrame,
+      stateDir: String,
+      dispatch: Iterator[Row] => Unit,
+      lateness: String = "1 day"): DataStreamWriter[Row] = {
+    val keyed = records
+      .withColumn("unique_transaction_id",
+        Quantities.uniqueTransactionId(col("name"), col("lot"), col("vessel"), col("qty")))
+      .withWatermark("ts", lateness)
+      .dropDuplicates("unique_transaction_id")
+    keyed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val pending = DispatchState.pending(batch, spark, stateDir)
+          .persist()
+        try {
+          pending.foreachPartition(dispatch)
+          DispatchState.upsert(spark, stateDir,
+            pending.select(
+              col("unique_transaction_id"),
+              lit("done").as("status"),
+              lit("dispatched").as("detail"),
+              current_timestamp().as("updated_at")))
+        } finally pending.unpersist()
+      }
+  }
+}

@@ -1,19 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every catalog query against SPARK_GRAFT_SF_DIR,
+  * one JSON line to stdout.
+  *
+  * Queries are forced through the `noop` sink, not `count()`: a count
+  * lets Catalyst prune the final projection (expression-heavy queries
+  * like the transaction-id derivations would be timed at zero work).
+  * Noop evaluates every output column and discards rows executor-side —
+  * no driver collect, no disk. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm up the session (codegen compiler, parquet footers, scheduler)
+    // so the alphabetically-first query doesn't absorb one-time costs.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -16,15 +16,18 @@ object Text {
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), " ")
 
-  /** Word n-gram shingles (space-joined). Guard: < n tokens -> empty. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED token
+    * array column. Callers must project `tokens(text)` into a named column
+    * first: higher-order functions are interpreted (no common-subexpression
+    * elimination), so passing the split expression directly would re-split
+    * the text on every element access — O(windows x n) splits per row.
+    * Guard: < n tokens -> empty. */
+  def shinglesOfTokens(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(
         sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*)))
-      .otherwise(array())
-  }
+      .otherwise(array().cast("array<string>"))
 
   /** Count of tokens drawn from a marker list (language-ID / stopword hits). */
   def markerHits(text: Column, markers: Seq[String]): Column =
@@ -39,7 +42,8 @@ object Text {
   def fingerprint(text: Column): Column = md5(text)
 
   /** Winnowing-style rolling fingerprint: the minimum md5 over all k-word
-    * windows — stable under appends outside the minimizing window. */
-  def winnow(text: Column, k: Int): Column =
-    array_min(transform(shingles(text, k), s => md5(s)))
+    * windows — stable under appends outside the minimizing window. Takes a
+    * materialized token array (see [[shinglesOfTokens]]). */
+  def winnowOfTokens(ts: Column, k: Int): Column =
+    array_min(transform(shinglesOfTokens(ts, k), s => md5(s)))
 }

@@ -91,9 +91,10 @@ object DedupQueries {
         // LSH candidate pairs (dd_minhash_lsh) feeding this same row-local
         // exact-Jaccard confirm.
         val sets = Tables.documents(s, dir)
-          .filter(size(Text.tokens(col("text"))) >= 3)
+          .withColumn("toks", Text.tokens(col("text")))
+          .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), col("source"),
-            array_distinct(transform(Text.shingles(col("text"), 3), sh => xxhash64(sh))).as("sh"))
+            array_distinct(transform(Text.shinglesOfTokens(col("toks"), 3), sh => xxhash64(sh))).as("sh"))
           .withColumn("n_sh", size(col("sh")))
         val a = sets.select(col("source"), col("doc_id").as("doc_a"),
           col("sh").as("sh_a"), col("n_sh").as("n_a"))

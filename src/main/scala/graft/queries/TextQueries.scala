@@ -128,10 +128,12 @@ object TextQueries {
           |FROM documents
           |ORDER BY doc_id""".stripMargin),
       (s, dir) =>
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          Text.fingerprint(col("text")).as("fp"),
-          Text.winnow(col("text"), 5).as("winnow_fp"),
-          substring(Text.fingerprint(col("text")), 1, 2).as("shard_bucket"))
+        Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            Text.fingerprint(col("text")).as("fp"),
+            Text.winnowOfTokens(col("toks"), 5).as("winnow_fp"),
+            substring(Text.fingerprint(col("text")), 1, 2).as("shard_bucket"))
           .orderBy("doc_id")))
 }

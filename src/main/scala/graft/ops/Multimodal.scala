@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the training-data pipeline (beyond-parity
+  * extension): media as opaque `binary` columns with typed metadata, and a
+  * feature-extraction stage whose Spark side (schema, partitioning, batch
+  * iteration shape) is real while the codec itself is a STUB — the actual
+  * image/audio decoders are not in this environment.
+  *
+  * Layout mirrors how a lakehouse carries media: one row per asset,
+  * `blob BINARY` + `meta STRUCT` + modality discriminator. Feature
+  * extraction is `mapPartitions` over a typed Dataset — the same
+  * batch-per-partition shape a vectorized (Arrow) UDF presents, so
+  * swapping the stub for a real decoder is a one-function change. The
+  * extractor is partition-local: no shuffle, scales with input splits.
+  */
+object Multimodal {
+  case class MediaRow(media_id: Long, kind: String, blob: Array[Byte],
+                      width: Int, sample_rate: Int, n_frames: Int)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           mean_byte: Double, frames_sampled: Int,
+                           feature: Array[Double])
+
+  /** Synthesize deterministic media assets from the documents table: the
+    * UTF-8 bytes stand in for the encoded asset; metadata derives from the
+    * blob. Real pipelines land here from binary file sources
+    * (`spark.read.format("binaryFile")`). */
+  def synthesize(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("blob"))
+      .withColumn("width", (length(col("blob")) % 640).cast("int"))
+      .withColumn("sample_rate", lit(16000))
+      .withColumn("n_frames", (length(col("blob")) / 10).cast("int"))
+
+  /** STUB DECODER — deterministic fake standing in for the real codec
+    * (image decode / audio resample / video frame extraction). Consumes the
+    * raw bytes and emits a fixed-width feature vector (normalized 16-bin
+    * byte histogram). The real implementation would call the codec here;
+    * everything around it (typed batch iteration, partition locality,
+    * output schema) is production-shaped. */
+  private def decodeStub(blob: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < blob.length) { hist((blob(i) & 0xff) / 16) += 1.0; i += 1 }
+    val n = math.max(blob.length, 1)
+    hist.map(_ / n)
+  }
+
+  /** Feature extraction: one pass per partition, batch-iterating rows
+    * exactly like a vectorized UDF would receive them. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val feat = decodeStub(r.blob)
+        val mean =
+          if (r.blob.isEmpty) 0.0
+          else r.blob.map(_ & 0xff).sum.toDouble / r.blob.length
+        MediaFeatures(r.media_id, r.kind, r.blob.length, mean,
+          frames_sampled = math.min(r.n_frames, 8), feature = feat)
+      }
+    }
+  }
+
+  /** Expression-side media stats (no decode needed): byte length, content
+    * digest, strided frame-sample digests — all computable at the scan. */
+  def mediaStats(media: DataFrame, frameLen: Int, nFrames: Int): DataFrame = {
+    val frames = (0 until nFrames).map { k =>
+      md5(substring(col("blob"), k * frameLen + 1, frameLen)).as(s"frame_$k")
+    }
+    media.select(
+      Seq(col("media_id"), col("kind"),
+        length(col("blob")).as("n_bytes"),
+        md5(col("blob")).as("digest")) ++ frames: _*)
+  }
+}

@@ -29,6 +29,16 @@ object Quantities {
     * Oracle equivalent (DuckDB renders decimals plain):
     * rtrim(rtrim(CAST(CAST(x AS DECIMAL(38,9)) AS VARCHAR),'0'),'.'). */
   def normalizeQty(q: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.NormalizeQtyExpression(GraftColumnBridge.expression(Num.qty(q))))
+  }
+
+  /** The same semantics as pure built-in expressions (used by the
+    * NormalizeQtySpec cross-check; normalizeQty's native expression is the
+    * production path — one BigDecimal pass instead of six chained
+    * expressions and five intermediate strings per row). */
+  def normalizeQtyBuiltins(q: Column): Column = {
     import org.apache.spark.sql.types.DecimalType
     val n = Num.qty(q)                                  // Decimal(38,9), HALF_UP
     val a = abs(n)

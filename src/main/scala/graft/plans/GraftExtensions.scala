@@ -1,0 +1,20 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (SparkSessionExtensions): registers the native
+  * expressions so they are callable from SQL as well as the Column API.
+  * Install via `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize_qty"),
+      new ExpressionInfo(classOf[NormalizeQtyExpression].getName, "graft_normalize_qty"),
+      (children: Seq[Expression]) => NormalizeQtyExpression(children.head)))
+  }
+}

@@ -103,7 +103,10 @@ object CoreQueries {
         Tables.events(s, dir)
           .filter(
             col("event_type").isin("purchase", "error") &&
-              col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+              // bound on the RAW nanos column: pushes to the parquet scan
+              // (row-group skipping); the equivalent bound on the converted
+              // `ts` cannot cross the conversion expression
+              col("ts_ns") >= lit(1705276800000000000L) &&
               col("value") > 0)
           .select(
             col("event_id"), col("user_id"), col("event_type"),

@@ -32,10 +32,16 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS); with
     * spark.sql.legacy.parquet.nanosAsLong=true it arrives as long
     * nanoseconds, which we floor-truncate to a microsecond timestamp —
-    * byte-identical to DuckDB's CAST(ts_ns AS TIMESTAMP). */
+    * byte-identical to DuckDB's CAST(ts_ns AS TIMESTAMP). The raw nanos
+    * stay exposed as `ts_ns`: predicates on the converted timestamp cannot
+    * push past the conversion expression, but a bound on `ts_ns` reaches
+    * the parquet scan and skips row groups — the difference between
+    * scanning a day and scanning a year at 100 TB. */
   def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    t(s, d, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -35,6 +35,36 @@ object MicroBatchPipeline {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  case class Adjustment(productId: Long, adjustmentType: String, qty: Double, ts: java.sql.Timestamp)
+  case class OnHand(productId: Long, amount: Double, nAdjustments: Long)
+
+  /** K7/A5 as arbitrary streaming state (mapGroupsWithState): the running
+    * on-hand mutation — USAGE decrements, everything else increments,
+    * clamped at zero after each batch's net effect
+    * (/root/reference/backend/main.py:1770-1789). State is per product key,
+    * partitioned by Spark's state store; update order inside a batch
+    * follows event time for determinism. */
+  def runningOnHand(adjustments: org.apache.spark.sql.Dataset[Adjustment])
+      : org.apache.spark.sql.Dataset[OnHand] = {
+    import adjustments.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    adjustments
+      .groupByKey(_.productId)
+      .mapGroupsWithState[OnHand, OnHand](GroupStateTimeout.NoTimeout) {
+        (productId, rows, state: GroupState[OnHand]) =>
+          val prev = state.getOption.getOrElse(OnHand(productId, 0.0, 0L))
+          val batch = rows.toSeq.sortBy(_.ts.getTime)
+          val next = batch.foldLeft(prev) { (acc, adj) =>
+            val signed = if (adj.adjustmentType == "USAGE") -adj.qty else adj.qty
+            acc.copy(
+              amount = math.max(0.0, acc.amount + signed),
+              nAdjustments = acc.nAdjustments + 1)
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** The dispatch pipeline: derive the idempotency key, drop in-stream
     * duplicates within the watermark, then per micro-batch anti-join the
     * cross-run state, hand pending rows to `dispatch`, and mark them done. */

@@ -25,8 +25,18 @@ object Vectors {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, rounded to 6 dp to absorb engine-side ulp noise in
-    * the divide/sqrt tail (sums themselves are order-stable). */
-  def cosine(a: Column, b: Column): Column =
+    * the divide/sqrt tail (sums themselves are order-stable). Production
+    * path is the fused native expression (one pass, no intermediate
+    * arrays); [[cosineBuiltins]] is the declarative twin it is
+    * bit-equivalence-tested against. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.CosineSimilarityExpression(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The same cosine as pure built-in expressions. */
+  def cosineBuiltins(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
   /** Coordinate-hyperplane LSH bucket: the sign pattern of the embedding at

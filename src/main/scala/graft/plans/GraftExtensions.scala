@@ -16,5 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_normalize_qty"),
       new ExpressionInfo(classOf[NormalizeQtyExpression].getName, "graft_normalize_qty"),
       (children: Seq[Expression]) => NormalizeQtyExpression(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarityExpression].getName, "graft_cosine"),
+      (children: Seq[Expression]) =>
+        CosineSimilarityExpression(children.head, children(1))))
   }
 }

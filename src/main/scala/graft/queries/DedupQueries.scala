@@ -90,18 +90,28 @@ object DedupQueries {
         // At 100 TB the set table outgrows broadcast — the scale path is
         // LSH candidate pairs (dd_minhash_lsh) feeding this same row-local
         // exact-Jaccard confirm.
+        // sorted + distinct ONCE per doc; the per-pair intersect is then a
+        // zero-allocation native merge walk (SortedIntersectCountExpression
+        // — array_intersect's per-pair boxed hash sets were the dominant
+        // GC load of the whole bench)
         val sets = Tables.documents(s, dir)
           .withColumn("toks", Text.tokens(col("text")))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), col("source"),
-            array_distinct(transform(Text.shinglesOfTokens(col("toks"), 3), sh => xxhash64(sh))).as("sh"))
+            array_sort(array_distinct(
+              transform(Text.shinglesOfTokens(col("toks"), 3), sh => xxhash64(sh)))).as("sh"))
           .withColumn("n_sh", size(col("sh")))
         val a = sets.select(col("source"), col("doc_id").as("doc_a"),
           col("sh").as("sh_a"), col("n_sh").as("n_a"))
         val b = sets.select(col("source"), col("doc_id").as("doc_b"),
           col("sh").as("sh_b"), col("n_sh").as("n_b"))
         val paired = a.join(broadcast(b), Seq("source")).filter(col("doc_a") < col("doc_b"))
-          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("n_inter", {
+            import org.apache.spark.sql.GraftColumnBridge
+            GraftColumnBridge.column(graft.plans.SortedIntersectCountExpression(
+              GraftColumnBridge.expression(col("sh_a")),
+              GraftColumnBridge.expression(col("sh_b"))))
+          })
         val jac = col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))
         paired
           .filter(jac >= 0.05)

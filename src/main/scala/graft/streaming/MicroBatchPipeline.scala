@@ -65,6 +65,49 @@ object MicroBatchPipeline {
       }
   }
 
+  case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserSession(userId: Long, start: java.sql.Timestamp,
+                         end: java.sql.Timestamp, nEvents: Long, totalValue: Double)
+  case class SessionAcc(startMs: Long, endMs: Long, n: Long, sum: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: events closer
+    * than `gap` in event time merge into one session; a larger gap closes
+    * the session and emits it, the open session stays in state across
+    * micro-batches. The reference has no session semantics (§2.9:
+    * capability extension). Idle-session expiry would add a
+    * GroupStateTimeout (ProcessingTime or EventTime+watermark) on top of
+    * this same skeleton; deployment-level concern, kept out so batch tests
+    * stay timer-free. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                 gap: scala.concurrent.duration.FiniteDuration)
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId, rows, state: GroupState[SessionAcc]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var acc = state.getOption.orNull
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (acc == null) acc = SessionAcc(t, t, 1, e.value)
+            else if (t - acc.endMs <= gap.toMillis)
+              acc = acc.copy(endMs = t, n = acc.n + 1, sum = acc.sum + e.value)
+            else {
+              closed += UserSession(userId,
+                new java.sql.Timestamp(acc.startMs), new java.sql.Timestamp(acc.endMs),
+                acc.n, acc.sum)
+              acc = SessionAcc(t, t, 1, e.value)
+            }
+          }
+          if (acc != null) state.update(acc)
+          closed.result().iterator
+      }
+  }
+
   /** The dispatch pipeline: derive the idempotency key, drop in-stream
     * duplicates within the watermark, then per micro-batch anti-join the
     * cross-run state, hand pending rows to `dispatch`, and mark them done. */

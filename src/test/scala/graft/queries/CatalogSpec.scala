@@ -12,6 +12,11 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.all.map(_.name).distinct.size === Catalog.all.size)
   }
 
+  test("every catalog query carries a DuckDB oracle (no silent rows-only checks)") {
+    val missing = Catalog.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
   test("every query runs at sf0.001 and returns a stable schema") {
     Catalog.all.foreach { q =>
       val df = q.build(spark, sfSmoke)

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.MicroBatchPipeline.{SessionEvent, UserSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.sql.Timestamp
+import scala.concurrent.duration._
+
+/** Gap-based sessionization: events within the gap merge into one session,
+  * a larger gap (within one batch) closes the session and emits it. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("in-batch gap closes a session; open session stays in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = MicroBatchPipeline.sessionize(input.toDS(), 30.minutes)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(1L, ts("2024-01-01 10:10:00"), 2.0), // same session
+        SessionEvent(1L, ts("2024-01-01 12:00:00"), 5.0), // >30min gap: closes first
+        SessionEvent(2L, ts("2024-01-01 10:00:00"), 9.0)) // other key, stays open
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[UserSession].collect().toSeq
+      assert(out === Seq(UserSession(1L,
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 3.0)))
+
+      // next batch continues user 1's open session within the gap
+      input.addData(SessionEvent(1L, ts("2024-01-01 12:20:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 1) // still only the closed one
+    } finally q.stop()
+  }
+}

@@ -106,6 +106,39 @@ object TextQueries {
       }),
 
     Q(
+      "t_bpe_tokens",
+      """BPE-ish regex tokenization alongside whitespace tokens: runs of
+        |letters, runs of digits, and single punctuation marks each count
+        |as a token (the pre-tokenizer shape BPE vocabularies train over).
+        |Reports both counts, their ratio, and an estimated
+        |tokens-per-100-chars rate per source — the budgeting statistic a
+        |training-data pipeline tracks. Scan-side regexp, one tiny
+        |aggregate.""".stripMargin,
+      Some(
+        """SELECT source,
+          |       COUNT(*) AS n_docs,
+          |       SUM(len(string_split(lower(trim(text)), ' '))) AS ws_tokens,
+          |       SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+          |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
+          |         / SUM(length(text)) * 100 AS tokens_per_100_chars
+          |FROM documents
+          |GROUP BY source
+          |ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val bpe = size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(Text.tokens(col("text")))).as("ws_tokens"),
+            sum(bpe).as("bpe_tokens"),
+            (sum(bpe).cast("double") / sum(length(col("text"))) * 100)
+              .as("tokens_per_100_chars"))
+          .orderBy("source")
+      }),
+
+    Q(
       "t_fingerprints",
       """Document fingerprinting: byte-identity md5, a winnowing-style
         |rolling fingerprint (min md5 over 5-word windows — stable under

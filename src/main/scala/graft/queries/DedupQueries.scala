@@ -183,12 +183,15 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin
       },
       (s, dir) => {
-        val toks = array_distinct(Text.tokens(col("text")))
+        // hash each distinct token ONCE into a materialized column; the 32
+        // per-bit folds then read substrings of the precomputed hex — the
+        // naive form recomputes md5 per bit (32x the hashing work)
         def bit(j: Int) = when(
-          aggregate(toks, lit(0),
-            (acc, w) => acc + when(substring(md5(w), j, 1) >= "8", 1).otherwise(-1)) >= 0,
+          aggregate(col("hashes"), lit(0),
+            (acc, h) => acc + when(substring(h, j, 1) >= "8", 1).otherwise(-1)) >= 0,
           "1").otherwise("0")
         val fp = Tables.documents(s, dir)
+          .withColumn("hashes", transform(array_distinct(Text.tokens(col("text"))), w => md5(w)))
           .select(col("doc_id"), concat((1 to 32).map(bit): _*).as("simhash"))
         fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("simhash")))
           .orderBy("doc_id")

@@ -71,6 +71,13 @@ object Units {
   def isValidUnit(unit: Column): Column =
     unit.isNull || unit === "" || upper(unit).isin(unitMap.keys.toSeq: _*)
 
+  /** F3 strict form (utility.py:50-75 raises ValueError): fail the job on
+    * the first invalid unit, identifying it in the error. For a
+    * dead-letter channel instead, filter on [[isValidUnit]]'s negation. */
+  def validateUnitOrFail(unit: Column): Column =
+    when(isValidUnit(unit), unit)
+      .otherwise(raise_error(concat(lit("invalid unit: "), unit)))
+
   /** Membership in the JDE unit set (utility.py:106 `is_jde`). */
   def isJde(unit: Column): Column = unit.isin(unitMap.keys.toSeq: _*)
 

@@ -40,6 +40,17 @@ class UnitsSpec extends SparkSpec {
     assert(out === Seq(true, true, false, true, true))
   }
 
+  test("F3 strict validation raises on invalid, passes valid through") {
+    val ok = Seq("KG", "kg", "").toDF("u")
+      .select(Units.validateUnitOrFail($"u")).collect().map(_.getString(0)).toSeq
+    assert(ok === Seq("KG", "kg", ""))
+    val e = intercept[Exception] {
+      Seq("BOGUS").toDF("u").select(Units.validateUnitOrFail($"u")).collect()
+    }
+    assert(e.getMessage.contains("invalid unit") ||
+      Option(e.getCause).exists(_.getMessage.contains("invalid unit")))
+  }
+
   test("F4 convert_unit_quantity: identity, factor, silent-1.0 quirk") {
     val df = Seq(
       ("KG", "g", 2.5),   // mapped factor 1000

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and range joins — operators Spark has no built-in for, composed
+  * from existing ops per the preference order (SURVEY.md §2.10 / build
+  * brief): no custom plan nodes needed, and both compositions are the
+  * recognized scale patterns for these shapes.
+  */
+object AsofRangeQueries {
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "j_asof_attribution",
+      """As-of join via the union-scan pattern: each purchase event joins
+        |the LATEST strictly-earlier view event of the same user
+        |(attribution). Implementation: tag views/purchases, sort by
+        |(ts, kind) with purchases first at equal timestamps (strict <),
+        |and carry the last view via an ignore-nulls window — one shuffle
+        |on the user key, linear scan per user, no pairwise blowup. The
+        |oracle is DuckDB's native ASOF LEFT JOIN, proving the composition
+        |implements the real operator semantics.""".stripMargin,
+      Some(
+        """WITH views AS (
+          |  SELECT user_id, ts, MAX(event_id) AS v_id
+          |  FROM events WHERE event_type = 'view'
+          |  GROUP BY user_id, ts),
+          |purchases AS (
+          |  SELECT user_id, ts, event_id, value
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT p.event_id, p.user_id,
+          |       v.v_id AS attributed_view,
+          |       date_diff('second', v.ts, p.ts) AS gap_seconds
+          |FROM purchases p ASOF LEFT JOIN views v
+          |  ON p.user_id = v.user_id AND v.ts < p.ts
+          |ORDER BY p.event_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // dedupe views per (user, ts) so "latest" is single-valued
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("v_id"))
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            struct(col("ts").as("v_ts"), col("v_id")).as("view_info"),
+            lit(null).cast("long").as("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            lit(null).cast("struct<v_ts:timestamp,v_id:bigint>").as("view_info"),
+            col("event_id"))
+        // purchases sort BEFORE views at equal ts (kind 0 < 1) -> a
+        // same-timestamp view is invisible: strict v.ts < p.ts
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        views.unionByName(purchases)
+          .withColumn("last_view", last(col("view_info"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 0)
+          .select(
+            col("event_id"), col("user_id"),
+            col("last_view.v_id").as("attributed_view"),
+            (unix_timestamp(col("ts")) - unix_timestamp(col("last_view.v_ts")))
+              .as("gap_seconds"))
+          .orderBy("event_id")
+      }),
+
+    Q(
+      "j_range_bin_join",
+      """Range (interval) self-join via time binning: pairs of same-user
+        |events at most 1 hour apart. A naive theta join is a nested-loop
+        |cross product; binning ts into hour buckets turns it into an
+        |equi-join on (user, bin) probing the event's own and next bin,
+        |then an exact residual filter — each qualifying pair matches
+        |exactly once (its later event lives in exactly one bin). The
+        |oracle is the direct inequality join.""".stripMargin,
+      Some(
+        """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+          |       date_diff('second', a.ts, b.ts) AS gap_seconds
+          |FROM events a JOIN events b
+          |  ON a.user_id = b.user_id
+          | AND b.ts >= a.ts AND date_diff('second', a.ts, b.ts) <= 3600
+          | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+          |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            floor(unix_timestamp(col("ts")) / 3600).as("bin"))
+        val a = ev.select(col("event_id").as("a_id"), col("user_id"),
+          col("ts").as("a_ts"), col("bin"))
+        val b = ev.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          col("ts").as("b_ts"), col("bin").as("b_bin"))
+        a.withColumn("probe_bin", explode(array(col("bin"), col("bin") + 1)))
+          .join(b, col("user_id") === col("b_user") && col("probe_bin") === col("b_bin"))
+          .filter(col("b_ts") >= col("a_ts") &&
+            (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))) <= 3600 &&
+            (col("a_ts") < col("b_ts") ||
+              (col("a_ts") === col("b_ts") && col("a_id") < col("b_id"))))
+          .select(col("a_id"), col("b_id"), col("user_id"),
+            (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("gap_seconds"))
+          .orderBy("a_id", "b_id")
+      }))
+}

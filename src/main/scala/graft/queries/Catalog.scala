@@ -8,7 +8,7 @@ object Catalog {
   val all: Seq[Q] =
     CoreQueries.qs ++ ReportQueries.qs ++ LookupQueries.qs ++ AggWindowQueries.qs ++
       ScalarQueries.qs ++ TextQueries.qs ++ DedupQueries.qs ++ SimilarityQueries.qs ++
-      NestedQueries.qs ++ MultimodalQueries.qs ++ ScaleQueries.qs
+      NestedQueries.qs ++ MultimodalQueries.qs ++ ScaleQueries.qs ++ AsofRangeQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

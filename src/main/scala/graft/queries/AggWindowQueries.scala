@@ -67,6 +67,37 @@ object AggWindowQueries {
           .orderBy("product_key")),
 
     Q(
+      "a3_dynamic_pivot",
+      """A3 as a true columnar pivot: per-user event counts and exact value
+        |sums spread across event-type columns (groupBy().pivot() with the
+        |value domain pinned so Catalyst skips the discovery pass — at
+        |scale, always pin the pivot domain: the alternative is an extra
+        |collect over the distinct values).""".stripMargin,
+      Some(
+        """SELECT user_id,
+          |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+          |       COUNT(*) FILTER (WHERE event_type = 'view') AS view_n,
+          |       COUNT(*) FILTER (WHERE event_type = 'error') AS error_n,
+          |       CAST(SUM(CASE WHEN event_type = 'purchase'
+          |                     THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase_value
+          |FROM events
+          |GROUP BY user_id
+          |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val pivoted = Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("purchase", "view", "error"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("val"))
+        pivoted.select(
+          col("user_id"),
+          coalesce(col("purchase_n"), lit(0L)).as("purchase_n"),
+          coalesce(col("view_n"), lit(0L)).as("view_n"),
+          coalesce(col("error_n"), lit(0L)).as("error_n"),
+          d(col("purchase_val")).as("purchase_value"))
+          .orderBy("user_id")
+      }),
+
+    Q(
       "a7_schema_maxlen",
       """A7: schema-inference max-string-length scan
         |(schema_manager.py:208) per group: the VARCHAR(n) sizing pass.""".stripMargin,

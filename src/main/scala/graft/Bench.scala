@@ -28,7 +28,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // sf as a NUMBER parsed from the dir name (sf0.1 -> 0.1): a JSON
+    // consumer expecting {"sf": N} must not get a path string.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    // Stop Spark BEFORE printing so shutdown logging cannot interleave
+    // with (or follow) the result line; the JSON is the final stdout line.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -18,6 +18,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.functions.Quantities.normalizeQty]] (abs/floor/mod/lpad/concat/
   * 2x regexp_replace), which allocates five intermediate strings per row.
   *
+  * Known divergences from the reference (both deliberate — we format the
+  * EXACT decimal, the reference goes through a Python float):
+  *  - the reference's fallback path (utility.py:767) formats via a float
+  *    round-trip `f"{float(x):.9f}"`: the value is first snapped to the
+  *    nearest IEEE double, then printf rounds HALF_EVEN. For inputs that
+  *    are exact 9-dp halfway points (e.g. 0.0000000005 → reference
+  *    "0.000000001" or "0" depending on the double neighbor, ours always
+  *    rounds half UP) and for quantities with more than ~15 significant
+  *    digits (doubles can't hold them; we keep all digits the decimal
+  *    carries), the rendered key differs. Inside the reference's own
+  *    normal path (Decimal.quantize HALF_UP) we match exactly; the float
+  *    path only triggers where the reference ALSO loses precision, so we
+  *    treat the exact-decimal answer as the intended semantics rather
+  *    than reproducing the double snap.
+  *  - Python renders Decimal("-0") as "-0"; Java BigDecimal has no
+  *    negative zero, so we emit "0".
+  *
   * Input: any Decimal (casts upstream); output: UTF8String. Null-safe.
   */
 case class NormalizeQtyExpression(child: Expression) extends UnaryExpression {

@@ -41,30 +41,55 @@ object AggWindowQueries {
 
     Q(
       "a5_onhand_clamped",
-      """A5/K7: inventory on-hand mutation as a batch aggregate
-        |(main.py:1770-1789): USAGE decrements, everything else increments,
-        |final on-hand clamped at zero — `greatest(0, sum(signed))` per
-        |product. 'purchase' plays USAGE.""".stripMargin,
+      """A5/K7: inventory on-hand mutation with the reference's PER-EVENT
+        |clamp (main.py:1775-1777): each USAGE decrements, everything else
+        |increments, and the balance clamps at zero after EVERY adjustment,
+        |not once on the net sum — so "use 100 on empty stock, then receive
+        |50" ends at 50, matching the streaming twin
+        |`StatefulOnHand.runningOnHand`. The sequential fold
+        |`s_i = max(0, s_{i-1} + x_i)` is computed distributively via the
+        |identity `s_n = total - min(0, min_k prefix_k)` over the running
+        |prefix sums in (ts, event_id) order — one partitioned window (no
+        |global sort) + one hash aggregate. 'purchase' plays USAGE.""".stripMargin,
       Some(
-        """SELECT user_id AS product_key,
-          |       CAST(GREATEST(CAST(0 AS DECIMAL(18,4)),
-          |                     SUM(CASE WHEN event_type = 'purchase'
-          |                              THEN -CAST(value AS DECIMAL(18,4))
-          |                              ELSE CAST(value AS DECIMAL(18,4)) END)) AS DOUBLE) AS on_hand,
+        """WITH sgn AS (
+          |  SELECT user_id, ts, event_id,
+          |         CASE WHEN event_type = 'purchase'
+          |              THEN -CAST(value AS DECIMAL(18,4))
+          |              ELSE CAST(value AS DECIMAL(18,4)) END AS signed
+          |  FROM events),
+          |run AS (
+          |  SELECT user_id, signed,
+          |         SUM(signed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+          |  FROM sgn)
+          |SELECT user_id AS product_key,
+          |       -- no LEAST: DuckDB 1.0 LEAST(decimal, decimal) returns DOUBLE,
+          |       -- losing exactness; CASE keeps the arithmetic in decimal.
+          |       CAST(CASE WHEN MIN(running) < 0
+          |                 THEN CAST(SUM(signed) AS DECIMAL(28,4))
+          |                      - CAST(MIN(running) AS DECIMAL(28,4))
+          |                 ELSE CAST(SUM(signed) AS DECIMAL(28,4)) END
+          |            AS DOUBLE) AS on_hand,
           |       COUNT(*) AS n_adjustments
-          |FROM events
+          |FROM run
           |GROUP BY user_id
           |ORDER BY product_key""".stripMargin),
-      (s, dir) =>
+      (s, dir) => {
+        val signed = when(col("event_type") === "purchase", -dec(col("value")))
+          .otherwise(dec(col("value")))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), signed.as("signed"))
+          .withColumn("running", sum(col("signed")).over(w))
           .groupBy(col("user_id").as("product_key"))
           .agg(
-            d(greatest(
-              lit(0).cast(Num.Money),
-              sum(when(col("event_type") === "purchase", -dec(col("value")))
-                .otherwise(dec(col("value")))))).as("on_hand"),
+            d(sum(col("signed")) -
+              least(lit(0).cast(Num.Money), min(col("running")))).as("on_hand"),
             count(lit(1)).as("n_adjustments"))
-          .orderBy("product_key")),
+          .orderBy("product_key")
+      }),
 
     Q(
       "a3_dynamic_pivot",

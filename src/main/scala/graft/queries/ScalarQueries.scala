@@ -37,8 +37,8 @@ object ScalarQueries {
           |       unit AS jde_roundtrip,
           |       (unit <> 'XX') AS valid,
           |       COUNT(*) AS n,
-          |       SUM(CASE WHEN unit = 'KG' THEN CAST(p_size AS BIGINT) * 1000
-          |                ELSE CAST(p_size AS BIGINT) END) AS grams
+          |       CAST(SUM(CASE WHEN unit = 'KG' THEN CAST(p_size AS BIGINT) * 1000
+          |                     ELSE CAST(p_size AS BIGINT) END) AS BIGINT) AS grams
           |FROM u
           |GROUP BY unit
           |ORDER BY unit""".stripMargin),

@@ -117,8 +117,8 @@ object TextQueries {
       Some(
         """SELECT source,
           |       COUNT(*) AS n_docs,
-          |       SUM(len(string_split(lower(trim(text)), ' '))) AS ws_tokens,
-          |       SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+          |       CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS ws_tokens,
+          |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
           |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
           |         / SUM(length(text)) * 100 AS tokens_per_100_chars
           |FROM documents

@@ -1,5 +1,6 @@
 package graft.state
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,27 +13,74 @@ import org.apache.spark.sql.functions._
   * No Delta in this environment, so MERGE is realized as the classic
   * Parquet pattern: read current state, union incoming, keep the
   * latest row per key (explicit `updated_at` then status order as the
-  * version tiebreak), atomically swap directories. At scale the state
+  * version tiebreak), publish a new immutable version. At scale the state
   * table is key-partitioned and the swap becomes a Delta/Iceberg MERGE —
   * the call sites don't change.
   *
-  * Layout: `{dir}/current/` holds the live table; writes stage to
-  * `{dir}/staging/` then promote. Single-writer semantics (one scheduled
-  * pipeline instance), matching the reference's Airflow task model.
+  * Layout: `{dir}/v-<n>/` are immutable full snapshots; `{dir}/CURRENT`
+  * is a tiny pointer file naming the live version, written LAST. A crash
+  * at any point leaves either the old pointer (new version simply unused)
+  * or no pointer (readers fall back to the highest version directory that
+  * has a `_SUCCESS` marker) — never a lost table. This replaces the
+  * earlier delete-then-rename swap, whose crash window between delete and
+  * rename dropped the whole state and re-dispatched every historical
+  * record; directory rename is also not atomic on object stores, while a
+  * small single-file PUT is. The previous version is retained for one
+  * generation as an extra recovery copy.
+  *
+  * Single-writer semantics (one scheduled pipeline instance), matching
+  * the reference's Airflow task model.
   */
 object DispatchState {
   private val keyCol = "unique_transaction_id"
+  private val VersionDir = """v-(\d+)""".r
 
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val cur = new java.io.File(s"$dir/current")
-    if (cur.exists())
-      spark.read.parquet(cur.getPath)
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Versions that finished writing (parquet job committed `_SUCCESS`). */
+  private def completeVersions(hfs: FileSystem, dir: String): Seq[Long] = {
+    val base = new Path(dir)
+    if (!hfs.exists(base)) Seq.empty
     else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          s"$keyCol STRING, status STRING, detail STRING, updated_at TIMESTAMP"))
+      hfs.listStatus(base).toSeq.collect {
+        case st if st.isDirectory =>
+          st.getPath.getName match {
+            case VersionDir(n) if hfs.exists(new Path(st.getPath, "_SUCCESS")) =>
+              Some(n.toLong)
+            case _ => None
+          }
+      }.flatten.sorted
   }
+
+  /** The live version: the pointer if it names a complete version,
+    * else the highest complete version on disk (pointer lost/corrupt —
+    * the recovery path), else None (fresh state). */
+  private def currentVersion(hfs: FileSystem, dir: String): Option[Long] = {
+    val ptr = new Path(s"$dir/CURRENT")
+    val pointed =
+      if (!hfs.exists(ptr)) None
+      else {
+        val in = hfs.open(ptr)
+        try {
+          val txt = scala.io.Source.fromInputStream(in).mkString.trim
+          txt.toLongOption.filter(n =>
+            hfs.exists(new Path(s"$dir/v-$n/_SUCCESS")))
+        } catch { case _: Exception => None }
+        finally in.close()
+      }
+    pointed.orElse(completeVersions(hfs, dir).lastOption)
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    currentVersion(fs(spark), dir) match {
+      case Some(n) => spark.read.parquet(s"$dir/v-$n")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            s"$keyCol STRING, status STRING, detail STRING, updated_at TIMESTAMP"))
+    }
 
   /** J5: records not yet dispatched (status 'done' absent) — the
     * exactly-once gate. Broadcast the done-set when it is the small side. */
@@ -43,9 +91,13 @@ object DispatchState {
 
   /** K4: upsert new statuses, latest wins per key (updated_at desc, then
     * 'done' beats 'error' for identical timestamps, mirroring the
-    * reference's DO UPDATE SET status='done'). */
+    * reference's DO UPDATE SET status='done'). Publishes `v-<n+1>` then
+    * swings the pointer; old versions beyond the previous one are pruned
+    * only after the pointer is durable. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val hfs = fs(spark)
+    val cur = currentVersion(hfs, dir)
     val merged = read(spark, dir)
       .unionByName(updates.select(col(keyCol), col("status"), col("detail"), col("updated_at")))
       .withColumn("rn", row_number().over(
@@ -53,13 +105,17 @@ object DispatchState {
           .orderBy(col("updated_at").desc, (col("status") === "done").desc)))
       .filter(col("rn") === 1)
       .drop("rn")
-    val staging = s"$dir/staging"
-    val current = s"$dir/current"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val curPath = new org.apache.hadoop.fs.Path(current)
-    if (fs.exists(curPath)) fs.delete(curPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), curPath)
+    val next = cur.getOrElse(0L) + 1
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$dir/v-$next")
+    // Publish: overwrite the tiny pointer file in one create — atomic on
+    // HDFS (create+close) and on object stores (single PUT). Readers that
+    // race see either the old or the new pointer, both complete snapshots.
+    val out = hfs.create(new Path(s"$dir/CURRENT"), true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    // Prune: keep the new version and its predecessor (crash-recovery
+    // copy); anything older is garbage.
+    completeVersions(hfs, dir)
+      .filter(v => v != next && cur.forall(v < _))
+      .foreach(v => hfs.delete(new Path(s"$dir/v-$v"), true))
   }
 }

@@ -18,18 +18,28 @@ import org.apache.spark.sql.Row
   *    `Trigger.AvailableNow` for catch-up batch runs;
   *  - `days_back` re-read window         -> `withWatermark(eventTime, lateness)`:
   *    bounded-lateness state instead of re-reading and re-filtering;
-  *  - `unique_transaction_id` state probe (J5) -> `dropDuplicates` within
-  *    the watermark + cross-run DispatchState anti-join in foreachBatch;
+  *  - `unique_transaction_id` state probe (J5) ->
+  *    `dropDuplicatesWithinWatermark` (watermark-evicted dedup state) +
+  *    cross-run DispatchState anti-join in foreachBatch;
   *  - per-row POST + ON CONFLICT upsert (K5+K4) -> foreachBatch: dispatch
   *    callback per partition + one state merge per micro-batch.
   */
 object MicroBatchPipeline {
   /** Event-time dedup + hourly aggregation over a stream with bounded
-    * lateness — the streaming twin of query `w_tumbling_hourly`. */
+    * lateness — the streaming twin of query `w_tumbling_hourly`.
+    *
+    * `dropDuplicatesWithinWatermark`, not `dropDuplicates`: with plain
+    * dropDuplicates the dedup keys omit the event-time column, so the
+    * watermark never evicts dedup state and it grows without bound on a
+    * long-running stream. The WithinWatermark variant keys state on
+    * `event_id` but expires each entry once the watermark passes its
+    * event time — bounded state, and exact dedup as long as a duplicate
+    * arrives within the lateness bound (the same guarantee the watermark
+    * already imposes on the aggregation). */
   def windowedCounts(events: DataFrame, lateness: String = "1 day"): DataFrame =
     events
       .withWatermark("ts", lateness)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -120,7 +130,12 @@ object MicroBatchPipeline {
       .withColumn("unique_transaction_id",
         Quantities.uniqueTransactionId(col("name"), col("lot"), col("vessel"), col("qty")))
       .withWatermark("ts", lateness)
-      .dropDuplicates("unique_transaction_id")
+      // WithinWatermark: state for each seen key is evicted once the
+      // watermark passes its event time (plain dropDuplicates on a
+      // non-time key never evicts). Cross-run / beyond-watermark dedup
+      // is the DispatchState anti-join below, so the in-stream dedup
+      // only needs to hold keys inside the lateness window.
+      .dropDuplicatesWithinWatermark("unique_transaction_id")
     keyed.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -57,4 +57,39 @@ class DispatchStateSpec extends SparkSpec {
       ("k", "done", "2024-01-01 00:00:00")))
     assert(DispatchState.read(spark, dir).select("status").as[String].collect().toSeq === Seq("done"))
   }
+
+  test("crash recovery: lost pointer falls back to highest complete version") {
+    val dir = Files.createTempDirectory("state").toString
+    DispatchState.upsert(spark, dir, status(("a", "done", "2024-01-01 00:00:00")))
+    DispatchState.upsert(spark, dir, status(("b", "done", "2024-01-02 00:00:00")))
+    // simulate a crash that corrupted/dropped the pointer after publish
+    assert(new java.io.File(s"$dir/CURRENT").delete())
+    val state = DispatchState.read(spark, dir)
+      .select("unique_transaction_id").as[String].collect().sorted.toSeq
+    assert(state === Seq("a", "b"))
+  }
+
+  test("crash recovery: half-written next version (no _SUCCESS) is ignored") {
+    val dir = Files.createTempDirectory("state").toString
+    DispatchState.upsert(spark, dir, status(("a", "done", "2024-01-01 00:00:00")))
+    // simulate a writer that died mid-write: v-2 exists but never committed
+    val half = new java.io.File(s"$dir/v-2")
+    assert(half.mkdirs())
+    Files.write(half.toPath.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(DispatchState.read(spark, dir).count() === 1) // still v-1
+    // and the next upsert recovers by publishing over/past the junk
+    DispatchState.upsert(spark, dir, status(("b", "done", "2024-01-02 00:00:00")))
+    assert(DispatchState.read(spark, dir).count() === 2)
+  }
+
+  test("old versions pruned but the immediate predecessor is retained") {
+    val dir = Files.createTempDirectory("state").toString
+    (1 to 4).foreach { i =>
+      DispatchState.upsert(spark, dir, status((s"k$i", "done", f"2024-01-0$i 00:00:00")))
+    }
+    val versions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-")).map(_.getName).sorted.toSeq
+    assert(versions === Seq("v-3", "v-4"))
+    assert(DispatchState.read(spark, dir).count() === 4)
+  }
 }

@@ -54,6 +54,21 @@ def main():
                 print(f"  FAIL {name}: columns {s_cols} != {d_cols}")
                 n_fail += 1
                 continue
+            # The driver hashes TYPED values, so a DuckDB HUGEINT (int
+            # sums widen to INT128) vs Spark BIGINT is a hash mismatch
+            # even though Python normalizes both to int. Catch it here.
+            type_bad = []
+            for c in d_cols:
+                dt = str(duck_rel.types[duck_rel.columns.index(c)])
+                st = str(spark_rel.types[spark_rel.columns.index(c)])
+                if dt != st and ("HUGEINT" in dt or "HUGEINT" in st):
+                    type_bad.append((c, st, dt))
+            if type_bad:
+                print(f"  FAIL {name}: driver-hash type mismatch "
+                      f"(spark vs oracle): {type_bad} — CAST the oracle "
+                      f"expression to the Spark type")
+                n_fail += 1
+                continue
             s_rows = sorted(
                 (tuple(norm_cell(r[spark_rel.columns.index(c)]) for c in s_cols)
                  for r in spark_rel.fetchall()),

@@ -161,9 +161,15 @@ object AggWindowQueries {
     Q(
       "w2_w4_pagination",
       """W2 + W4: sort-by-name + offset/size pagination
-        |(main.py:1691-1696). Offset implemented as a row_number filter —
-        |the distributed equivalent of the reference's list slice. Page:
-        |offset 10, size 20 over the distinct sorted name domain.""".stripMargin,
+        |(main.py:1691-1696). Page: offset 10, size 20 over the distinct
+        |sorted name domain. Implemented as ORDER BY + OFFSET + LIMIT, which
+        |Spark plans as a per-partition top-(offset+size) with a driver-side
+        |merge — no global sort and no single-partition WindowExec, so the
+        |page cost is O(offset+size) per partition regardless of table
+        |size. The row numbers are attached AFTER the 20-row page is cut
+        |(constant-partition window over 20 rows, cost-free). Deep
+        |pagination (offset >> size) should switch to keyset continuation
+        |(WHERE p_name > last_seen) at the API layer; same plan shape.""".stripMargin,
       Some(
         """WITH names AS (SELECT DISTINCT p_name FROM part),
           |numbered AS (
@@ -172,10 +178,12 @@ object AggWindowQueries {
           |WHERE rn > 10 AND rn <= 30
           |ORDER BY rn""".stripMargin),
       (s, dir) => {
-        val w = Window.orderBy("p_name")
-        Tables.part(s, dir).select("p_name").distinct()
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") > 10 && col("rn") <= 30)
+        val page = Tables.part(s, dir).select("p_name").distinct()
+          .orderBy("p_name").offset(10).limit(20)
+        val w = Window.partitionBy(lit(0)).orderBy("p_name")
+        page
+          .withColumn("rn", row_number().over(w) + 10)
+          .select(col("p_name"), col("rn"))
           .orderBy("rn")
       }),
 

@@ -8,7 +8,8 @@ object Catalog {
   val all: Seq[Q] =
     CoreQueries.qs ++ ReportQueries.qs ++ LookupQueries.qs ++ AggWindowQueries.qs ++
       ScalarQueries.qs ++ TextQueries.qs ++ DedupQueries.qs ++ SimilarityQueries.qs ++
-      NestedQueries.qs ++ MultimodalQueries.qs ++ ScaleQueries.qs ++ AsofRangeQueries.qs
+      NestedQueries.qs ++ MultimodalQueries.qs ++ ScaleQueries.qs ++ AsofRangeQueries.qs ++
+      SamplingQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

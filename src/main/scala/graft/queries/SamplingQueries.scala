@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data sampling / mixing / packing operators over `documents` —
+  * the corpus-assembly surface of an LLM data pipeline (beyond-parity,
+  * BASELINE.json north star). All sampling is DETERMINISTIC: membership is
+  * a pure function of (stable id, seed string) via md5, so a re-run on a
+  * 1000-executor cluster reproduces the same split/sample bit-for-bit —
+  * `rand()` would not survive retries or repartitioning.
+  *
+  * The hex-prefix trick: `substr(md5(id || seed), 1, 2) < threshold`
+  * compares lexicographically in BOTH engines over the same 256-value
+  * alphabet, so a threshold of '80' is exactly 128/256 = 50%, '40' is 25%,
+  * '1a' is 26/256 ≈ 10%. No hex→int conversion needed (DuckDB 1.0 has
+  * none) and no floating-point sampling boundary.
+  */
+object SamplingQueries {
+
+  private def hashBucket(id: org.apache.spark.sql.Column, seed: String) =
+    substring(md5(concat(id.cast("string"), lit(seed))), 1, 2)
+
+  /** Mixture weight per source: srcN keeps 100/50/25/~10 % by N mod 4 —
+    * the up/down-weighting a corpus mix applies per provenance. */
+  private val mixThresholds = Map(0 -> "zz", 1 -> "80", 2 -> "40", 3 -> "1a")
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "s_hash_split",
+      """Deterministic train/val/test split: bucket = md5(doc_id, seed)
+        |prefix, test < '0d' (~5%), val < '27' (~10%), rest train —
+        |stratification audited per (source, split). Pure scan-side
+        |expression + one hash aggregate; membership is reproducible on
+        |any cluster topology, unlike rand()-based splits.""".stripMargin,
+      Some(
+        """SELECT source,
+          |       CASE WHEN substr(md5(doc_id::VARCHAR || ':split-seed-42'), 1, 2) < '0d' THEN 'test'
+          |            WHEN substr(md5(doc_id::VARCHAR || ':split-seed-42'), 1, 2) < '27' THEN 'val'
+          |            ELSE 'train' END AS split,
+          |       COUNT(*) AS n_docs,
+          |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents
+          |GROUP BY 1, 2
+          |ORDER BY source, split""".stripMargin),
+      (s, dir) => {
+        val b = hashBucket(col("doc_id"), ":split-seed-42")
+        Tables.documents(s, dir)
+          .groupBy(
+            col("source"),
+            when(b < "0d", "test").when(b < "27", "val").otherwise("train").as("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("source", "split")
+      }),
+
+    Q(
+      "s_weighted_mix",
+      """Weighted corpus mixture: each source carries a sampling rate from
+        |a small weights dim (100/50/25/~10% by source number mod 4);
+        |membership is the deterministic hash-prefix test against the
+        |rate's hex threshold. The weights table is broadcast — the mix
+        |never shuffles the corpus, only annotates the scan. Reports
+        |kept/total per source so the realized rate is auditable.""".stripMargin,
+      Some(
+        """SELECT source,
+          |       COUNT(*) AS n_total,
+          |       COUNT(CASE WHEN substr(md5(source || ':' || doc_id::VARCHAR || ':mix-seed-7'), 1, 2)
+          |                       < (CASE CAST(regexp_extract(source, '[0-9]+') AS INT) % 4
+          |                          WHEN 0 THEN 'zz' WHEN 1 THEN '80'
+          |                          WHEN 2 THEN '40' ELSE '1a' END)
+          |                  THEN 1 END) AS n_kept,
+          |       CAST(COUNT(CASE WHEN substr(md5(source || ':' || doc_id::VARCHAR || ':mix-seed-7'), 1, 2)
+          |                       < (CASE CAST(regexp_extract(source, '[0-9]+') AS INT) % 4
+          |                          WHEN 0 THEN 'zz' WHEN 1 THEN '80'
+          |                          WHEN 2 THEN '40' ELSE '1a' END)
+          |                  THEN 1 END) AS DOUBLE) / COUNT(*) AS realized_rate
+          |FROM documents
+          |GROUP BY source
+          |ORDER BY source""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val weights = broadcast(
+          (0 to 19).map(n => (s"src$n", mixThresholds(n % 4))).toDF("source", "thr"))
+        val b = substring(
+          md5(concat(col("source"), lit(":"), col("doc_id").cast("string"), lit(":mix-seed-7"))),
+          1, 2)
+        Tables.documents(s, dir)
+          .join(weights, Seq("source"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when(b < col("thr"), true)).as("n_kept"),
+            (count(when(b < col("thr"), true)).cast("double") / count(lit(1)))
+              .as("realized_rate"))
+          .orderBy("source")
+      }),
+
+    Q(
+      "s_pack_sequences",
+      """Sequence packing (concat-and-chunk): documents are laid out in
+        |(source, doc_id) order, token prefix sums assign each document a
+        |context-window bin of 256 tokens — the packing step that turns a
+        |cleaned corpus into fixed-length training sequences. The running
+        |sum is a window PARTITIONED BY source (each source packs
+        |independently), so the plan is one shuffle on source + linear
+        |window scan — no global sort at any scale; at 100 TB sources
+        |shard further by hash-range without changing bin identity.""".stripMargin,
+      Some(
+        """WITH toks AS (
+          |  SELECT source, doc_id,
+          |         len(string_split(lower(trim(text)), ' ')) AS n_tokens
+          |  FROM documents),
+          |packed AS (
+          |  SELECT source, n_tokens,
+          |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           - n_tokens AS prefix_before
+          |  FROM toks)
+          |SELECT source,
+          |       CAST(FLOOR(prefix_before / 256.0) AS BIGINT) AS bin,
+          |       COUNT(*) AS n_docs,
+          |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+          |       CAST(SUM(n_tokens) AS DOUBLE) / 256 AS fill_ratio
+          |FROM packed
+          |GROUP BY source, bin
+          |ORDER BY source, bin""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            size(Text.tokens(col("text"))).as("n_tokens"))
+          .withColumn("prefix_before",
+            sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .groupBy(col("source"),
+            floor(col("prefix_before") / 256.0).as("bin"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"),
+            (sum(col("n_tokens")).cast("double") / 256).as("fill_ratio"))
+          .orderBy("source", "bin")
+      }),
+
+    Q(
+      "s_clean_corpus",
+      """The end-to-end corpus-cleaning pipeline as ONE composed query:
+        |quality gate (>= 15 tokens, type-token ratio >= 0.25) then exact
+        |dedup over the normalized token-set key keeping the lowest doc_id
+        |per group, reported per source as a funnel (raw -> quality ->
+        |kept) with surviving token mass. The dedup winner is a windowed
+        |min over the normalized key — hash-partitioned by content key, so
+        |the whole pipeline is scan + one key shuffle + one source
+        |aggregate at any scale.""".stripMargin,
+      Some(
+        """WITH stats AS (
+          |  SELECT doc_id, source,
+          |         len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+          |         CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS DOUBLE)
+          |           / len(string_split(lower(trim(text)), ' ')) AS ttr,
+          |         md5(array_to_string(list_sort(list_distinct(
+          |           string_split(lower(trim(text)), ' '))), ' ')) AS norm_key
+          |  FROM documents),
+          |flagged AS (
+          |  SELECT source, n_tokens,
+          |         (n_tokens >= 15 AND ttr >= 0.25) AS qual,
+          |         (n_tokens >= 15 AND ttr >= 0.25)
+          |           AND doc_id = MIN(CASE WHEN n_tokens >= 15 AND ttr >= 0.25
+          |                                 THEN doc_id END)
+          |                        OVER (PARTITION BY norm_key) AS winner
+          |  FROM stats)
+          |SELECT source,
+          |       COUNT(*) AS n_raw,
+          |       COUNT(CASE WHEN qual THEN 1 END) AS n_quality,
+          |       COUNT(CASE WHEN winner THEN 1 END) AS n_kept,
+          |       CAST(SUM(CASE WHEN winner THEN n_tokens END) AS BIGINT) AS kept_tokens
+          |FROM flagged
+          |GROUP BY source
+          |ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val toks = Text.tokens(col("text"))
+        val nTokens = size(toks)
+        val ttr = size(array_distinct(toks)).cast("double") / nTokens
+        val stats = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          nTokens.as("n_tokens"),
+          ttr.as("ttr"),
+          Text.normalizedKey(col("text")).as("norm_key"))
+        val qual = col("n_tokens") >= 15 && col("ttr") >= 0.25
+        val keyWin = Window.partitionBy("norm_key")
+        stats
+          .withColumn("qual", qual)
+          .withColumn("winner",
+            col("qual") && col("doc_id") === min(when(col("qual"), col("doc_id"))).over(keyWin))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_raw"),
+            count(when(col("qual"), true)).as("n_quality"),
+            count(when(col("winner"), true)).as("n_kept"),
+            sum(when(col("winner"), col("n_tokens"))).as("kept_tokens"))
+          .orderBy("source")
+      }))
+}

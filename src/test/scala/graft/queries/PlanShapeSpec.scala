@@ -62,4 +62,45 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("w5_topk_latest").toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("pagination plans as offset+limit top-k, not a single-partition window") {
+    val p = plan("w2_w4_pagination")
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+    // the rn window runs AFTER the 20-row page is cut: the only window in
+    // the plan must sit above TakeOrderedAndProject, never below it (a
+    // window below would be the old global-sort row_number shape)
+    val s = p.toString
+    val winAt = s.indexOf("Window")
+    val topkAt = s.indexOf("TakeOrderedAndProject")
+    assert(winAt >= 0 && topkAt > winAt,
+      "rn window must be above (before, in tree print order) the page cut")
+  }
+
+  test("sampling/mixing/split are scan-side: at most one agg shuffle + output sort") {
+    Seq("s_hash_split", "s_weighted_mix").foreach { q =>
+      withClue(q) { assert(shuffles(plan(q)).length <= 2, s"$q grew a shuffle") }
+    }
+    // the mix's weights dim must broadcast, never shuffle the corpus
+    assert(bcasts(plan("s_weighted_mix")).nonEmpty, "weights dim lost its broadcast")
+  }
+
+  test("sequence packing: one shuffle for the source window, one agg, one sort") {
+    assert(shuffles(plan("s_pack_sequences")).length <= 3)
+    // and the packing window is PARTITIONED (no single-partition window)
+    val windows = collectAll(plan("s_pack_sequences")) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "packing window lost its source partitioning")
+  }
+
+  test("clean-corpus pipeline: key shuffle + source agg + sort, bounded") {
+    val p = plan("s_clean_corpus")
+    assert(shuffles(p).length <= 3)
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "dedup-winner window must stay partitioned by content key")
+  }
 }

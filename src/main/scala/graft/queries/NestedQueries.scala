@@ -81,5 +81,65 @@ object NestedQueries {
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), d(sum(dec(col("value")))).as("sum_value"))
           .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
-          .orderBy("window_start", "event_type")))
+          .orderBy("window_start", "event_type")),
+
+    Q(
+      "w_sessionize_gap",
+      """Gap-based sessionization in batch form — the twin of the streaming
+        |`MicroBatchPipeline.sessionize` (flatMapGroupsWithState): events
+        |within 30 minutes of the previous event merge into one session, a
+        |larger gap starts a new one. The classic two-window composition:
+        |lag() marks session starts, a running sum numbers them — both
+        |windows share one hash partitioning on user_id, and the grouping
+        |on (user_id, session_id) is satisfied by that same partitioning
+        |(user_id alone co-locates every session), so the whole query is
+        |ONE shuffle + the output sort at any scale. Gap compare in exact
+        |integer microseconds, matching the streaming millisecond
+        |arithmetic.""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |         CAST(value AS DECIMAL(18,4)) AS v
+          |  FROM events),
+          |flagged AS (
+          |  SELECT user_id, ts, v,
+          |         CASE WHEN LAG(ts) OVER w IS NULL
+          |                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+          |              THEN 1 ELSE 0 END AS new_session,
+          |         event_id
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |sessions AS (
+          |  SELECT user_id, ts, v,
+          |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS session_id
+          |  FROM flagged)
+          |SELECT user_id,
+          |       CAST(session_id AS BIGINT) AS session_id,
+          |       MIN(ts) AS session_start,
+          |       MAX(ts) AS session_end,
+          |       COUNT(*) AS n_events,
+          |       CAST(SUM(v) AS DOUBLE) AS total_value
+          |FROM sessions
+          |GROUP BY user_id, session_id
+          |ORDER BY user_id, session_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), dec(col("value")).as("v"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_session")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            d(sum(col("v"))).as("total_value"))
+          .orderBy("user_id", "session_id")
+      }))
 }

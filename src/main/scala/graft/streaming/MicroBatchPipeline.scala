@@ -118,6 +118,66 @@ object MicroBatchPipeline {
       }
   }
 
+  /** Sessionization with idle expiry: same gap-merge logic as
+    * [[sessionize]], plus `GroupStateTimeout.EventTimeTimeout` so a
+    * session whose user goes quiet is CLOSED once the event-time
+    * watermark passes (last event + gap) — without it, the final session
+    * of every key stays in state forever and is never emitted. The
+    * timeout is driven by the watermark (not wall clock), so replays and
+    * catch-up runs produce identical output — the property the batch twin
+    * `w_sessionize_gap` verifies against the oracle. State per key is one
+    * fixed-size accumulator, evicted on timeout: bounded by the number of
+    * concurrently-active users, not by history. */
+  def sessionizeExpiring(events: org.apache.spark.sql.Dataset[SessionEvent],
+                         gap: scala.concurrent.duration.FiniteDuration,
+                         lateness: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def emit(userId: Long, acc: SessionAcc) = UserSession(userId,
+      new java.sql.Timestamp(acc.startMs), new java.sql.Timestamp(acc.endMs),
+      acc.n, acc.sum)
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed (end + gap): no on-time event can extend
+            // this session any more — close, emit, evict.
+            val acc = state.get
+            state.remove()
+            Iterator.single(emit(userId, acc))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var acc = state.getOption.orNull
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (acc == null) acc = SessionAcc(t, t, 1, e.value)
+              else if (t - acc.endMs <= gap.toMillis)
+                acc = acc.copy(endMs = t, n = acc.n + 1, sum = acc.sum + e.value)
+              else {
+                closed += emit(userId, acc)
+                acc = SessionAcc(t, t, 1, e.value)
+              }
+            }
+            if (acc != null) {
+              state.update(acc)
+              // close when the watermark proves no extension can arrive;
+              // clamp to the watermark so a session already older than
+              // the current watermark times out at the next opportunity
+              // (setTimeoutTimestamp rejects timestamps in the past).
+              state.setTimeoutTimestamp(
+                math.max(acc.endMs + gap.toMillis,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** The dispatch pipeline: derive the idempotency key, drop in-stream
     * duplicates within the watermark, then per micro-batch anti-join the
     * cross-run state, hand pending rows to `dispatch`, and mark them done. */

@@ -94,6 +94,18 @@ class PlanShapeSpec extends SparkSpec {
       "packing window lost its source partitioning")
   }
 
+  test("sessionization: one user-id shuffle serves both windows AND the group-by") {
+    // lag + running-sum windows and the (user_id, session_id) aggregate all
+    // ride the single hash partitioning on user_id; only the output sort
+    // adds a range exchange
+    val p = plan("w_sessionize_gap")
+    assert(shuffles(p).length <= 2, "sessionize grew a shuffle")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("clean-corpus pipeline: key shuffle + source agg + sort, bounded") {
     val p = plan("s_clean_corpus")
     assert(shuffles(p).length <= 3)

@@ -36,4 +36,30 @@ class SessionizeSpec extends SparkSpec {
       assert(spark.table("sessions").count() === 1) // still only the closed one
     } finally q.stop()
   }
+
+  test("event-time timeout closes idle sessions once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // gap 30 min, watermark lateness 10 min
+    val q = MicroBatchPipeline.sessionizeExpiring(input.toDS(), 30.minutes, "10 minutes")
+      .writeStream.format("memory").queryName("exp_sessions").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(1L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // watermark is still behind 10:40 (= 10:10 end + 30 min gap): open
+      assert(spark.table("exp_sessions").count() === 0)
+
+      // another user's later events push the watermark to 11:50 > 10:40
+      input.addData(SessionEvent(2L, ts("2024-01-01 12:00:00"), 9.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, ts("2024-01-01 12:01:00"), 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("exp_sessions").as[UserSession].collect().toSeq
+      assert(out === Seq(UserSession(1L,
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 3.0)))
+    } finally q.stop()
+  }
 }

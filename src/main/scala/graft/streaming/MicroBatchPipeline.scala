@@ -178,6 +178,39 @@ object MicroBatchPipeline {
       }
   }
 
+  /** Stream-stream event-time join: pair each dispatched record with the
+    * confirmation that arrives for its key within `confirmWindow` — the
+    * streaming re-expression of the reference's post-then-poll-status
+    * loop (jde_helper.py posts an II document, later polls its status by
+    * unique_transaction_id). Both sides are watermarked and the join
+    * carries an event-time range, so Spark can bound the join state and
+    * evict rows once the watermark proves no match can still arrive.
+    *
+    * `joinType`:
+    *  - "inner": emit only confirmed pairs as they match;
+    *  - "left_outer": additionally emit each unmatched dispatch with null
+    *    confirmation columns once the watermark passes its window — the
+    *    retry feed (reference: rows left 'pending' after the poll loop).
+    *
+    * Expected columns: dispatches(unique_transaction_id, ts, ...),
+    * confirmations(unique_transaction_id, cts, ...). */
+  def confirmationJoin(
+      dispatches: DataFrame,
+      confirmations: DataFrame,
+      confirmWindow: String = "1 hour",
+      lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val d = dispatches.withWatermark("ts", lateness)
+    val c = confirmations.withWatermark("cts", lateness)
+    d.join(
+      c,
+      d("unique_transaction_id") === c("unique_transaction_id") &&
+        c("cts") >= d("ts") &&
+        c("cts") <= d("ts") + expr(s"INTERVAL $confirmWindow"),
+      joinType)
+      .drop(c("unique_transaction_id"))
+  }
+
   /** The dispatch pipeline: derive the idempotency key, drop in-stream
     * duplicates within the watermark, then per micro-batch anti-join the
     * cross-run state, hand pending rows to `dispatch`, and mark them done. */

@@ -36,4 +36,60 @@ object LakeWriter {
     spark.read.parquet(s"$root/$recordType")
       .filter(make_date(col("year"), col("month"), col("day"))
         .between(lit(startDate).cast("date"), lit(endDate).cast("date")))
+
+  /** Compact one day partition's accumulated small files into
+    * ~`targetBytes`-sized files. Micro-batch appends (5-minute cadence ×
+    * 32 tasks) leave thousands of tiny files per day; at 100 TB that
+    * kills scan planning (file listing) and read throughput (row-group
+    * per file), so compaction is part of the sink's contract, run as a
+    * nightly maintenance job per closed partition.
+    *
+    * Swap protocol (single maintenance writer, same model as
+    * [[graft.state.DispatchState]]): write compacted files to a `.tmp`
+    * sibling, rename the live dir aside to `.old`, promote `.tmp`, then
+    * drop `.old`. A crash leaves either the live dir or a restorable
+    * `.old` (see [[restoreIfCrashed]]) — never a lost partition. On a
+    * table format (Delta/Iceberg) this whole method becomes `OPTIMIZE`;
+    * call sites don't change.
+    *
+    * @return number of files after compaction */
+  def compact(spark: SparkSession, root: String, recordType: String,
+              year: Int, month: Int, day: Int,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$root/$recordType/year=$year/month=$month/day=$day")
+    require(fs.exists(dir), s"no partition at $dir")
+    val bytes = fs.getContentSummary(dir).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = dir.suffix(".tmp")
+    val old = dir.suffix(".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a dead run
+    // leaf-dir read: partition values live in the path, not the files,
+    // so the rewrite round-trips the data columns byte-identically
+    spark.read.parquet(dir.toString)
+      .repartition(nFiles)
+      .write.parquet(tmp.toString)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"could not stage $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back: restore the original partition
+      throw new java.io.IOException(s"could not promote compacted $tmp")
+    }
+    fs.delete(old, true)
+    fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Crash recovery for [[compact]]: if a compaction died between the two
+    * renames, the live dir is missing and `.old` holds the data — put it
+    * back. Call on maintenance-job startup. @return true if restored. */
+  def restoreIfCrashed(spark: SparkSession, root: String, recordType: String,
+                       year: Int, month: Int, day: Int): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$root/$recordType/year=$year/month=$month/day=$day")
+    val old = dir.suffix(".old")
+    if (!fs.exists(dir) && fs.exists(old)) { fs.rename(old, dir); true }
+    else false
+  }
 }

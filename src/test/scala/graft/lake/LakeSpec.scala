@@ -30,6 +30,36 @@ class LakeSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"))
   }
 
+  test("compaction merges small files, preserves data, and recovers from crashes") {
+    val root = Files.createTempDirectory("lake").toString
+    val day = Seq.tabulate(40)(i => (i.toLong, "2024-03-05 10:00:00", i * 1.5))
+      .toDF("id", "ts", "qty")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // 4 micro-batch appends -> many small files in one day partition
+    (0 until 4).foreach(k => LakeWriter.append(day.filter(col("id") % 4 === k), root, "d", "ts"))
+    val dir = new java.io.File(s"$root/d/year=2024/month=3/day=5")
+    val before = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 4)
+
+    val after = LakeWriter.compact(spark, root, "d", 2024, 3, 5)
+    assert(after < before && after >= 1)
+    assert(dir.listFiles().count(_.getName.endsWith(".parquet")) === after)
+    // no .tmp/.old residue, data intact
+    assert(!new java.io.File(s"$root/d/year=2024/month=3/day=5.tmp").exists())
+    assert(!new java.io.File(s"$root/d/year=2024/month=3/day=5.old").exists())
+    val read = LakeWriter.readRange(spark, root, "d", "2024-03-05", "2024-03-05")
+    assert(read.count() === 40)
+    assert(read.select("id").as[Long].collect().toSet === (0L until 40L).toSet)
+
+    // simulate the crash window: live dir gone, .old holds the partition
+    val old = new java.io.File(s"$root/d/year=2024/month=3/day=5.old")
+    assert(dir.renameTo(old))
+    assert(LakeWriter.restoreIfCrashed(spark, root, "d", 2024, 3, 5))
+    assert(LakeWriter.readRange(spark, root, "d", "2024-03-05", "2024-03-05").count() === 40)
+    // and a healthy partition is left alone
+    assert(!LakeWriter.restoreIfCrashed(spark, root, "d", 2024, 3, 5))
+  }
+
   test("K8: schema registry versions, change detection, latest, DDL") {
     val root = Files.createTempDirectory("schemas").toString
     val v1 = SchemaRegistry.register(Seq((1, "a")).toDF("id", "name"), root, "t")

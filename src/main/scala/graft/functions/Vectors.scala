@@ -39,6 +39,18 @@ object Vectors {
   def cosineBuiltins(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** Bounded top-k aggregate (score DESC, id ASC on ties): keeps the k
+    * best (score, id) pairs per group with map-side partial combine —
+    * the shuffle carries answers, not candidates, unlike the
+    * row_number-window form. See [[graft.plans.TopKByScoreAggregate]]. */
+  def topKByScore(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.plans.TopKByScoreAggregate(
+        GraftColumnBridge.expression(score),
+        GraftColumnBridge.expression(id), k).toAggregateExpression())
+  }
+
   /** Coordinate-hyperplane LSH bucket: the sign pattern of the embedding at
     * the given (1-based) dimensions, as a bit string. Deterministic,
     * engine-independent, and computable at the scan — the scale path for

@@ -66,6 +66,51 @@ object SimilarityQueries {
       }),
 
     Q(
+      "ann_topk_agg",
+      """Same answer as ann_bruteforce_topk, computed with the native
+        |bounded top-k AGGREGATE instead of a row_number window: each map
+        |task keeps at most k candidates per probe in a primitive-array
+        |heap, partial buffers merge, and the shuffle carries k x |probes|
+        |rows instead of |probes| x |candidates| — the form that survives
+        |millions of candidates per probe. Oracle is the identical window
+        |SQL, so the hash compare doubles as the aggregate's
+        |bit-equivalence proof.""".stripMargin,
+      Some(
+        s"""WITH probes AS (
+           |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+           |  FROM embeddings WHERE vec_id < 10),
+           |cands AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |scored AS (
+           |  SELECT probe_id, cand_id, ${duckCos("pv", "cv")} AS cos
+           |  FROM probes, cands
+           |  WHERE cand_id <> probe_id)
+           |SELECT probe_id, cand_id, cos, rn FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                               ORDER BY cos DESC, cand_id) AS rn
+           |  FROM scored)
+           |WHERE rn <= 5
+           |ORDER BY probe_id, rn""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        cands.crossJoin(broadcast(probes))
+          .filter(col("cand_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("cand_id"),
+            Vectors.cosine(col("pv"), col("cv")).as("cos"))
+          .groupBy("probe_id")
+          .agg(Vectors.topKByScore(col("cos"), col("cand_id"), 5).as("top"))
+          .select(col("probe_id"), posexplode(col("top")))
+          .select(
+            col("probe_id"),
+            col("col.id").as("cand_id"),
+            col("col.score").as("cos"),
+            (col("pos") + 1).cast("int").as("rn"))
+          .orderBy("probe_id", "rn")
+      }),
+
+    Q(
       "ann_lsh_bucketed",
       """LSH-bucketed ANN: coordinate-hyperplane sign bucket over 8 fixed
         |dimensions (256 buckets), candidates restricted to the probe's

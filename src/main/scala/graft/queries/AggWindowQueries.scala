@@ -188,6 +188,102 @@ object AggWindowQueries {
       }),
 
     Q(
+      "w_sliding_hour",
+      """Sliding event-time window (RANGE frame): per user, the running
+        |1-hour trailing sum/count/average at every purchase event — the
+        |moving-aggregate shape (rate limiting, trailing spend, rolling
+        |QC stats). RANGE BETWEEN on integer epoch seconds, not ROWS: the
+        |frame is defined by TIME, so ties in the timestamp enter the
+        |frame together and the result is order-independent. One hash
+        |partition on user_id, linear frame scan — no global sort.""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id,
+          |         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS sec,
+          |         CAST(value AS DECIMAL(18,4)) AS v
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT user_id, event_id, sec,
+          |       CAST(SUM(v) OVER w AS DOUBLE) AS hour_sum,
+          |       COUNT(*) OVER w AS n_hour,
+          |       CAST(SUM(v) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS hour_avg
+          |FROM e
+          |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+          |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, sec, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec")
+          .rangeBetween(-3600, Window.currentRow)
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            (unix_micros(col("ts")) / 1000000L).cast("long").as("sec"),
+            dec(col("value")).as("v"))
+          .select(col("user_id"), col("event_id"), col("sec"),
+            d(sum(col("v")).over(w)).as("hour_sum"),
+            count(lit(1)).over(w).as("n_hour"),
+            (d(sum(col("v")).over(w)) / count(lit(1)).over(w)).as("hour_avg"))
+          .orderBy("user_id", "sec", "event_id")
+      }),
+
+    Q(
+      "a_rollup_totals",
+      """Multi-level totals via ROLLUP (the report-page subtotal shape):
+        |(source, lang) detail, per-source subtotal, grand total in ONE
+        |aggregate pass — Spark expands grouping sets inside a single
+        |hash aggregate rather than unioning three scans. The grouping
+        |level is emitted explicitly (grouping() bits) and NULL group
+        |keys are COALESCE'd to a sentinel so both engines order
+        |identically.""".stripMargin,
+      Some(
+        """SELECT (2 * GROUPING(source) + GROUPING(lang)) AS lvl,
+          |       COALESCE(source, '<all>') AS source_k,
+          |       COALESCE(lang, '<all>') AS lang_k,
+          |       COUNT(*) AS n_docs,
+          |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents
+          |GROUP BY ROLLUP(source, lang)
+          |ORDER BY lvl, source_k, lang_k""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .rollup("source", "lang")
+          .agg(
+            // grouping() must be computed IN the aggregate (it reads the
+            // grouping-set id, which doesn't exist after the agg)
+            (grouping(col("source")) * 2 + grouping(col("lang"))).cast("int").as("lvl"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .select(
+            col("lvl"),
+            coalesce(col("source"), lit("<all>")).as("source_k"),
+            coalesce(col("lang"), lit("<all>")).as("lang_k"),
+            col("n_docs"), col("total_chars"))
+          .orderBy("lvl", "source_k", "lang_k")),
+
+    Q(
+      "a_percentiles_exact",
+      """Exact percentiles per source (p50/p90 of document length): both
+        |engines define continuous quantiles as the same linear
+        |interpolation over the sorted values, so the compare is exact.
+        |Spark's percentile is a sort-based aggregate with partial
+        |combine; at 100 TB the same report moves to approx_percentile
+        |(t-digest) with a pinned error bound — the exact form stays as
+        |the audit path.""".stripMargin,
+      Some(
+        """SELECT source,
+          |       quantile_cont(n_chars, 0.5) AS p50,
+          |       quantile_cont(n_chars, 0.9) AS p90
+          |FROM documents
+          |GROUP BY source
+          |ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(
+            expr("percentile(n_chars, 0.5)").as("p50"),
+            expr("percentile(n_chars, 0.9)").as("p90"))
+          .orderBy("source")),
+
+    Q(
       "w5_topk_latest",
       """W5/W6: latest-N inspection (dag_bakery_ops_to_jde.py:24-30,
         |s3_helper.py:218): ORDER BY ts DESC LIMIT 10. Spark plans this as

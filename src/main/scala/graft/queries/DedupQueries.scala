@@ -166,6 +166,104 @@ object DedupQueries {
       }),
 
     Q(
+      "dd_conn_components",
+      """Dedup CLUSTER formation — connected components over the union of
+        |two similarity edge sets (same normalized token-set key, same
+        |winnowing fingerprint): the transitive-closure step between pair
+        |generation and canonical-document selection that a real dedup
+        |pipeline needs (A~B by content key, B~C by fingerprint => one
+        |cluster). Iterative min-label propagation to a fixpoint: each
+        |round is a shuffle-on-key join + min-aggregate, labels only
+        |decrease, convergence in <= graph-diameter rounds (checked,
+        |bounded). Each edge block is key-grouped, so the pair fan-out is
+        |bounded by duplicate-group sizes, never all-pairs. At 100 TB the
+        |same loop runs with large-star/small-star optimization and
+        |per-round checkpointing; the oracle is the same closure as a
+        |recursive CTE.""".stripMargin,
+      Some(
+        """WITH keyed AS (
+          |  SELECT doc_id,
+          |         md5(array_to_string(list_sort(list_distinct(
+          |           string_split(lower(trim(text)), ' '))), ' ')) AS norm_key,
+          |         list_min(list_transform(
+          |           list_transform(range(len(string_split(lower(trim(text)), ' ')) - 4),
+          |             i -> concat_ws(' ',
+          |                    string_split(lower(trim(text)), ' ')[i+1],
+          |                    string_split(lower(trim(text)), ' ')[i+2],
+          |                    string_split(lower(trim(text)), ' ')[i+3],
+          |                    string_split(lower(trim(text)), ' ')[i+4],
+          |                    string_split(lower(trim(text)), ' ')[i+5])),
+          |           s -> md5(s))) AS winnow_fp
+          |  FROM documents),
+          |e1 AS (
+          |  SELECT a.doc_id AS src, b.doc_id AS dst FROM keyed a JOIN keyed b
+          |  ON a.norm_key = b.norm_key AND a.doc_id <> b.doc_id),
+          |e2 AS (
+          |  SELECT a.doc_id AS src, b.doc_id AS dst FROM keyed a JOIN keyed b
+          |  ON a.winnow_fp = b.winnow_fp AND a.doc_id <> b.doc_id),
+          |edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
+          |reach AS (
+          |  WITH RECURSIVE r(a, b) AS (
+          |    SELECT doc_id, doc_id FROM keyed
+          |    UNION
+          |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+          |  ) SELECT * FROM r)
+          |SELECT a AS doc_id, MIN(b) AS component FROM reach
+          |GROUP BY a
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            Text.normalizedKey(col("text")).as("norm_key"),
+            Text.winnowOfTokens(col("toks"), 5).as("winnow_fp"))
+          .persist()
+        def pairsOn(key: String) = {
+          val a = keyed.select(col("doc_id").as("src"), col(key).as("k"))
+          val b = keyed.select(col("doc_id").as("dst"), col(key).as("k"))
+          a.join(b, "k").filter(col("src") =!= col("dst")).select("src", "dst")
+        }
+        val edges = pairsOn("norm_key").union(pairsOn("winnow_fp"))
+          .distinct().persist()
+        var labels = keyed.select(col("doc_id"), col("doc_id").as("component")).persist()
+        // labels form a monotonically decreasing vector, so the label SUM
+        // strictly decreases until the fixpoint — a one-row agg per round
+        // replaces a join-based change count. (At planet scale swap for
+        // count(component != old) to dodge sum overflow.)
+        var prevSum = labels.agg(sum("component")).first().getLong(0)
+        var changed = true
+        var rounds = 0
+        while (changed && rounds < 20) {
+          val viaEdges = edges
+            .join(labels, edges("dst") === labels("doc_id"))
+            .select(edges("src").as("doc_id"), col("component"))
+          val propagated = labels.unionByName(viaEdges)
+            .groupBy("doc_id").agg(min(col("component")).as("component"))
+          // pointer halving: jump to the label OF my label (components are
+          // themselves doc ids, and labels only decrease, so the lookup
+          // always improves-or-holds) — collapses chains in O(log n)
+          // rounds instead of O(diameter).
+          val parents = propagated
+            .select(col("doc_id").as("pid"), col("component").as("pcomp"))
+          val next = propagated
+            .join(parents, propagated("component") === parents("pid"))
+            .select(col("doc_id"), col("pcomp").as("component"))
+            .persist()
+          val newSum = next.agg(sum("component")).first().getLong(0)
+          changed = newSum < prevSum
+          prevSum = newSum
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        System.err.println(s"[dd_conn_components] converged in $rounds rounds")
+        edges.unpersist()
+        keyed.unpersist()
+        labels.orderBy("doc_id")
+      }),
+
+    Q(
       "dd_simhash",
       """SimHash: 32-bit fingerprint — bit j is the sign of the sum over
         |distinct tokens of ±1 by the top bit of md5 nibble j (hex char >=

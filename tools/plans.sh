@@ -19,6 +19,10 @@ for block in txt.split('================ ')[1:]:
             break
         if l.strip():
             tree.append(l)
+    # iterative queries (e.g. connected components) print their cached
+    # round lineage as an enormous tree — cap it, the head shows the shape
+    if len(tree) > 60:
+        tree = tree[:60] + [f"... [{len(tree) - 60} more lines: cached iteration lineage elided]"]
     trees.append((name, tree))
 
 head = open('PLANS.md').read()

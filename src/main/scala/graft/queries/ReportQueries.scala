@@ -91,5 +91,32 @@ object ReportQueries {
             col("l_returnflag").as("first_flag"),
             col("l_shipdate").cast("date").as("first_ship"))
           .orderBy("l_partkey")
+      }),
+
+    Q(
+      "a_unpivot_roundtrip",
+      """Wide→long (UNPIVOT/melt), proved as the inverse of the pivot:
+        |counts pivot to one column per language, unpivot melts them back
+        |to (source, lang, n_docs), and absent combinations (null cells)
+        |drop out — so the oracle is simply the direct GROUP BY the
+        |round-trip must reproduce. Unpivot is a row-local generator
+        |(no shuffle beyond the pivot's own aggregate).""".stripMargin,
+      Some(
+        """SELECT source, lang, COUNT(*) AS n_docs
+          |FROM documents
+          |GROUP BY source, lang
+          |ORDER BY source, lang""".stripMargin),
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val wide = Tables.documents(s, dir)
+          .groupBy("source")
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+        wide.unpivot(
+          Array(col("source")),
+          langs.map(col).toArray,
+          "lang", "n_docs")
+          .filter(col("n_docs").isNotNull)
+          .orderBy("source", "lang")
       }))
 }

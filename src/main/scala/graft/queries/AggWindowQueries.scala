@@ -260,6 +260,36 @@ object AggWindowQueries {
           .orderBy("lvl", "source_k", "lang_k")),
 
     Q(
+      "a_profile_columns",
+      """One-pass table profiling (the data-quality survey a lake runs on
+        |every new feed): per-column null counts, distinct counts, and
+        |numeric min/max/sum, all in a single hash aggregate over one scan
+        |— the generalization of the reference's max-string-length schema
+        |probe (A7). Exact distincts here; at 100 TB the same query swaps
+        |in approx_count_distinct (HLL) per column.""".stripMargin,
+      Some(
+        """SELECT COUNT(*) AS n_rows,
+          |       COUNT(*) - COUNT(text) AS text_nulls,
+          |       COUNT(DISTINCT lang) AS lang_distinct,
+          |       COUNT(DISTINCT source) AS source_distinct,
+          |       MIN(n_chars) AS chars_min,
+          |       MAX(n_chars) AS chars_max,
+          |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+          |       MAX(length(text)) AS text_maxlen
+          |FROM documents""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("text"))).as("text_nulls"),
+            countDistinct(col("lang")).as("lang_distinct"),
+            countDistinct(col("source")).as("source_distinct"),
+            min(col("n_chars")).as("chars_min"),
+            max(col("n_chars")).as("chars_max"),
+            sum(col("n_chars")).as("chars_sum"),
+            max(length(col("text"))).as("text_maxlen"))),
+
+    Q(
       "a_percentiles_exact",
       """Exact percentiles per source (p50/p90 of document length): both
         |engines define continuous quantiles as the same linear

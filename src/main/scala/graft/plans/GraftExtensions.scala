@@ -21,5 +21,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarityExpression].getName, "graft_cosine"),
       (children: Seq[Expression]) =>
         CosineSimilarityExpression(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCountExpression].getName,
+        "graft_sorted_intersect_count"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCountExpression(children.head, children(1))))
+    // aggregate: graft_topk(score, id, k) with k a literal int
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScoreAggregate].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be a literal int, got $other")
+        }
+        TopKByScoreAggregate(children.head, children(1), k).toAggregateExpression()
+      }))
   }
 }

@@ -216,7 +216,10 @@ object AggWindowQueries {
         Tables.events(s, dir)
           .filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"),
-            (unix_micros(col("ts")) / 1000000L).cast("long").as("sec"),
+            // `div`, not `/`: Spark's / is DOUBLE division, and a quotient
+            // whose fraction rounds up to 1.0 in double would truncate to
+            // the NEXT second, diverging from the oracle's integer //
+            expr("unix_micros(ts) div 1000000").as("sec"),
             dec(col("value")).as("v"))
           .select(col("user_id"), col("event_id"), col("sec"),
             d(sum(col("v")).over(w)).as("hour_sum"),

@@ -67,6 +67,51 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(media_id: Long, kind: String, blob: Array[Byte],
+                          width: Int, target_width: Int)
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB RESIZE — the image/audio downsample stage. The stub keeps every
+    * ceil(width/target)-th byte (a real resampler would interpolate
+    * pixels/samples); the plumbing is the production shape: typed in/out
+    * schemas, explicit batch iteration (`grouped`) exactly as an Arrow
+    * batch would arrive, partition-local, no shuffle. */
+  def resize(media: Dataset[MediaRow], targetWidth: Int,
+             batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val stride = math.max(1, math.ceil(
+            math.max(r.width, 1).toDouble / targetWidth).toInt)
+          val out = r.blob.indices.collect {
+            case i if i % stride == 0 => r.blob(i)
+          }.toArray
+          ResizedMedia(r.media_id, r.kind, out, r.width, targetWidth)
+        }
+      }
+    }
+  }
+
+  /** STUB FRAME SAMPLER — the video stage: emit up to `n` strided frames
+    * per asset as one row each (media_id, frame_idx, bytes), the long
+    * format downstream vision encoders consume. flatMap = generator
+    * shape; row count multiplies by the sample rate, so run AFTER
+    * filtering, never before. */
+  def sampleFrames(media: Dataset[MediaRow], frameLen: Int, n: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val available = math.max(r.blob.length / math.max(frameLen, 1), 0)
+      val take = math.min(n, available)
+      val stride = if (take == 0) 1 else math.max(1, available / take)
+      (0 until take).map { k =>
+        val start = k * stride * frameLen
+        MediaFrame(r.media_id, k,
+          r.blob.slice(start, math.min(start + frameLen, r.blob.length)))
+      }
+    }
+  }
+
   /** Expression-side media stats (no decode needed): byte length, content
     * digest, strided frame-sample digests — all computable at the scan. */
   def mediaStats(media: DataFrame, frameLen: Int, nFrames: Int): DataFrame = {

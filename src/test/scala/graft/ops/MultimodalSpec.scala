@@ -27,6 +27,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: strided downsample, deterministic, bounded output size") {
+    import Multimodal.MediaRow
+    val media = Multimodal.synthesize(Tables.documents(spark, sfSmoke)).as[MediaRow]
+    val resized = Multimodal.resize(media, targetWidth = 32).collect()
+    assert(resized.nonEmpty)
+    val origLens = Multimodal.synthesize(Tables.documents(spark, sfSmoke)).as[MediaRow]
+      .collect().map(r => r.media_id -> (r.blob.length, r.width)).toMap
+    resized.foreach { r =>
+      assert(r.target_width === 32)
+      val (origLen, width) = origLens(r.media_id)
+      val stride = math.max(1, math.ceil(math.max(width, 1) / 32.0).toInt)
+      // strided selection keeps ceil(origLen / stride) bytes exactly
+      assert(r.blob.length === (origLen + stride - 1) / stride)
+    }
+    // deterministic across runs
+    val again = Multimodal.resize(media, targetWidth = 32).collect()
+    assert(resized.map(r => (r.media_id, r.blob.toSeq)).toMap ===
+      again.map(r => (r.media_id, r.blob.toSeq)).toMap)
+  }
+
+  test("sampleFrames: long format, strided, capped at n, frame bytes match slices") {
+    import Multimodal.MediaRow
+    val media = Multimodal.synthesize(Tables.documents(spark, sfSmoke)).as[MediaRow]
+    val frames = Multimodal.sampleFrames(media, frameLen = 16, n = 4)
+    val byAsset = frames.collect().groupBy(_.media_id)
+    assert(byAsset.nonEmpty)
+    byAsset.foreach { case (_, fs) =>
+      assert(fs.length <= 4)
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
+      fs.foreach(f => assert(f.frame.length <= 16 && f.frame.nonEmpty))
+    }
+    // spot-check frame 0 equals the head slice of the blob
+    val blobs = media.collect().map(r => r.media_id -> r.blob).toMap
+    byAsset.foreach { case (id, fs) =>
+      val f0 = fs.find(_.frame_idx == 0).get
+      assert(f0.frame.toSeq === blobs(id).slice(0, 16).toSeq)
+    }
+  }
+
   test("mediaStats frame digests match direct byte-slice hashing") {
     val media = Multimodal.synthesize(Tables.documents(spark, sfSmoke))
     val stats = Multimodal.mediaStats(media, frameLen = 16, nFrames = 3)

@@ -46,4 +46,14 @@ class RestCardexSourceSpec extends SparkSpec {
     assert(src.rdd.getNumPartitions === 6)
     assert(src.count() === 6 * 300)
   }
+
+  test("limit pushes to the reader (the reference's size= cap) and stays correct") {
+    val limited = src.limit(5)
+    val desc = scanOf(limited).description()
+    assert(desc.contains("limit=Some(5)"), desc)
+    // pushLimit returns false (partial push): Spark still applies its own
+    // limit, so the result is exact even though every partition may
+    // produce up to 5 rows
+    assert(limited.count() === 5)
+  }
 }

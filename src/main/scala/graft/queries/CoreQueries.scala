@@ -49,8 +49,13 @@ object CoreQueries {
         """SELECT l_returnflag, l_linestatus,
           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
-          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-          |                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+          |       -- ROUND to 4 dp BEFORE the double cast: the product sum is
+          |       -- DECIMAL(38,8) and at sf>=0.1 its unscaled value exceeds
+          |       -- double's 53-bit exact range, where DuckDB's int128->double
+          |       -- conversion rounds differently from Spark's BigDecimal by
+          |       -- 1 ulp; at scale 4 the value is exactly representable.
+          |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+          |                * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
           |       COUNT(*) AS n
           |FROM lineitem
           |GROUP BY l_returnflag, l_linestatus
@@ -61,7 +66,7 @@ object CoreQueries {
           .agg(
             d(sum(dec(col("l_quantity")))).as("sum_qty"),
             d(sum(dec(col("l_extendedprice")))).as("sum_base"),
-            d(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))).as("revenue"),
+            d(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 4)).as("revenue"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag", "l_linestatus")),
 

@@ -164,28 +164,17 @@ object AggWindowQueries {
         |(main.py:1691-1696). Page: offset 10, size 20 over the distinct
         |sorted name domain. Implemented as ORDER BY + OFFSET + LIMIT, which
         |Spark plans as a per-partition top-(offset+size) with a driver-side
-        |merge — no global sort and no single-partition WindowExec, so the
-        |page cost is O(offset+size) per partition regardless of table
-        |size. The row numbers are attached AFTER the 20-row page is cut
-        |(constant-partition window over 20 rows, cost-free). Deep
+        |merge — no global sort and NO window at all, so the page cost is
+        |O(offset+size) per partition regardless of table size. Deep
         |pagination (offset >> size) should switch to keyset continuation
         |(WHERE p_name > last_seen) at the API layer; same plan shape.""".stripMargin,
       Some(
-        """WITH names AS (SELECT DISTINCT p_name FROM part),
-          |numbered AS (
-          |  SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS rn FROM names)
-          |SELECT p_name, rn FROM numbered
-          |WHERE rn > 10 AND rn <= 30
-          |ORDER BY rn""".stripMargin),
-      (s, dir) => {
-        val page = Tables.part(s, dir).select("p_name").distinct()
-          .orderBy("p_name").offset(10).limit(20)
-        val w = Window.partitionBy(lit(0)).orderBy("p_name")
-        page
-          .withColumn("rn", row_number().over(w) + 10)
-          .select(col("p_name"), col("rn"))
-          .orderBy("rn")
-      }),
+        """SELECT DISTINCT p_name FROM part
+          |ORDER BY p_name
+          |LIMIT 20 OFFSET 10""".stripMargin),
+      (s, dir) =>
+        Tables.part(s, dir).select("p_name").distinct()
+          .orderBy("p_name").offset(10).limit(20)),
 
     Q(
       "w_sliding_hour",

@@ -63,17 +63,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("pagination plans as offset+limit top-k, not a single-partition window") {
-    val p = plan("w2_w4_pagination")
-    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
-    // the rn window runs AFTER the 20-row page is cut: the only window in
-    // the plan must sit above TakeOrderedAndProject, never below it (a
-    // window below would be the old global-sort row_number shape)
-    val s = p.toString
-    val winAt = s.indexOf("Window")
-    val topkAt = s.indexOf("TakeOrderedAndProject")
-    assert(winAt >= 0 && topkAt > winAt,
-      "rn window must be above (before, in tree print order) the page cut")
+  test("pagination plans as offset+limit top-k with no window at all") {
+    val p = plan("w2_w4_pagination").toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"),
+      "pagination must not plan any window (the old global row_number shape)")
   }
 
   test("sampling/mixing/split are scan-side: at most one agg shuffle + output sort") {

@@ -306,6 +306,25 @@ object AggWindowQueries {
           .orderBy("source")),
 
     Q(
+      "w_keyset_page",
+      """W4's scale path: KEYSET pagination (continue after the last seen
+        |key) instead of OFFSET. The predicate pushes to the parquet scan
+        |(PushedFilters), so page N costs the same as page 1 — OFFSET
+        |pagination degrades linearly with depth because every page
+        |re-ranks the prefix. Same 20-row page contract as
+        |w2_w4_pagination, anchored at the key its first page ends on.""".stripMargin,
+      Some(
+        """SELECT DISTINCT p_name FROM part
+          |WHERE p_name > 'aquamarine'
+          |ORDER BY p_name
+          |LIMIT 20""".stripMargin),
+      (s, dir) =>
+        Tables.part(s, dir)
+          .filter(col("p_name") > "aquamarine")
+          .select("p_name").distinct()
+          .orderBy("p_name").limit(20)),
+
+    Q(
       "w5_topk_latest",
       """W5/W6: latest-N inspection (dag_bakery_ops_to_jde.py:24-30,
         |s3_helper.py:218): ORDER BY ts DESC LIMIT 10. Spark plans this as

@@ -70,6 +70,13 @@ class PlanShapeSpec extends SparkSpec {
       "pagination must not plan any window (the old global row_number shape)")
   }
 
+  test("keyset pagination pushes the continuation predicate into the scan") {
+    val p = plan("w_keyset_page").toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(p_name), GreaterThan(p_name,aquamarine)]")
+      || p.contains("GreaterThan(p_name,aquamarine)"), p)
+  }
+
   test("sampling/mixing/split are scan-side: at most one agg shuffle + output sort") {
     Seq("s_hash_split", "s_weighted_mix").foreach { q =>
       withClue(q) { assert(shuffles(plan(q)).length <= 2, s"$q grew a shuffle") }

@@ -306,6 +306,47 @@ object AggWindowQueries {
           .orderBy("source")),
 
     Q(
+      "w_rank_suite",
+      """The ranking-function family in one partitioned window pass: rank
+        |(gaps on ties), dense_rank, percent_rank, ntile(4), and lead —
+        |all sharing a single (brand, qty desc, key) window, so one
+        |shuffle serves five functions. Restricted to one returnflag to
+        |keep the verify output bounded; ties are real (integer
+        |quantities) and resolved by the unique key in the order
+        |BEFORE ranking, so rank gaps are engine-stable.""".stripMargin,
+      Some(
+        """WITH t AS (
+          |  SELECT p.p_brand, l.l_orderkey, l.l_linenumber,
+          |         CAST(l.l_quantity AS INT) AS qty
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |  WHERE l.l_returnflag = 'R' AND l.l_linenumber = 1)
+          |SELECT p_brand, l_orderkey, qty,
+          |       RANK() OVER w AS rnk,
+          |       DENSE_RANK() OVER w AS drnk,
+          |       PERCENT_RANK() OVER w AS prnk,
+          |       NTILE(4) OVER w AS quartile,
+          |       LEAD(qty) OVER w AS next_qty
+          |FROM t
+          |WINDOW w AS (PARTITION BY p_brand ORDER BY qty DESC, l_orderkey)
+          |ORDER BY p_brand, rnk, l_orderkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand").orderBy(col("qty").desc, col("l_orderkey"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
+          .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_orderkey"),
+            col("l_quantity").cast("int").as("qty"))
+          .select(col("p_brand"), col("l_orderkey"), col("qty"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            percent_rank().over(w).as("prnk"),
+            ntile(4).over(w).as("quartile"),
+            lead(col("qty"), 1).over(w).as("next_qty"))
+          .orderBy("p_brand", "rnk", "l_orderkey")
+      }),
+
+    Q(
       "w_keyset_page",
       """W4's scale path: KEYSET pagination (continue after the last seen
         |key) instead of OFFSET. The predicate pushes to the parquet scan

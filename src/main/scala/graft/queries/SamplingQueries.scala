@@ -146,6 +146,41 @@ object SamplingQueries {
       }),
 
     Q(
+      "s_sample_per_group",
+      """Deterministic exactly-k per-group sampling (balanced subset per
+        |source — the class-balancing step of corpus assembly): rank docs
+        |by a Knuth multiplicative hash of doc_id and keep the top 5 per
+        |source. Runs through the native bounded top-k AGGREGATE
+        |(graft_topk), so each map task holds at most k docs per source
+        |and the shuffle carries answers — a reservoir-sample shape with
+        |none of the reservoir's order sensitivity: membership is a pure
+        |function of doc_id, reproducible under retries and
+        |repartitioning. Oracle ranks the same hash with a window.""".stripMargin,
+      Some(
+        """WITH scored AS (
+          |  SELECT source, doc_id,
+          |         CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) AS score
+          |  FROM documents)
+          |SELECT source, doc_id, rn FROM (
+          |  SELECT source, doc_id,
+          |         ROW_NUMBER() OVER (PARTITION BY source
+          |                            ORDER BY score DESC, doc_id) AS rn
+          |  FROM scored)
+          |WHERE rn <= 5
+          |ORDER BY source, rn""".stripMargin),
+      (s, dir) => {
+        val score = ((col("doc_id") * 2654435761L) % 2147483647L).cast("double")
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), score.as("score"))
+          .groupBy("source")
+          .agg(graft.functions.Vectors.topKByScore(col("score"), col("doc_id"), 5).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), col("col.id").as("doc_id"),
+            (col("pos") + 1).cast("int").as("rn"))
+          .orderBy("source", "rn")
+      }),
+
+    Q(
       "s_clean_corpus",
       """The end-to-end corpus-cleaning pipeline as ONE composed query:
         |quality gate (>= 15 tokens, type-token ratio >= 0.25) then exact

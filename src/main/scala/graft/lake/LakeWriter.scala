@@ -62,8 +62,12 @@ object LakeWriter {
     require(fs.exists(dir), s"no partition at $dir")
     val bytes = fs.getContentSummary(dir).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = dir.suffix(".tmp")
-    val old = dir.suffix(".old")
+    // dot-prefixed staging names: Spark/Hive partition discovery skips
+    // entries starting with '.' or '_', so a crash can never leave a
+    // half-compacted sibling visible as a bogus "day=N.tmp" partition
+    // value (which would also flip the inferred partition type to string)
+    val tmp = new Path(dir.getParent, s".${dir.getName}.compact-tmp")
+    val old = new Path(dir.getParent, s".${dir.getName}.compact-old")
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a dead run
     // leaf-dir read: partition values live in the path, not the files,
     // so the rewrite round-trips the data columns byte-identically
@@ -81,15 +85,20 @@ object LakeWriter {
   }
 
   /** Crash recovery for [[compact]]: if a compaction died between the two
-    * renames, the live dir is missing and `.old` holds the data — put it
-    * back. Call on maintenance-job startup. @return true if restored. */
+    * renames, the live dir is missing and the staged `.compact-old` holds
+    * the data — put it back (the rename's own result is the verdict: HDFS
+    * signals failure by return value, not exception). Stale `.compact-tmp`
+    * from a run that died pre-swap is dropped either way. Call on
+    * maintenance-job startup. @return true iff a restore happened. */
   def restoreIfCrashed(spark: SparkSession, root: String, recordType: String,
                        year: Int, month: Int, day: Int): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(s"$root/$recordType/year=$year/month=$month/day=$day")
-    val old = dir.suffix(".old")
-    if (!fs.exists(dir) && fs.exists(old)) { fs.rename(old, dir); true }
+    val tmp = new Path(dir.getParent, s".${dir.getName}.compact-tmp")
+    val old = new Path(dir.getParent, s".${dir.getName}.compact-old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!fs.exists(dir) && fs.exists(old)) fs.rename(old, dir)
     else false
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.functions.Text
+import graft.functions.{Corpus, Text}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,7 +42,10 @@ object CorpusPipeline {
       nTokens.as("n_tokens"), ttr.as("ttr"),
       Text.normalizedKey(col("text")).as("norm_key"))
 
-    val qual = col("n_tokens") >= cfg.minTokens && col("ttr") >= cfg.minTtr
+    // shared column definitions (graft.functions.Corpus) — the SAME
+    // expressions the oracle-checked catalog queries use, so this
+    // pipeline cannot drift from what the driver verifies
+    val qual = Corpus.qualityGate(col("n_tokens"), col("ttr"), cfg.minTokens, cfg.minTtr)
     val keyWin = Window.partitionBy("norm_key")
     val kept = stats
       .withColumn("qual", qual)
@@ -50,8 +53,7 @@ object CorpusPipeline {
         col("qual") && col("doc_id") === min(when(col("qual"), col("doc_id"))).over(keyWin))
       .filter(col("winner"))
 
-    val bucket = substring(md5(concat(col("doc_id").cast("string"), lit(cfg.seed))), 1, 2)
-    val split = when(bucket < "0d", "test").when(bucket < "27", "val").otherwise("train")
+    val split = Corpus.splitLabel(Corpus.splitBucket(col("doc_id"), cfg.seed))
 
     val packWin = Window.partitionBy("split", "source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -60,7 +62,7 @@ object CorpusPipeline {
       .withColumn("prefix_before", sum(col("n_tokens")).over(packWin) - col("n_tokens"))
       .select(
         col("doc_id"), col("source"), col("split"), col("n_tokens"),
-        floor(col("prefix_before") / cfg.ctxTokens.toDouble).as("bin"))
+        Corpus.packBin(col("prefix_before"), cfg.ctxTokens).as("bin"))
   }
 
   case class Funnel(raw: Long, kept: Long, train: Long, `val`: Long, test: Long)

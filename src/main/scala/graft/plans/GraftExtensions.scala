@@ -32,10 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScoreAggregate].getName, "graft_topk"),
       (children: Seq[Expression]) => {
+        if (children.size != 3)
+          throw new IllegalArgumentException(
+            s"graft_topk(score, id, k) takes 3 arguments, got ${children.size}")
         val k = children(2) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+              if v.isValidInt => v.toInt
           case other => throw new IllegalArgumentException(
-            s"graft_topk k must be a literal int, got $other")
+            s"graft_topk k must be a literal integer, got $other")
         }
         TopKByScoreAggregate(children.head, children(1), k).toAggregateExpression()
       }))

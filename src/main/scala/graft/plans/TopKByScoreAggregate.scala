@@ -124,16 +124,26 @@ object TopKByScoreAggregate {
 
 /** Bounded binary min-heap of (score, id) with the WORST entry at the
   * root, so a full buffer evicts in O(log k) when a better entry arrives.
-  * "a is worse than b" iff a.score < b.score, or scores equal and
-  * a.id > b.id (ties prefer the smaller id). Primitive parallel arrays —
-  * no boxing on the hot update path. */
+  * "a is worse than b" iff a.score orders below b.score, or scores equal
+  * and a.id > b.id (ties prefer the smaller id). Primitive parallel
+  * arrays — no boxing on the hot update path.
+  *
+  * Score comparison is `java.lang.Double.compare`, matching Spark's SQL
+  * ordering: NaN sorts ABOVE every real (so a NaN score ranks first under
+  * DESC, as the row_number-window twin does) and the order stays a total
+  * order — a naive `<` would make NaN incomparable, silently dropping
+  * NaN candidates and breaking sortWith's transitivity contract. -0.0 is
+  * normalized to 0.0 on entry (Spark normalizes floating zeros in sort
+  * keys; Double.compare would order them apart). */
 final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var size = 0
 
-  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private def swap(a: Int, b: Int): Unit = {
     val ts = scores(a); scores(a) = scores(b); scores(b) = ts
@@ -163,7 +173,8 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  def offer(s: Double, i: Long): Unit =
+  def offer(s0: Double, i: Long): Unit = {
+    val s = if (s0 == 0.0) 0.0 else s0 // fold -0.0 into 0.0
     if (size < k) {
       scores(size) = s; ids(size) = i; size += 1
       siftUp(size - 1)
@@ -171,12 +182,12 @@ final class TopKBuffer(val k: Int) {
       scores(0) = s; ids(0) = i
       siftDown()
     }
+  }
 
   /** (scores, ids) ordered best-first; does not mutate the buffer. */
   def sortedBestFirst: (Array[Double], Array[Long]) = {
-    val idx = Array.range(0, size).sortWith { (a, b) =>
-      scores(a) > scores(b) || (scores(a) == scores(b) && ids(a) < ids(b))
-    }
+    val idx = Array.range(0, size).sortWith((a, b) =>
+      worse(scores(b), ids(b), scores(a), ids(a)))
     (idx.map(scores), idx.map(ids))
   }
 }

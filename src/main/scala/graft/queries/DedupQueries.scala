@@ -258,9 +258,15 @@ object DedupQueries {
           rounds += 1
         }
         System.err.println(s"[dd_conn_components] converged in $rounds rounds")
+        // localCheckpoint: materialize the fixpoint ONCE, truncating the
+        // 4-round cached lineage (re-executions read the checkpoint, not
+        // the loop) — then release every iteration cache instead of
+        // leaking the last round's persist into the rest of the session.
+        val result = labels.localCheckpoint(true).orderBy("doc_id")
         edges.unpersist()
         keyed.unpersist()
-        labels.orderBy("doc_id")
+        labels.unpersist()
+        result
       }),
 
     Q(

@@ -19,9 +19,7 @@ import org.apache.spark.sql.functions._
   * none) and no floating-point sampling boundary.
   */
 object SamplingQueries {
-
-  private def hashBucket(id: org.apache.spark.sql.Column, seed: String) =
-    substring(md5(concat(id.cast("string"), lit(seed))), 1, 2)
+  import graft.functions.Corpus
 
   /** Mixture weight per source: srcN keeps 100/50/25/~10 % by N mod 4 —
     * the up/down-weighting a corpus mix applies per provenance. */
@@ -46,11 +44,11 @@ object SamplingQueries {
           |GROUP BY 1, 2
           |ORDER BY source, split""".stripMargin),
       (s, dir) => {
-        val b = hashBucket(col("doc_id"), ":split-seed-42")
+        val b = Corpus.splitBucket(col("doc_id"), ":split-seed-42")
         Tables.documents(s, dir)
           .groupBy(
             col("source"),
-            when(b < "0d", "test").when(b < "27", "val").otherwise("train").as("split"))
+            Corpus.splitLabel(b).as("split"))
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("total_chars"))
@@ -137,7 +135,7 @@ object SamplingQueries {
           .withColumn("prefix_before",
             sum(col("n_tokens")).over(w) - col("n_tokens"))
           .groupBy(col("source"),
-            floor(col("prefix_before") / 256.0).as("bin"))
+            Corpus.packBin(col("prefix_before"), 256).as("bin"))
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("bin_tokens"),
@@ -224,7 +222,7 @@ object SamplingQueries {
           nTokens.as("n_tokens"),
           ttr.as("ttr"),
           Text.normalizedKey(col("text")).as("norm_key"))
-        val qual = col("n_tokens") >= 15 && col("ttr") >= 0.25
+        val qual = Corpus.qualityGate(col("n_tokens"), col("ttr"), 15, 0.25)
         val keyWin = Window.partitionBy("norm_key")
         stats
           .withColumn("qual", qual)

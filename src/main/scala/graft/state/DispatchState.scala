@@ -76,10 +76,18 @@ object DispatchState {
     currentVersion(fs(spark), dir) match {
       case Some(n) => spark.read.parquet(s"$dir/v-$n")
       case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            s"$keyCol STRING, status STRING, detail STRING, updated_at TIMESTAMP"))
+        // migration path: a state dir written by the earlier delete-and-
+        // rename layout holds `{dir}/current/` and no v-* versions.
+        // Treating it as empty would re-dispatch ALL history (the exact
+        // failure this class prevents), so read the legacy table; the
+        // next upsert folds it into v-1 and the pointer takes over.
+        val legacy = new Path(s"$dir/current")
+        if (fs(spark).exists(legacy)) spark.read.parquet(legacy.toString)
+        else
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              s"$keyCol STRING, status STRING, detail STRING, updated_at TIMESTAMP"))
     }
 
   /** J5: records not yet dispatched (status 'done' absent) — the

@@ -105,7 +105,14 @@ object MicroBatchPipeline {
             val t = e.ts.getTime
             if (acc == null) acc = SessionAcc(t, t, 1, e.value)
             else if (t - acc.endMs <= gap.toMillis)
-              acc = acc.copy(endMs = t, n = acc.n + 1, sum = acc.sum + e.value)
+              // min/max, not assignment: an out-of-order event delivered in
+              // a LATER micro-batch (but inside the watermark) must never
+              // regress the session bounds — output would then depend on
+              // micro-batch boundaries.
+              acc = acc.copy(
+                startMs = math.min(acc.startMs, t),
+                endMs = math.max(acc.endMs, t),
+                n = acc.n + 1, sum = acc.sum + e.value)
             else {
               closed += UserSession(userId,
                 new java.sql.Timestamp(acc.startMs), new java.sql.Timestamp(acc.endMs),
@@ -157,7 +164,11 @@ object MicroBatchPipeline {
               val t = e.ts.getTime
               if (acc == null) acc = SessionAcc(t, t, 1, e.value)
               else if (t - acc.endMs <= gap.toMillis)
-                acc = acc.copy(endMs = t, n = acc.n + 1, sum = acc.sum + e.value)
+                // see sessionize: never regress bounds on late arrivals
+                acc = acc.copy(
+                  startMs = math.min(acc.startMs, t),
+                  endMs = math.max(acc.endMs, t),
+                  n = acc.n + 1, sum = acc.sum + e.value)
               else {
                 closed += emit(userId, acc)
                 acc = SessionAcc(t, t, 1, e.value)

@@ -44,17 +44,25 @@ class LakeSpec extends SparkSpec {
     val after = LakeWriter.compact(spark, root, "d", 2024, 3, 5)
     assert(after < before && after >= 1)
     assert(dir.listFiles().count(_.getName.endsWith(".parquet")) === after)
-    // no .tmp/.old residue, data intact
-    assert(!new java.io.File(s"$root/d/year=2024/month=3/day=5.tmp").exists())
-    assert(!new java.io.File(s"$root/d/year=2024/month=3/day=5.old").exists())
+    // no staging residue, data intact
+    assert(!new java.io.File(s"$root/d/year=2024/month=3/.day=5.compact-tmp").exists())
+    assert(!new java.io.File(s"$root/d/year=2024/month=3/.day=5.compact-old").exists())
     val read = LakeWriter.readRange(spark, root, "d", "2024-03-05", "2024-03-05")
     assert(read.count() === 40)
     assert(read.select("id").as[Long].collect().toSet === (0L until 40L).toSet)
 
-    // simulate the crash window: live dir gone, .old holds the partition
-    val old = new java.io.File(s"$root/d/year=2024/month=3/day=5.old")
+    // a stale dot-prefixed staging sibling is invisible to partition
+    // discovery (no bogus partition value, no schema drift of `day`)
+    val stale = new java.io.File(s"$root/d/year=2024/month=3/.day=5.compact-tmp")
+    assert(stale.mkdirs())
+    assert(LakeWriter.readRange(spark, root, "d", "2024-03-01", "2024-03-31").count() === 40)
+
+    // simulate the crash window: live dir gone, staged .compact-old holds
+    // the partition, the stale tmp still lying around
+    val old = new java.io.File(s"$root/d/year=2024/month=3/.day=5.compact-old")
     assert(dir.renameTo(old))
     assert(LakeWriter.restoreIfCrashed(spark, root, "d", 2024, 3, 5))
+    assert(!stale.exists())
     assert(LakeWriter.readRange(spark, root, "d", "2024-03-05", "2024-03-05").count() === 40)
     // and a healthy partition is left alone
     assert(!LakeWriter.restoreIfCrashed(spark, root, "d", 2024, 3, 5))

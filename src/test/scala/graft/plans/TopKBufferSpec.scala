@@ -46,6 +46,21 @@ class TopKBufferSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN ranks above every real score (Spark sort order) and never throws") {
+    val xs = Seq((Double.NaN, 5L), (3.0, 1L), (Double.NaN, 2L), (1.0, 9L), (2.0, 4L))
+    def norm(r: Seq[(Double, Long)]) = r.map { case (s, i) => (s.isNaN, if (s.isNaN) 0.0 else s, i) }
+    // Spark DESC-first ordering: NaN greatest, ties by smaller id
+    assert(norm(viaBuffer(xs, 3)) ===
+      norm(Seq((Double.NaN, 2L), (Double.NaN, 5L), (3.0, 1L))))
+    // heap eviction keeps the NaNs when full
+    assert(norm(viaBuffer(xs, 2)) === norm(Seq((Double.NaN, 2L), (Double.NaN, 5L))))
+  }
+
+  test("-0.0 and 0.0 are the same score (tie resolves by id)") {
+    val xs = Seq((-0.0, 7L), (0.0, 3L), (-1.0, 1L))
+    assert(viaBuffer(xs, 2) === Seq((0.0, 3L), (0.0, 7L)))
+  }
+
   test("serialization round-trips the exact buffer contents") {
     val agg = TopKByScoreAggregate(null, null, 5)
     val b = new TopKBuffer(5)

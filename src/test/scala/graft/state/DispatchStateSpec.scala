@@ -82,6 +82,23 @@ class DispatchStateSpec extends SparkSpec {
     assert(DispatchState.read(spark, dir).count() === 2)
   }
 
+  test("legacy {dir}/current layout is read and folded into v-1 on upsert") {
+    val dir = Files.createTempDirectory("state").toString
+    // state written by the previous delete-and-rename layout
+    status(("old-a", "done", "2024-01-01 00:00:00"))
+      .write.parquet(s"$dir/current")
+    // read() must see the legacy table, not an empty one (else every
+    // historical record would re-dispatch)
+    assert(DispatchState.pending(recs("old-a", "new-b"), spark, dir)
+      .select("unique_transaction_id").as[String].collect().toSeq === Seq("new-b"))
+    // the next upsert migrates legacy + new into the versioned layout
+    DispatchState.upsert(spark, dir, status(("new-b", "done", "2024-01-02 00:00:00")))
+    assert(new java.io.File(s"$dir/v-1").exists())
+    val state = DispatchState.read(spark, dir)
+      .select("unique_transaction_id").as[String].collect().sorted.toSeq
+    assert(state === Seq("new-b", "old-a"))
+  }
+
   test("old versions pruned but the immediate predecessor is retained") {
     val dir = Files.createTempDirectory("state").toString
     (1 to 4).foreach { i =>

@@ -37,6 +37,33 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a late event in a later micro-batch never regresses session bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = MicroBatchPipeline.sessionize(input.toDS(), 30.minutes)
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(1L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: an out-of-order event INSIDE the open session
+      input.addData(SessionEvent(1L, ts("2024-01-01 10:05:00"), 4.0))
+      q.processAllAvailable()
+      // 10:38 is within the gap of the TRUE end (10:10), so it must
+      // extend the session, not close it against a regressed 10:05 end
+      input.addData(SessionEvent(1L, ts("2024-01-01 10:38:00"), 8.0))
+      q.processAllAvailable()
+      assert(spark.table("late_sessions").count() === 0) // still one open session
+      // a real gap closes it with the correct bounds and all 4 events
+      input.addData(SessionEvent(1L, ts("2024-01-01 13:00:00"), 0.5))
+      q.processAllAvailable()
+      val out = spark.table("late_sessions").as[UserSession].collect().toSeq
+      assert(out === Seq(UserSession(1L,
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:38:00"), 4L, 15.0)))
+    } finally q.stop()
+  }
+
   test("event-time timeout closes idle sessions once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]

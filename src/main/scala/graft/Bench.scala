@@ -8,33 +8,52 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune the final projection (expression-heavy queries
   * like the transaction-id derivations would be timed at zero work).
   * Noop evaluates every output column and discards rows executor-side —
-  * no driver collect, no disk. */
+  * no driver collect, no disk.
+  *
+  * Each query runs SPARK_GRAFT_RUNS times (default 3) and reports the
+  * per-query MEDIAN: the bench box carries external load spikes, and a
+  * single-shot timing conflates those with plan changes. `raw` carries
+  * every sample so a consumer can audit the spread; `value` is the sum
+  * of medians. SPARK_GRAFT_ONLY=name,name limits the set (iteration aid;
+  * unset = full catalog, which is what the driver runs).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (codegen compiler, parquet footers, scheduler)
     // so the alphabetically-first query doesn't absorb one-time costs.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.err.println(s"[bench] running $name")
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = names.map { case (name, fn) =>
+      val samples = (1 to runs).map { i =>
+        System.err.println(s"[bench] running $name ($i/$runs)")
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = samples(samples.length / 2)
+      (name, median, samples)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val raw = results.map { case (k, _, ss) =>
+      s"\"" + k + "\":[" + ss.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // sf as a NUMBER parsed from the dir name (sf0.1 -> 0.1): a JSON
     // consumer expecting {"sf": N} must not get a path string.
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"raw":$raw,"sf":$sfNum}"""
     // Stop Spark BEFORE printing so shutdown logging cannot interleave
     // with (or follow) the result line; the JSON is the final stdout line.
     spark.stop()

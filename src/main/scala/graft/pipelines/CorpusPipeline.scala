@@ -68,13 +68,20 @@ object CorpusPipeline {
   case class Funnel(raw: Long, kept: Long, train: Long, `val`: Long, test: Long)
 
   /** Audit counts for the run — the numbers a data-quality dashboard
-    * tracks per corpus build. One extra pass over the (small) manifest. */
+    * tracks per corpus build. ONE rollup pass over the manifest yields the
+    * per-split counts AND the kept total (grouping() flags the grand-total
+    * row), plus one count on the raw side — two jobs, not four, and the
+    * manifest plan executes exactly once. */
   def funnel(documents: DataFrame, manifest: DataFrame): Funnel = {
-    val bySplit = manifest.groupBy("split").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rolled = manifest.rollup("split")
+      .agg(count(lit(1)).as("n"), grouping(col("split")).as("g"))
+      .collect()
+    val bySplit = rolled.filter(_.getByte(2) == 0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = rolled.find(_.getByte(2) == 1).map(_.getLong(1)).getOrElse(0L)
     Funnel(
       raw = documents.count(),
-      kept = manifest.count(),
+      kept = kept,
       train = bySplit.getOrElse("train", 0L),
       `val` = bySplit.getOrElse("val", 0L),
       test = bySplit.getOrElse("test", 0L))

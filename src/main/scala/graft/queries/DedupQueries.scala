@@ -174,12 +174,15 @@ object DedupQueries {
         |pipeline needs (A~B by content key, B~C by fingerprint => one
         |cluster). Iterative min-label propagation to a fixpoint: each
         |round is a shuffle-on-key join + min-aggregate, labels only
-        |decrease, convergence in <= graph-diameter rounds (checked,
-        |bounded). Each edge block is key-grouped, so the pair fan-out is
-        |bounded by duplicate-group sizes, never all-pairs. At 100 TB the
-        |same loop runs with large-star/small-star optimization and
-        |per-round checkpointing; the oracle is the same closure as a
-        |recursive CTE.""".stripMargin,
+        |decrease, convergence in <= log(diameter) rounds via pointer
+        |halving. Edges are STARS: within a key group every member
+        |connects to the group's min doc_id (both directions), which has
+        |the exact same connectivity as the all-pairs clique but emits
+        |2(k-1) edges per k-member group instead of k(k-1) — linear in
+        |input even on heavy-tailed duplicate groups. At 100 TB the same
+        |loop runs with large-star/small-star alternation and per-round
+        |checkpointing; the oracle is the same closure as a recursive
+        |CTE.""".stripMargin,
       Some(
         """WITH keyed AS (
           |  SELECT doc_id,
@@ -219,54 +222,18 @@ object DedupQueries {
             Text.normalizedKey(col("text")).as("norm_key"),
             Text.winnowOfTokens(col("toks"), 5).as("winnow_fp"))
           .persist()
-        def pairsOn(key: String) = {
-          val a = keyed.select(col("doc_id").as("src"), col(key).as("k"))
-          val b = keyed.select(col("doc_id").as("dst"), col(key).as("k"))
-          a.join(b, "k").filter(col("src") =!= col("dst")).select("src", "dst")
-        }
-        val edges = pairsOn("norm_key").union(pairsOn("winnow_fp"))
-          .distinct().persist()
-        var labels = keyed.select(col("doc_id"), col("doc_id").as("component")).persist()
-        // labels form a monotonically decreasing vector, so the label SUM
-        // strictly decreases until the fixpoint — a one-row agg per round
-        // replaces a join-based change count. (At planet scale swap for
-        // count(component != old) to dodge sum overflow.)
-        var prevSum = labels.agg(sum("component")).first().getLong(0)
-        var changed = true
-        var rounds = 0
-        while (changed && rounds < 20) {
-          val viaEdges = edges
-            .join(labels, edges("dst") === labels("doc_id"))
-            .select(edges("src").as("doc_id"), col("component"))
-          val propagated = labels.unionByName(viaEdges)
-            .groupBy("doc_id").agg(min(col("component")).as("component"))
-          // pointer halving: jump to the label OF my label (components are
-          // themselves doc ids, and labels only decrease, so the lookup
-          // always improves-or-holds) — collapses chains in O(log n)
-          // rounds instead of O(diameter).
-          val parents = propagated
-            .select(col("doc_id").as("pid"), col("component").as("pcomp"))
-          val next = propagated
-            .join(parents, propagated("component") === parents("pid"))
-            .select(col("doc_id"), col("pcomp").as("component"))
-            .persist()
-          val newSum = next.agg(sum("component")).first().getLong(0)
-          changed = newSum < prevSum
-          prevSum = newSum
-          labels.unpersist()
-          labels = next
-          rounds += 1
-        }
-        System.err.println(s"[dd_conn_components] converged in $rounds rounds")
-        // localCheckpoint: materialize the fixpoint ONCE, truncating the
-        // 4-round cached lineage (re-executions read the checkpoint, not
-        // the loop) — then release every iteration cache instead of
-        // leaking the last round's persist into the rest of the session.
-        val result = labels.localCheckpoint(true).orderBy("doc_id")
-        edges.unpersist()
+        // Star edges (ConnectedComponents.starEdges), never all-pairs: a
+        // k-member duplicate group emits 2(k-1) member<->min-root edges
+        // with the exact connectivity of the oracle's k(k-1) clique —
+        // linear in input on the heavy-tailed group sizes dedup data has.
+        val edges = graft.ops.ConnectedComponents
+          .starEdges(keyed, "doc_id", "norm_key")
+          .union(graft.ops.ConnectedComponents.starEdges(keyed, "doc_id", "winnow_fp"))
+        val (labels, rounds) =
+          graft.ops.ConnectedComponents.run(keyed, edges, "doc_id")
+        Console.err.println(s"[dd_conn_components] converged in $rounds rounds")
         keyed.unpersist()
-        labels.unpersist()
-        result
+        labels.orderBy("doc_id")
       }),
 
     Q(

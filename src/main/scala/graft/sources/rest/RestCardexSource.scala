@@ -39,9 +39,33 @@ class RestCardexSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     new CardexTable(
       pages = opts.getInt("pages", 4),
-      rowsPerPage = opts.getInt("rowsPerPage", 1000))
+      rowsPerPage = opts.getInt("rowsPerPage", 1000),
+      retry = RetryConfig(
+        maxRetries = opts.getInt("maxRetries", 3),
+        baseDelayMs = opts.getLong("baseDelayMs", 10L),
+        defaultRateWaitMs = opts.getLong("defaultRateWaitMs", 10L),
+        runId = opts.getOrDefault("apiRunId", "default"),
+        failPlan = Option(opts.get("failPlan")).getOrElse("")))
   }
 }
+
+/** Per-fetch retry policy, modeling the reference's two battle-tested
+  * client behaviors (reference `backend/utility.py:382-400` and
+  * `backend/bakery_ops_helper.py:277-281`):
+  *
+  *  - 429/423 rate limit: honor the server's `metadata.wait` hint when
+  *    present, else a fixed default (the reference defaults to 10 s);
+  *  - transient failure: exponential backoff `base * 2^attempt`;
+  *  - both capped at `maxRetries` total retries per page fetch — past the
+  *    cap the task FAILS (no silent data loss; Spark's own task retry is
+  *    the next escalation level, and at 100 TB that is exactly where you
+  *    want a poisoned page to surface, not as a missing partition).
+  *
+  * Delays are milliseconds here (the reference sleeps seconds) so specs
+  * can exercise the real sleep path without real latency. */
+case class RetryConfig(maxRetries: Int = 3, baseDelayMs: Long = 10L,
+                       defaultRateWaitMs: Long = 10L, runId: String = "default",
+                       failPlan: String = "")
 
 /** The canned "orchestrator API": deterministic pages of cardex rows.
   * Pages are date-ordered (like `sort=rDate:1`), so a pushed lower bound
@@ -59,9 +83,63 @@ object FakeCardexApi {
 
   def pageMinDate(page: Int): Int = baseDate + page * datesPerPage
 
-  /** Fetch one page, applying the "query params". */
+  /** 429/423 with the server's `metadata.wait` hint (None = the server
+    * sent no hint — the reference then falls back to a fixed default). */
+  final case class RateLimited(waitMs: Option[Long])
+      extends RuntimeException(s"429 rate limited (wait=$waitMs)")
+  /** 5xx-ish transient failure: retryable with client-side backoff. */
+  final case class TransientError(page: Int)
+      extends RuntimeException(s"503 transient failure on page $page")
+  /** Non-retryable failure (the reference raises after logging). */
+  final case class PoisonedPage(page: Int)
+      extends RuntimeException(s"400 permanently failing page $page")
+
+  // Server-side per-page attempt state + a log of every client sleep,
+  // keyed by runId so concurrent specs don't interfere. JVM-wide is the
+  // right scope for a fake server under local[n]; a real deployment's
+  // state lives on the real server.
+  private val attemptCounts = new java.util.concurrent.ConcurrentHashMap[(String, Int), Integer]()
+  private val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
+
+  def attempts(runId: String, page: Int): Int =
+    Option(attemptCounts.get((runId, page))).fold(0)(_.intValue)
+  def sleepLog(runId: String): Seq[(Int, Long)] =
+    sleeps.asScala.toSeq.collect { case (r, p, ms) if r == runId => (p, ms) }
+  def resetRun(runId: String): Unit = {
+    attemptCounts.keySet.removeIf(_._1 == runId)
+    sleeps.removeIf(_._1 == runId)
+  }
+
+  /** The reader's sleeper — recorded so specs can assert the exact waits
+    * (server-hint honoring, exponential ladder) without timing flakiness. */
+  def sleep(runId: String, page: Int, ms: Long): Unit = {
+    sleeps.add((runId, page, ms))
+    Thread.sleep(ms)
+  }
+
+  /** failPlan grammar: `page:kind[:arg]` comma-separated.
+    *   `2:transient:3` — page 2's first 3 fetches throw TransientError;
+    *   `1:rate:57`     — page 1's first fetch rate-limits with wait hint 57 ms;
+    *   `1:rate`        — same but the server sends NO wait hint;
+    *   `4:poison`      — page 4 fails every fetch. */
+  private def planFor(failPlan: String, page: Int): Option[(String, Option[Long])] =
+    failPlan.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.split(":"))
+      .collectFirst { case parts if parts(0).toInt == page =>
+        (parts(1), parts.lift(2).map(_.toLong)) }
+
+  /** Fetch one page, applying the "query params" — and the failure plan,
+    * page-granular like a real paged API (one bad page must not poison its
+    * siblings). Counts attempts per (runId, page). */
   def fetch(page: Int, rowsPerPage: Int, buParam: Option[String],
-            minDateParam: Option[Int]): Iterator[(String, String, Int, Double)] =
+            minDateParam: Option[Int], runId: String = "default",
+            failPlan: String = ""): Iterator[(String, String, Int, Double)] = {
+    val attempt = attemptCounts.merge((runId, page), 1, (a, b) => a + b).intValue
+    planFor(failPlan, page).foreach {
+      case ("transient", n) if attempt <= n.getOrElse(1L) => throw TransientError(page)
+      case ("rate", hint) if attempt <= 1 => throw RateLimited(hint)
+      case ("poison", _) => throw PoisonedPage(page)
+      case _ => ()
+    }
     (0 until rowsPerPage).iterator.map { i =>
       val id = page * rowsPerPage + i
       val bu = Seq("1110", "1120", "1130")(id % 3)
@@ -70,18 +148,44 @@ object FakeCardexApi {
     }.filter { case (_, bu, d, _) =>
       buParam.forall(_ == bu) && minDateParam.forall(d >= _)
     }
+  }
+
+  /** Client retry loop around [[fetch]] — the engine analog of the
+    * reference's `retry_request` (`backend/utility.py:382-400`: 429/423
+    * honor `metadata.wait`, else a fixed default) with the bounded
+    * exponential ladder of `backend/bakery_ops_helper.py:277-281`
+    * (`base * 2^attempt`, capped retries, raise past the cap). */
+  def fetchWithRetry(page: Int, rowsPerPage: Int, buParam: Option[String],
+                     minDateParam: Option[Int], retry: RetryConfig): Iterator[(String, String, Int, Double)] = {
+    var attempt = 0
+    while (true) {
+      try {
+        return fetch(page, rowsPerPage, buParam, minDateParam, retry.runId, retry.failPlan)
+      } catch {
+        case RateLimited(hint) if attempt < retry.maxRetries =>
+          sleep(retry.runId, page, hint.getOrElse(retry.defaultRateWaitMs))
+          attempt += 1
+        case TransientError(_) if attempt < retry.maxRetries =>
+          sleep(retry.runId, page, retry.baseDelayMs << attempt)
+          attempt += 1
+        // past the cap (or poisoned): propagate — the task fails loudly
+        // rather than dropping the page
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
-class CardexTable(pages: Int, rowsPerPage: Int) extends Table with SupportsRead {
+class CardexTable(pages: Int, rowsPerPage: Int, retry: RetryConfig) extends Table with SupportsRead {
   override def name(): String = "graft_rest_cardex"
   override def schema(): StructType = FakeCardexApi.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CardexScanBuilder(pages, rowsPerPage)
+    new CardexScanBuilder(pages, rowsPerPage, retry)
 }
 
-class CardexScanBuilder(pages: Int, rowsPerPage: Int)
+class CardexScanBuilder(pages: Int, rowsPerPage: Int, retry: RetryConfig)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -117,11 +221,12 @@ class CardexScanBuilder(pages: Int, rowsPerPage: Int)
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false /* keep Spark's limit too */ }
 
   override def build(): Scan = new CardexScan(
-    pages, rowsPerPage, requiredSchema, pushedBu, pushedMinDate, limit)
+    pages, rowsPerPage, requiredSchema, pushedBu, pushedMinDate, limit, retry)
 }
 
 class CardexScan(pages: Int, rowsPerPage: Int, required: StructType,
-                 bu: Option[String], minDate: Option[Int], limit: Option[Int])
+                 bu: Option[String], minDate: Option[Int], limit: Option[Int],
+                 retry: RetryConfig)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -133,7 +238,7 @@ class CardexScan(pages: Int, rowsPerPage: Int, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages)
       .filter(p => minDate.forall(_ < FakeCardexApi.pageMinDate(p) + FakeCardexApi.datesPerPage))
-      .map(p => CardexPage(p, rowsPerPage, bu, minDate, limit): InputPartition)
+      .map(p => CardexPage(p, rowsPerPage, bu, minDate, limit, retry): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -141,14 +246,15 @@ class CardexScan(pages: Int, rowsPerPage: Int, required: StructType,
 }
 
 case class CardexPage(page: Int, rowsPerPage: Int, bu: Option[String],
-                      minDate: Option[Int], limit: Option[Int]) extends InputPartition
+                      minDate: Option[Int], limit: Option[Int],
+                      retry: RetryConfig) extends InputPartition
 
 class CardexReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CardexPage]
     new PartitionReader[InternalRow] {
       private val it = {
-        val base = FakeCardexApi.fetch(p.page, p.rowsPerPage, p.bu, p.minDate)
+        val base = FakeCardexApi.fetchWithRetry(p.page, p.rowsPerPage, p.bu, p.minDate, p.retry)
         p.limit.map(base.take).getOrElse(base)
       }
       private var current: (String, String, Int, Double) = _

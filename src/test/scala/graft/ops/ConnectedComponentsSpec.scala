@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Star-edge connected components: connectivity equivalence to the clique
+  * form, linear edge counts, and bounded convergence rounds. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("star edges have clique connectivity at linear edge count") {
+    // one 5-member group, one 3-member group, singletons (no edges)
+    val members = Seq(
+      (10L, "a"), (11L, "a"), (12L, "a"), (13L, "a"), (14L, "a"),
+      (20L, "b"), (21L, "b"), (22L, "b"),
+      (30L, "c"), (40L, null.asInstanceOf[String])).toDF("id", "k")
+    val edges = ConnectedComponents.starEdges(members, "id", "k").collect()
+    // 2(k-1) per group: 8 for the 5-group, 4 for the 3-group
+    assert(edges.length === 12)
+    val (labels, _) = ConnectedComponents.run(members, ConnectedComponents.starEdges(members, "id", "k"), "id")
+    val byId = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(byId(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(byId(_) == 20L))
+    assert(byId(30L) === 30L)
+    assert(byId(40L) === 40L)
+  }
+
+  test("cross-key bridges merge into one component (transitive closure)") {
+    // key1 groups {1,2} {3,4} {5,6}; key2 bridges {2,3} {4,5}:
+    // everything is one component rooted at 1 — needs multi-hop label flow
+    val members = Seq(
+      (1L, "x", "p"), (2L, "x", "q"), (3L, "y", "q"),
+      (4L, "y", "r"), (5L, "z", "r"), (6L, "z", "s")).toDF("id", "k1", "k2")
+    val edges = ConnectedComponents.starEdges(members, "id", "k1")
+      .union(ConnectedComponents.starEdges(members, "id", "k2"))
+    val (labels, rounds) = ConnectedComponents.run(members, edges, "id")
+    assert(labels.collect().forall(_.getLong(1) == 1L))
+    // pointer halving collapses the 6-chain fast; and the fixpoint probe
+    // costs exactly one extra confirming round
+    assert(rounds <= 4, s"took $rounds rounds")
+  }
+
+  test("dd_conn_components converges in <= 3 rounds at sf0.001") {
+    // the real query shape: star edges on norm_key + winnow_fp over the
+    // documents table — duplicate groups are shallow stars, so the loop
+    // must converge in 2 propagation rounds + 1 confirming round
+    val err = new java.io.ByteArrayOutputStream()
+    val df = Console.withErr(err) {
+      graft.queries.Catalog.byName("dd_conn_components").build(spark, sfSmoke)
+    }
+    assert(df.count() === 500)
+    val m = "converged in (\\d+) rounds".r.findFirstMatchIn(err.toString)
+    assert(m.exists(_.group(1).toInt <= 3), s"stderr: ${err.toString.trim}")
+  }
+}

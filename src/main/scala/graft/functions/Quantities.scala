@@ -56,4 +56,10 @@ object Quantities {
     * (jde_helper.py:854-855, dags/dag_bakery_system_to_jde.py:184-190). */
   def uniqueTransactionId(name: Column, lot: Column, vessel: Column, qty: Column): Column =
     concat_ws("_", name, lot, vessel, normalizeQty(qty))
+
+  /** F19 NaN/Inf sanitize (`safe_convert_value`, main.py:154-176): the
+    * reference nulls NaN and ±Inf before JSON serialization. Codegen'd
+    * expression — abs(c) = +Inf covers both infinities. */
+  def jsonSafe(c: Column): Column =
+    when(isnan(c) || abs(c) === Double.PositiveInfinity, lit(null)).otherwise(c)
 }

@@ -1,7 +1,8 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, length, lit, max, col}
+import org.apache.spark.sql.types.{DataType, MetadataBuilder, StringType, StructField, StructType}
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -34,8 +35,11 @@ object SchemaRegistry {
   /** Register df's schema; returns the version written. No-ops (returns the
     * current version) when the schema is unchanged — the reference's
     * change-detection (schema_manager.py:84-90). */
-  def register(df: DataFrame, root: String, table: String): Int = {
-    val schema = df.schema
+  def register(df: DataFrame, root: String, table: String): Int =
+    registerSchema(df.schema, root, table)
+
+  /** Register an explicit schema (same change-detection as [[register]]). */
+  def registerSchema(schema: StructType, root: String, table: String): Int =
     latest(root, table) match {
       case Some((v, s)) if s == schema => v
       case _ =>
@@ -44,7 +48,50 @@ object SchemaRegistry {
         Files.writeString(dir(root, table).resolve(s"v$v.json"), schema.json)
         v
     }
+
+  /** Sample-based schema inference over raw JSON documents — the bronze
+    * ingest entry path for unseen feeds (reference
+    * `backend/schema_manager.py:177-223`: type each field from the first
+    * record, backfill null fields from later records, scan strings for
+    * max length).
+    *
+    * Spark-first: `spark.read.json` over a bounded sample IS that
+    * algorithm generalized — types are merged across the WHOLE sample, so
+    * a field that is null in the first record picks up its type from any
+    * later record (the reference's backfill loop), and records that
+    * disagree widen (long+double -> double, anything+string -> string)
+    * instead of keeping whichever happened to arrive first. One aggregate
+    * pass then records per-string-field `max_length` metadata, the
+    * reference's VARCHAR-sizing scan. Distributed end to end: the sample
+    * bound keeps driver-side work nil and the length scan is a map-side
+    * partial max.
+    */
+  def infer(spark: SparkSession, docs: Dataset[String], sampleSize: Int = 1000): StructType = {
+    val sample = docs.limit(sampleSize).cache()
+    try {
+      val parsed = spark.read.json(sample)
+      val strFields = parsed.schema.fields.filter(_.dataType == StringType).map(_.name)
+      if (strFields.isEmpty) parsed.schema
+      else {
+        val maxRow = parsed.agg(
+          coalesce(max(length(col(strFields.head))), lit(0)).as(strFields.head),
+          strFields.tail.map(f => coalesce(max(length(col(f))), lit(0)).as(f)): _*).first()
+        StructType(parsed.schema.fields.map {
+          case f @ StructField(name, StringType, _, _) =>
+            f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("max_length", maxRow.getAs[Number](name).longValue).build())
+          case f => f
+        })
+      }
+    } finally { sample.unpersist(); () }
   }
+
+  /** Infer from raw JSON docs and register the result: a later, wider
+    * batch (new field, widened type, longer strings) bumps the version;
+    * an identical batch no-ops. */
+  def registerInferred(spark: SparkSession, docs: Dataset[String], root: String,
+                       table: String, sampleSize: Int = 1000): Int =
+    registerSchema(infer(spark, docs, sampleSize), root, table)
 
   /** Latest registered schema, if any (s3_helper.py:196-230). */
   def latest(root: String, table: String): Option[(Int, StructType)] =

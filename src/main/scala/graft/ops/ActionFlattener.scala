@@ -20,8 +20,17 @@ object ActionFlattener {
   /** Flatten nested actions with schema:
     * action_id, ingredients: array<struct<ingredient_id, name, qty,
     *   batches: array<struct<batch_number, lot>>,
-    *   additions: map<vessel, qty>>>. */
-  def flatten(actions: DataFrame): DataFrame =
+    *   additions: map<vessel, qty>>>.
+    *
+    * @param distributeQty parity flag, default OFF = reference behavior
+    *   (full per-ingredient qty repeated on every batch row, inflating
+    *   totals by the batch count). ON divides qty by `size(batches)` so
+    *   per-ingredient totals are conserved — the refinement the reference
+    *   comment asks for, behind a flag per SURVEY's "parity first, fixes
+    *   behind flags" rule. */
+  def flatten(actions: DataFrame, distributeQty: Boolean = false): DataFrame = {
+    val qtyOut =
+      if (distributeQty) col("qty") / col("n_batches") else col("qty")
     actions
       .select(col("action_id"), explode(col("ingredients")).as("ing"))
       .select(
@@ -29,6 +38,7 @@ object ActionFlattener {
         col("ing.ingredient_id").as("ingredient_id"),
         col("ing.name").as("ingredient_name"),
         col("ing.qty").as("qty"),
+        size(col("ing.batches")).as("n_batches"),
         explode(col("ing.batches")).as("batch"),
         col("ing.additions").as("additions"))
       .select(
@@ -36,11 +46,13 @@ object ActionFlattener {
         col("batch.batch_number").as("batch_number"),
         col("batch.lot").as("lot"),
         explode(map_entries(col("additions"))).as("add"),
-        col("qty"))
+        col("qty"), col("n_batches"))
       .select(
         col("action_id"), col("ingredient_id"), col("ingredient_name"),
         col("batch_number"), col("lot"),
         col("add.key").as("vessel"),
-        // full per-ingredient qty on every (batch, vessel) row — the quirk
-        col("qty"))
+        // default: full per-ingredient qty on every (batch, vessel) row —
+        // the reference quirk, byte-identical to the oracle
+        qtyOut.as("qty"))
+  }
 }

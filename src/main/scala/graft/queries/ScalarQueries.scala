@@ -168,6 +168,48 @@ object ScalarQueries {
       }),
 
     Q(
+      "f19_sanitize",
+      """F19 NaN/Inf sanitize (safe_convert_value, main.py:154-176):
+        |ratios engineered to produce real +Inf / -Inf / NaN rows
+        |(division by an exactly-zero double), sanitized to null exactly
+        |as the reference does before JSON serialization; flags prove the
+        |special values actually occurred. Pure scan-side expressions —
+        |the only shuffle is the output-contract sort.""".stripMargin,
+      Some(
+        """WITH r AS (
+          |  SELECT l_orderkey, l_linenumber,
+          |         l_quantity / (l_discount - 0.05) AS qty_ratio_raw,
+          |         (l_discount - 0.05) / (l_discount - 0.05) AS self_ratio_raw,
+          |         -l_quantity / (l_discount - 0.05) AS neg_ratio_raw
+          |  FROM lineitem)
+          |SELECT l_orderkey, l_linenumber,
+          |       COALESCE(isnan(self_ratio_raw), FALSE) AS was_nan,
+          |       COALESCE(isinf(qty_ratio_raw), FALSE) AS was_inf,
+          |       round(CASE WHEN isnan(qty_ratio_raw) OR isinf(qty_ratio_raw)
+          |             THEN NULL ELSE qty_ratio_raw END, 6) AS qty_ratio,
+          |       round(CASE WHEN isnan(self_ratio_raw) OR isinf(self_ratio_raw)
+          |             THEN NULL ELSE self_ratio_raw END, 6) AS self_ratio,
+          |       round(CASE WHEN isnan(neg_ratio_raw) OR isinf(neg_ratio_raw)
+          |             THEN NULL ELSE neg_ratio_raw END, 6) AS neg_ratio
+          |FROM r
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => {
+        val denom = col("l_discount") - 0.05
+        val qtyRatioRaw = col("l_quantity") / denom
+        val selfRatioRaw = denom / denom
+        val negRatioRaw = -col("l_quantity") / denom
+        val isInf = (c: org.apache.spark.sql.Column) => abs(c) === Double.PositiveInfinity
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          coalesce(isnan(selfRatioRaw), lit(false)).as("was_nan"),
+          coalesce(isInf(qtyRatioRaw), lit(false)).as("was_inf"),
+          round(Quantities.jsonSafe(qtyRatioRaw), 6).as("qty_ratio"),
+          round(Quantities.jsonSafe(selfRatioRaw), 6).as("self_ratio"),
+          round(Quantities.jsonSafe(negRatioRaw), 6).as("neg_ratio"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    Q(
       "f15_json_expand",
       """F15: JSON-string column expansion with prefixed flatten
         |(main.py:128-150) over events.props, then a grouped rollup on the

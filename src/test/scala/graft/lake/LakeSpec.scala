@@ -82,4 +82,36 @@ class LakeSpec extends SparkSpec {
     assert(latestV === 2 && latestSchema.fieldNames.toSeq === Seq("id", "name", "qty"))
     assert(SchemaRegistry.ddl(root, "t").get.startsWith("CREATE TABLE t ("))
   }
+
+  test("sample-based JSON schema inference: null backfill, widening, max-length, versioning") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("inferred").toString
+
+    // first record has a NULL qty — the reference backfills its type from
+    // a later record (schema_manager.py:177-190); merged inference does
+    // the same without order sensitivity
+    val batch1 = Seq(
+      """{"item": "widget", "qty": null}""",
+      """{"item": "flange-xl", "qty": 3}""").toDS()
+    val s1 = SchemaRegistry.infer(spark, batch1)
+    assert(s1("qty").dataType === LongType, s1)
+    assert(s1("item").dataType === StringType)
+    // max-length scan over the sample (the reference's VARCHAR sizing)
+    assert(s1("item").metadata.getLong("max_length") === 9)
+    assert(SchemaRegistry.registerInferred(spark, batch1, root, "feed") === 1)
+
+    // identical batch no-ops the version
+    assert(SchemaRegistry.registerInferred(spark, batch1, root, "feed") === 1)
+
+    // a later batch widens qty (long -> double), grows item's max length,
+    // and adds a field -> new version with the widened schema
+    val batch2 = Seq(
+      """{"item": "widget-extra-long", "qty": 3.5, "lot": "L1"}""").toDS()
+    val v2 = SchemaRegistry.registerInferred(spark, batch2, root, "feed")
+    assert(v2 === 2)
+    val (_, s2) = SchemaRegistry.latest(root, "feed").get
+    assert(s2("qty").dataType === DoubleType, s2)
+    assert(s2("item").metadata.getLong("max_length") === 17)
+    assert(s2.fieldNames.contains("lot"))
+  }
 }

@@ -53,7 +53,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("scan-side operators have at most the output-sort shuffle") {
     Seq("t_token_quality", "t_fingerprints", "f5_f7_transaction_ids",
-      "mm_media_stats").foreach { q =>
+      "mm_media_stats", "f19_sanitize").foreach { q =>
       withClue(q) { assert(shuffles(plan(q)).length <= 1, s"$q grew a shuffle") }
     }
   }

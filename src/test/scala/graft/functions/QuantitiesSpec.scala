@@ -57,4 +57,14 @@ class QuantitiesSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(id === "Flour_L001_V1_2.5")
   }
+
+  test("F19 jsonSafe: NaN and both infinities null out, finite and null pass through") {
+    val out = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -2.5).toDF("v")
+      .unionByName(Seq.empty[Option[Double]].toDF("v")) // keep nullable type
+      .unionByName(Seq(Option.empty[Double]).toDF("v"))
+      .select(Quantities.jsonSafe($"v").as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(out === Seq(None, None, None, Some(0.0), Some(-2.5), None))
+  }
 }

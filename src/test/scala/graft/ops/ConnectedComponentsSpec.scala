@@ -40,6 +40,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(rounds <= 4, s"took $rounds rounds")
   }
 
+  test("random key-group graphs match a driver-side union-find oracle") {
+    // the operator's input shape: nodes tagged with two blocking keys;
+    // ground truth = union-find over the full cliques those keys imply
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 60 + trial * 40
+      val rows = (0 until n).map { id =>
+        (id.toLong, s"k1-${rnd.nextInt(12)}", s"k2-${rnd.nextInt(18)}")
+      }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      def unite(a: Int, b: Int): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      Seq(1, 2).foreach { ki =>
+        rows.groupBy(r => if (ki == 1) r._2 else r._3).values.foreach { g =>
+          g.sliding(2).foreach { case Seq(a, b) => unite(a._1.toInt, b._1.toInt); case _ => () }
+        }
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val members = rows.toDF("id", "k1", "k2")
+      val edges = ConnectedComponents.starEdges(members, "id", "k1")
+        .union(ConnectedComponents.starEdges(members, "id", "k2"))
+      val (labels, rounds) = ConnectedComponents.run(members, edges, "id")
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial (n=$n, rounds=$rounds)")
+    }
+  }
+
   test("dd_conn_components converges in <= 3 rounds at sf0.001") {
     // the real query shape: star edges on norm_key + winnow_fp over the
     // documents table — duplicate groups are shallow stars, so the loop

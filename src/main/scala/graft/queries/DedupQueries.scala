@@ -266,5 +266,42 @@ object DedupQueries {
           .select(col("doc_id"), concat((1 to 32).map(bit): _*).as("simhash"))
         fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("simhash")))
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "dd_contamination",
+      """Benchmark-contamination check: flag corpus documents sharing any
+        |word n-gram with a held-out benchmark set (here the deterministic
+        |doc_id % 97 == 0 slice standing in for an eval suite; 3-grams
+        |because the synthetic vocabulary is tiny — real corpora use
+        |8-13-grams). Per-doc DISTINCT shingles explode scan-side; the
+        |benchmark side is distinct'd then BROADCAST (eval suites are
+        |small by construction), so the corpus never shuffles. At 100 TB
+        |the join key becomes xxhash64(shingle) to shrink the broadcast;
+        |the shape is unchanged.""".stripMargin,
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |           FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+          |       FROM t WHERE len(toks) >= 3),
+          |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+          |SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
+          |FROM sh c JOIN bench b ON c.s = b.s
+          |WHERE c.doc_id % 97 <> 0
+          |GROUP BY 1
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(Text.shinglesOfTokens(col("toks"), 3))).as("s"))
+        val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), "s")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("s")).as("n_shared"))
+          .orderBy("doc_id")
       }))
 }

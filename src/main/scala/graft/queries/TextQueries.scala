@@ -168,5 +168,81 @@ object TextQueries {
             Text.fingerprint(col("text")).as("fp"),
             Text.winnowOfTokens(col("toks"), 5).as("winnow_fp"),
             substring(Text.fingerprint(col("text")), 1, 2).as("shard_bucket"))
-          .orderBy("doc_id")))
+          .orderBy("doc_id")),
+
+    Q(
+      "t_repetition_quality",
+      """Repetition-based quality filter (the Gopher/MassiveText rule
+        |family): per document — distinct-token ratio, duplicate-trigram
+        |fraction, and top-bigram fraction (share of bigram slots taken by
+        |the single most frequent bigram), with a keep/drop flag over all
+        |three. The oracle computes the top bigram the textbook way
+        |(explode + GROUP BY + MAX); the engine gets the identical number
+        |ROW-LOCALLY — sort the bigram array and fold the longest equal
+        |run — so at 100 TB this runs entirely at the scan with zero
+        |shuffle, while the explode form shuffles every bigram slot in
+        |the corpus. Same semantics, better plan.""".stripMargin,
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+          |base AS (
+          |  SELECT doc_id, len(toks) AS n_toks,
+          |         len(list_distinct(toks)) AS n_uniq,
+          |         list_transform(range(len(toks)-1),
+          |           i -> toks[i+1] || ' ' || toks[i+2]) AS bgs,
+          |         list_transform(range(len(toks)-2),
+          |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS tgs
+          |  FROM t),
+          |bgc AS (
+          |  SELECT doc_id, MAX(c) AS top_c FROM (
+          |    SELECT doc_id, bg, COUNT(*) AS c
+          |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) GROUP BY 1, 2)
+          |  GROUP BY 1)
+          |SELECT b.doc_id, b.n_toks,
+          |       round(CAST(b.n_uniq AS DOUBLE) / b.n_toks, 6) AS uniq_token_ratio,
+          |       round(1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE)
+          |               / NULLIF(len(tgs), 0), 6) AS dup_trigram_frac,
+          |       round(CAST(g.top_c AS DOUBLE) / NULLIF(len(bgs), 0), 6) AS top_bigram_frac,
+          |       (round(CAST(b.n_uniq AS DOUBLE) / b.n_toks, 6) >= 0.4
+          |        AND round(1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE)
+          |                    / NULLIF(len(tgs), 0), 6) <= 0.02
+          |        AND round(CAST(g.top_c AS DOUBLE) / NULLIF(len(bgs), 0), 6) <= 0.06)
+          |         AS keep
+          |FROM base b LEFT JOIN bgc g USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        // longest equal run in the SORTED bigram array == the explode/
+        // groupBy/max count, computed without leaving the row
+        val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+        val topC = aggregate(array_sort(col("bgs")), zero,
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+              .otherwise(lit(1))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
+        val uniqRatio =
+          round(col("n_uniq").cast("double") / col("n_toks"), 6)
+        val dupTri = round(lit(1.0) - size(array_distinct(col("tgs"))).cast("double") /
+          when(size(col("tgs")) > 0, size(col("tgs"))), 6)
+        val topBg = round(topC.cast("double") /
+          when(size(col("bgs")) > 0, size(col("bgs"))), 6)
+        Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .withColumn("bgs", Text.shinglesOfTokens(col("toks"), 2))
+          .withColumn("tgs", Text.shinglesOfTokens(col("toks"), 3))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_toks"),
+            size(array_distinct(col("toks"))).as("n_uniq"),
+            col("bgs"), col("tgs"))
+          .select(
+            col("doc_id"), col("n_toks"),
+            uniqRatio.as("uniq_token_ratio"),
+            dupTri.as("dup_trigram_frac"),
+            topBg.as("top_bigram_frac"),
+            (uniqRatio >= 0.4 && dupTri <= 0.02 && topBg <= 0.06).as("keep"))
+          .orderBy("doc_id")
+      }))
 }

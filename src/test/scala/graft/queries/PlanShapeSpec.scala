@@ -53,9 +53,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("scan-side operators have at most the output-sort shuffle") {
     Seq("t_token_quality", "t_fingerprints", "f5_f7_transaction_ids",
-      "mm_media_stats", "f19_sanitize").foreach { q =>
+      "mm_media_stats", "f19_sanitize", "t_repetition_quality",
+      "f20_cache_key").foreach { q =>
       withClue(q) { assert(shuffles(plan(q)).length <= 1, s"$q grew a shuffle") }
     }
+  }
+
+  test("contamination check broadcasts the benchmark side (corpus never shuffles for the join)") {
+    assert(bcasts(plan("dd_contamination")).nonEmpty,
+      "dd_contamination lost its benchmark broadcast")
   }
 
   test("top-k latest plans as TakeOrderedAndProject, not a global sort") {

@@ -303,5 +303,54 @@ object DedupQueries {
           .groupBy("doc_id")
           .agg(countDistinct(col("s")).as("n_shared"))
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "dd_incremental",
+      """Incremental dedup: a new crawl batch (the deterministic doc_id %
+        |5 == 0 slice) deduped against the historical corpus (the rest)
+        |by normalized content key — the daily-ingest shape where history
+        |is a persisted key index, not a rescan. Verdict per incoming doc:
+        |dup_history (key already indexed), dup_batch (key repeats inside
+        |the batch; first doc_id wins), new. The history side is
+        |key-sized, not corpus-sized, and the join shuffles ONLY on the
+        |key column; at scale the index lives bucketed-by-key (see
+        |BucketedJoinSpec) so only the small incoming batch moves —
+        |cross-run persistence of the index is the DispatchState
+        |versioned-snapshot pattern.""".stripMargin,
+      Some(
+        """WITH k AS (
+          |  SELECT doc_id,
+          |         md5(array_to_string(list_sort(list_distinct(
+          |           string_split(lower(trim(text)), ' '))), ' ')) AS norm_key
+          |  FROM documents),
+          |hist AS (SELECT DISTINCT norm_key FROM k WHERE doc_id % 5 <> 0),
+          |inc AS (SELECT doc_id, norm_key FROM k WHERE doc_id % 5 = 0),
+          |firsts AS (SELECT norm_key, MIN(doc_id) AS first_id FROM inc GROUP BY 1)
+          |SELECT i.doc_id, i.norm_key,
+          |       CASE WHEN h.norm_key IS NOT NULL THEN 'dup_history'
+          |            WHEN i.doc_id <> f.first_id THEN 'dup_batch'
+          |            ELSE 'new' END AS verdict
+          |FROM inc i
+          |LEFT JOIN hist h ON i.norm_key = h.norm_key
+          |JOIN firsts f ON i.norm_key = f.norm_key
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val k = Tables.documents(s, dir)
+          .select(col("doc_id"), Text.normalizedKey(col("text")).as("norm_key"))
+        val hist = k.filter(col("doc_id") % 5 =!= 0)
+          .select("norm_key").distinct()
+          .withColumn("in_hist", lit(true))
+        val inc = k.filter(col("doc_id") % 5 === 0)
+        inc
+          .withColumn("first_id",
+            min("doc_id").over(Window.partitionBy("norm_key")))
+          .join(hist, Seq("norm_key"), "left")
+          .select(
+            col("doc_id"), col("norm_key"),
+            when(col("in_hist"), "dup_history")
+              .when(col("doc_id") =!= col("first_id"), "dup_batch")
+              .otherwise("new").as("verdict"))
+          .orderBy("doc_id")
       }))
 }

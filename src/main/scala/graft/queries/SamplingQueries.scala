@@ -235,5 +235,48 @@ object SamplingQueries {
             count(when(col("winner"), true)).as("n_kept"),
             sum(when(col("winner"), col("n_tokens"))).as("kept_tokens"))
           .orderBy("source")
+      }),
+
+    Q(
+      "s_chunk_overlap",
+      """Sliding-window chunking with overlap: long documents cut into
+        |40-token windows at stride 30 (10-token overlap), the standard
+        |long-document preparation before packing/embedding. Chunk starts
+        |are a row-local `sequence`, the windows a row-local `slice` —
+        |the only row growth is the ~n/stride generator fan-out at the
+        |scan (like the action flattener), no shuffle until the output
+        |sort. Chunks are reported by md5 so the output stays key-sized
+        |at any document length.""".stripMargin,
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |           FROM documents),
+          |c AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(range(len(range(0, len(toks), 30))),
+          |           i -> {chunk_id: i,
+          |                 start_tok: i*30,
+          |                 chunk: toks[i*30+1 : i*30+40]})) AS u
+          |  FROM t)
+          |SELECT doc_id, u.chunk_id AS chunk_id, u.start_tok AS start_tok,
+          |       len(u.chunk) AS n_chunk_toks,
+          |       md5(array_to_string(u.chunk, ' ')) AS chunk_md5
+          |FROM c
+          |ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, dir) => {
+        val stride = 30
+        val width = 40
+        Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), size(col("toks")) - 1, lit(stride)),
+              st => slice(col("toks"), st + 1, lit(width)))))
+          .select(
+            col("doc_id"),
+            col("pos").as("chunk_id"),
+            (col("pos") * stride).as("start_tok"),
+            size(col("col")).as("n_chunk_toks"),
+            md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
       }))
 }

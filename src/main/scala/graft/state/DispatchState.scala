@@ -1,7 +1,7 @@
 package graft.state
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** K4 + J5 — the exactly-once dispatch state (SURVEY.md §2.2/§2.4;
@@ -33,47 +33,9 @@ import org.apache.spark.sql.functions._
   */
 object DispatchState {
   private val keyCol = "unique_transaction_id"
-  private val VersionDir = """v-(\d+)""".r
-
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
-
-  /** Versions that finished writing (parquet job committed `_SUCCESS`). */
-  private def completeVersions(hfs: FileSystem, dir: String): Seq[Long] = {
-    val base = new Path(dir)
-    if (!hfs.exists(base)) Seq.empty
-    else
-      hfs.listStatus(base).toSeq.collect {
-        case st if st.isDirectory =>
-          st.getPath.getName match {
-            case VersionDir(n) if hfs.exists(new Path(st.getPath, "_SUCCESS")) =>
-              Some(n.toLong)
-            case _ => None
-          }
-      }.flatten.sorted
-  }
-
-  /** The live version: the pointer if it names a complete version,
-    * else the highest complete version on disk (pointer lost/corrupt —
-    * the recovery path), else None (fresh state). */
-  private def currentVersion(hfs: FileSystem, dir: String): Option[Long] = {
-    val ptr = new Path(s"$dir/CURRENT")
-    val pointed =
-      if (!hfs.exists(ptr)) None
-      else {
-        val in = hfs.open(ptr)
-        try {
-          val txt = scala.io.Source.fromInputStream(in).mkString.trim
-          txt.toLongOption.filter(n =>
-            hfs.exists(new Path(s"$dir/v-$n/_SUCCESS")))
-        } catch { case _: Exception => None }
-        finally in.close()
-      }
-    pointed.orElse(completeVersions(hfs, dir).lastOption)
-  }
 
   def read(spark: SparkSession, dir: String): DataFrame =
-    currentVersion(fs(spark), dir) match {
+    Snapshots.currentVersion(Snapshots.fs(spark), dir) match {
       case Some(n) => spark.read.parquet(s"$dir/v-$n")
       case None =>
         // migration path: a state dir written by the earlier delete-and-
@@ -82,7 +44,7 @@ object DispatchState {
         // failure this class prevents), so read the legacy table; the
         // next upsert folds it into v-1 and the pointer takes over.
         val legacy = new Path(s"$dir/current")
-        if (fs(spark).exists(legacy)) spark.read.parquet(legacy.toString)
+        if (Snapshots.fs(spark).exists(legacy)) spark.read.parquet(legacy.toString)
         else
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -104,8 +66,6 @@ object DispatchState {
     * only after the pointer is durable. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val hfs = fs(spark)
-    val cur = currentVersion(hfs, dir)
     val merged = read(spark, dir)
       .unionByName(updates.select(col(keyCol), col("status"), col("detail"), col("updated_at")))
       .withColumn("rn", row_number().over(
@@ -113,17 +73,6 @@ object DispatchState {
           .orderBy(col("updated_at").desc, (col("status") === "done").desc)))
       .filter(col("rn") === 1)
       .drop("rn")
-    val next = cur.getOrElse(0L) + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$dir/v-$next")
-    // Publish: overwrite the tiny pointer file in one create — atomic on
-    // HDFS (create+close) and on object stores (single PUT). Readers that
-    // race see either the old or the new pointer, both complete snapshots.
-    val out = hfs.create(new Path(s"$dir/CURRENT"), true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    // Prune: keep the new version and its predecessor (crash-recovery
-    // copy); anything older is garbage.
-    completeVersions(hfs, dir)
-      .filter(v => v != next && cur.forall(v < _))
-      .foreach(v => hfs.delete(new Path(s"$dir/v-$v"), true))
+    Snapshots.publish(spark, dir, merged)
   }
 }

@@ -2,8 +2,7 @@ package graft.state
 
 import java.sql.Timestamp
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -17,16 +16,12 @@ import org.apache.spark.sql.types.StructType
   * (session_helper.py:53-60 `cleanup_expired_sessions`). A re-put of an
   * existing key replaces the payload (UNIQUE session_id).
   *
-  * Storage reuses the [[DispatchState]] discipline: immutable `v-<n>/`
-  * snapshots plus a tiny `CURRENT` pointer written last, so a crash at any
-  * point leaves a complete previous snapshot — never a lost store. The
+  * Storage is the shared [[Snapshots]] crash-safe versioned layout. The
   * "current time" is an explicit argument instead of a wall-clock read:
   * that keeps every spec deterministic and is exactly how the lookback
   * predicates elsewhere in the engine treat time. At scale the snapshot
   * becomes a Delta/Iceberg table and `cleanup` a partition-drop on an
   * `expires_at` date partition; the API here doesn't change.
-  *
-  * Single-writer semantics, matching the reference's serialized API calls.
   */
 object SessionStore {
   private val schema = StructType.fromDDL(
@@ -34,48 +29,9 @@ object SessionStore {
 
   val DefaultTtlSeconds: Long = 3600L // session_helper.py:43 INTERVAL '1 hour'
 
-  private val VersionDir = """v-(\d+)""".r
-
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
-
-  private def completeVersions(hfs: FileSystem, dir: String): Seq[Long] = {
-    val base = new Path(dir)
-    if (!hfs.exists(base)) Seq.empty
-    else
-      hfs.listStatus(base).toSeq.collect {
-        case st if st.isDirectory =>
-          st.getPath.getName match {
-            case VersionDir(n) if hfs.exists(new Path(st.getPath, "_SUCCESS")) =>
-              Some(n.toLong)
-            case _ => None
-          }
-      }.flatten.sorted
-  }
-
-  private def currentVersion(hfs: FileSystem, dir: String): Option[Long] = {
-    val ptr = new Path(s"$dir/CURRENT")
-    val pointed =
-      if (!hfs.exists(ptr)) None
-      else {
-        val in = hfs.open(ptr)
-        try {
-          scala.io.Source.fromInputStream(in).mkString.trim.toLongOption
-            .filter(n => hfs.exists(new Path(s"$dir/v-$n/_SUCCESS")))
-        } catch { case _: Exception => None }
-        finally in.close()
-      }
-    pointed.orElse(completeVersions(hfs, dir).lastOption)
-  }
-
   /** Every stored row, expired or not (the cleanup/audit view). */
   def readAll(spark: SparkSession, dir: String): DataFrame =
-    currentVersion(fs(spark), dir) match {
-      case Some(n) => spark.read.parquet(s"$dir/v-$n")
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    Snapshots.read(spark, dir, schema)
 
   /** Store a payload under `sessionId`, replacing any existing row for the
     * key (session_helper.py:75-79 + the UNIQUE constraint at :41). Expired
@@ -88,7 +44,7 @@ object SessionStore {
     val expires = new Timestamp(now.getTime + ttlSeconds * 1000L)
     val incoming = Seq((sessionId, payload, now, expires))
       .toDF("session_id", "payload", "created_at", "expires_at")
-    publish(spark, dir,
+    Snapshots.publish(spark, dir,
       readAll(spark, dir)
         .filter(col("expires_at") > lit(now))
         .unionByName(incoming)
@@ -112,20 +68,8 @@ object SessionStore {
   /** Drop every expired row (session_helper.py:53-60). Returns the number
     * of live sessions remaining. */
   def cleanup(spark: SparkSession, dir: String, now: Timestamp): Long = {
-    val live = readAll(spark, dir).filter(col("expires_at") > lit(now))
-    publish(spark, dir, live)
+    Snapshots.publish(spark, dir,
+      readAll(spark, dir).filter(col("expires_at") > lit(now)))
     readAll(spark, dir).count()
-  }
-
-  private def publish(spark: SparkSession, dir: String, snapshot: DataFrame): Unit = {
-    val hfs = fs(spark)
-    val cur = currentVersion(hfs, dir)
-    val next = cur.getOrElse(0L) + 1
-    snapshot.write.mode(SaveMode.Overwrite).parquet(s"$dir/v-$next")
-    val out = hfs.create(new Path(s"$dir/CURRENT"), true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    completeVersions(hfs, dir)
-      .filter(v => v != next && cur.forall(v < _))
-      .foreach(v => hfs.delete(new Path(s"$dir/v-$v"), true))
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import graft.functions.Quantities
-import graft.state.DispatchState
+import graft.functions.{Quantities, Text}
+import graft.state.{DispatchState, KeyIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -255,6 +255,43 @@ object MicroBatchPipeline {
               lit("dispatched").as("detail"),
               current_timestamp().as("updated_at")))
         } finally pending.unpersist()
+      }
+  }
+
+  /** Streaming incremental corpus ingest — the stateful twin of query
+    * `dd_incremental`: each micro-batch of documents is deduped first
+    * WITHIN the batch (first doc_id per normalized content key wins,
+    * mirroring the batch query's dup_batch rule), then against the
+    * persistent [[KeyIndex]] of every key ever ingested (dup_history);
+    * survivors are handed to `emit` (lake append in production) and their
+    * keys folded into the index. Replaying a crashed batch is idempotent:
+    * KeyIndex.add is first-writer-wins and the re-run's survivors are the
+    * same rows.
+    *
+    * The index frame is key-sized, never corpus-sized; at 100 TB it lives
+    * bucketed by key so the anti-join shuffles only the incoming batch.
+    */
+  def ingestDedupStream(
+      documents: DataFrame,
+      indexDir: String,
+      emit: DataFrame => Unit): DataStreamWriter[Row] = {
+    documents.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val keyed = batch
+          .withColumn("norm_key", Text.normalizedKey(col("text")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("norm_key").orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .drop("rn")
+        val fresh = KeyIndex.newRows(keyed, "norm_key", spark, indexDir)
+          .persist()
+        try {
+          emit(fresh)
+          KeyIndex.add(spark, indexDir, fresh.select("norm_key"), batchId)
+        } finally fresh.unpersist()
       }
   }
 }

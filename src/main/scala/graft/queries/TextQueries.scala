@@ -244,5 +244,44 @@ object TextQueries {
             topBg.as("top_bigram_frac"),
             (uniqRatio >= 0.4 && dupTri <= 0.02 && topBg <= 0.06).as("keep"))
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "t_vocab_topk",
+      """Vocabulary building: global token frequencies with rank and
+        |cumulative coverage share — the heavy-hitter pass a tokenizer
+        |training run makes over the corpus. The token explode feeds a
+        |partial->final hash aggregate (shuffle carries vocab
+        |cardinality, not token occurrences); the rank/cumulative window
+        |runs AFTER aggregation over vocab-sized data (fits one
+        |partition at any corpus size — vocabularies are bounded).
+        |Ties break by token text for determinism.""".stripMargin,
+      Some(
+        """WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+          |             FROM documents),
+          |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+          |SELECT token, n,
+          |       CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+          |       round(CAST(SUM(n) OVER (ORDER BY n DESC, token
+          |                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+          |             / (SELECT SUM(n) FROM cnt), 6) AS cum_share
+          |FROM cnt
+          |ORDER BY rank""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = Tables.documents(s, dir)
+          .select(explode(Text.tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("n").desc, col("token"))
+        val total = cnt.agg(sum("n").as("total"))
+        cnt
+          .crossJoin(broadcast(total))
+          .select(
+            col("token"), col("n"),
+            row_number().over(w).cast("long").as("rank"),
+            round(sum("n").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("double") / col("total"), 6).as("cum_share"))
+          .orderBy("rank")
       }))
 }

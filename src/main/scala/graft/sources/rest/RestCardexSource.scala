@@ -3,6 +3,7 @@ package graft.sources.rest
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, IsNotNull}
 import org.apache.spark.sql.types._
@@ -101,6 +102,15 @@ object FakeCardexApi {
   private val attemptCounts = new java.util.concurrent.ConcurrentHashMap[(String, Int), Integer]()
   private val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
 
+  // Streaming-mode server state: how many pages the API has published so
+  // far for a runId (the fake analog of "new cardex rows appeared since
+  // the last poll"). Unset runIds fall back to the reader's `pages`
+  // option, so batch reads are unaffected.
+  private val published = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def publishPages(runId: String, n: Int): Unit = published.put(runId, n)
+  def publishedPages(runId: String, default: Int): Int =
+    Option(published.get(runId)).fold(default)(_.intValue)
+
   def attempts(runId: String, page: Int): Int =
     Option(attemptCounts.get((runId, page))).fold(0)(_.intValue)
   def sleepLog(runId: String): Seq[(Int, Long)] =
@@ -180,7 +190,7 @@ class CardexTable(pages: Int, rowsPerPage: Int, retry: RetryConfig) extends Tabl
   override def name(): String = "graft_rest_cardex"
   override def schema(): StructType = FakeCardexApi.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CardexScanBuilder(pages, rowsPerPage, retry)
 }
@@ -239,6 +249,46 @@ class CardexScan(pages: Int, rowsPerPage: Int, required: StructType,
     (0 until pages)
       .filter(p => minDate.forall(_ < FakeCardexApi.pageMinDate(p) + FakeCardexApi.datesPerPage))
       .map(p => CardexPage(p, rowsPerPage, bu, minDate, limit, retry): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CardexReaderFactory(required)
+
+  /** Streaming mode: the source the reference's polling DAGs become. The
+    * offset is "pages published by the API"; every trigger reads exactly
+    * the pages in (lastCommitted, latest] — the incremental `rDate >=
+    * last poll` fetch, but with Spark's checkpointed offset log supplying
+    * the exactly-once bookkeeping the reference hand-rolled with its
+    * status table. Pushdown (bu/date/columns) applies unchanged; a page
+    * already consumed is NEVER re-fetched (asserted in
+    * RestCardexStreamSpec via the API's attempt counters). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CardexMicroBatchStream(pages, rowsPerPage, required, bu, minDate, retry)
+}
+
+/** Offset = number of pages published (a monotone high-watermark, exactly
+  * like a Kafka end-offset or a file-source's seen-files count). */
+case class PageOffset(pages: Int) extends streaming.Offset {
+  override def json(): String = pages.toString
+}
+
+class CardexMicroBatchStream(defaultPages: Int, rowsPerPage: Int,
+                             required: StructType, bu: Option[String],
+                             minDate: Option[Int], retry: RetryConfig)
+    extends MicroBatchStream {
+  override def initialOffset(): streaming.Offset = PageOffset(0)
+  override def latestOffset(): streaming.Offset =
+    PageOffset(FakeCardexApi.publishedPages(retry.runId, defaultPages))
+  override def deserializeOffset(json: String): streaming.Offset =
+    PageOffset(json.toInt)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] =
+    (start.asInstanceOf[PageOffset].pages until end.asInstanceOf[PageOffset].pages)
+      .filter(p => minDate.forall(_ < FakeCardexApi.pageMinDate(p) + FakeCardexApi.datesPerPage))
+      .map(p => CardexPage(p, rowsPerPage, bu, minDate, None, retry): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -96,4 +96,83 @@ object ConnectedComponents {
     e.unpersist()
     (labels, rounds)
   }
+
+  /** Large-star/small-star alternation (the two-phase MapReduce CC of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the at-100 TB variant [[run]]'s docs point to. Where
+    * [[run]] carries a LABEL table through the rounds (edge set constant,
+    * labels shrink), alternation rewrites the EDGE SET itself toward the
+    * star form, which bounds per-round state by the current edge count
+    * and converges in O(log² n) rounds on any graph shape — the property
+    * that matters when components are deep chains rather than the
+    * shallow key-group unions dedup produces.
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its neighborhood (round-local, per-node);
+    *  - small-star: every node folds its smaller-or-equal neighbors onto
+    *    that minimum.
+    *
+    * Both phases are one groupBy-min + one join over the edge list; per
+    * round the set is canonicalized/distinct'd and localCheckpoint'd
+    * (same lineage-truncation discipline as [[run]]; durable
+    * checkpoint() at real scale). Convergence probe: (count, xor-hash)
+    * signature — one tiny job per round.
+    *
+    * Terminal state: every edge is (componentMin, member). Labels follow
+    * by one left join; isolated nodes label themselves.
+    */
+  def alternatingComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
+                            maxRounds: Int = 30): (DataFrame, Int) = {
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      // large-star: m(u) = min(N(u) ∪ {u}); (v, m(u)) for v > u.
+      // m <= u < v, so (m, v) is already canonical.
+      val mins = sym.groupBy("src")
+        .agg(min("dst").as("minNbr"))
+        .select(col("src"), least(col("src"), col("minNbr")).as("m"))
+      val large = sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("m").as("a"), col("dst").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star over large's output: u's smaller neighbors N, m =
+      // min(N); (v, m) for v ∈ N ∪ {u}, v ≠ m. m < v always: canonical.
+      val symL = large.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(large.select(col("b").as("src"), col("a").as("dst")))
+      val smaller = symL.filter(col("dst") < col("src"))
+      val smins = smaller.groupBy("src").agg(min("dst").as("m"))
+      val small = smaller.join(smins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("m").as("a"), col("dst").as("b"))
+        .unionAll(smins.select(col("m").as("a"), col("src").as("b")))
+        .distinct()
+        .localCheckpoint(false)
+      val nextSig = signature(small)
+      stable = nextSig == sig
+      sig = nextSig
+      e = small
+      rounds += 1
+    }
+    // min-agg (not a raw join): at the fixpoint each member carries one
+    // star edge, but if maxRounds cut the loop short a member may still
+    // hold several — min keeps the label well-defined either way
+    val roots = e.groupBy(col("b").as(idCol)).agg(min("a").as("__root"))
+    val labels = nodes.select(col(idCol))
+      .join(roots, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__root"), col(idCol)).as("component"))
+    (labels, rounds)
+  }
 }

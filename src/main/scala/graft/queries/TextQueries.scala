@@ -273,15 +273,18 @@ object TextQueries {
           .select(explode(Text.tokens(col("text"))).as("token"))
           .groupBy("token")
           .agg(count(lit(1)).as("n"))
+        // total corpus tokens as a FULL-FRAME sum over the same window
+        // sort — one scan, one agg, one window; a separate agg+crossJoin
+        // would scan and explode the corpus twice
         val w = Window.orderBy(col("n").desc, col("token"))
-        val total = cnt.agg(sum("n").as("total"))
-        cnt
-          .crossJoin(broadcast(total))
-          .select(
-            col("token"), col("n"),
-            row_number().over(w).cast("long").as("rank"),
-            round(sum("n").over(w.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow)).cast("double") / col("total"), 6).as("cum_share"))
+        val cum = sum("n").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val tot = sum("n").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        cnt.select(
+          col("token"), col("n"),
+          row_number().over(w).cast("long").as("rank"),
+          round(cum.cast("double") / tot, 6).as("cum_share"))
           .orderBy("rank")
       }))
 }

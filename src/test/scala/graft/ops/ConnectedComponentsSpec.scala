@@ -67,6 +67,45 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("large/small-star alternation agrees with label propagation and union-find") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 50 + trial * 50
+      // random sparse edges, including some self-contained clusters
+      val raw = (0 until (n * 3 / 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0 until n).map(_.toLong).toDF("id")
+      val edges = raw.toDF("src", "dst")
+      val (alt, altRounds) =
+        ConnectedComponents.alternatingComponents(nodes, edges, "id")
+      val gotAlt = alt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotAlt === expected, s"trial $trial alternation (rounds=$altRounds)")
+      val symmetric = edges.unionAll(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      val (lab, _) = ConnectedComponents.run(nodes, symmetric, "id")
+      val gotLab = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLab === expected, s"trial $trial label-prop")
+    }
+  }
+
+  test("alternation collapses a deep chain in logarithmic rounds") {
+    // a 256-node path — the depth shape where per-key stars do not exist
+    // and plain neighbor propagation would need ~n rounds without halving
+    val n = 256
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val (labels, rounds) = ConnectedComponents.alternatingComponents(nodes, edges, "id")
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    assert(rounds <= 12, s"took $rounds rounds for a ${n}-chain")
+  }
+
   test("dd_conn_components converges in <= 3 rounds at sf0.001") {
     // the real query shape: star edges on norm_key + winnow_fp over the
     // documents table — duplicate groups are shallow stars, so the loop

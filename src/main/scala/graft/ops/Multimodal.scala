@@ -123,4 +123,25 @@ object Multimodal {
         length(col("blob")).as("n_bytes"),
         md5(col("blob")).as("digest")) ++ frames: _*)
   }
+
+  /** Frame-extraction MANIFEST: one row per strided window over each
+    * asset's bytes — frame index, byte offset, window digest. This is the
+    * planning step a distributed decode fans out over (each manifest row
+    * becomes one decode task keyed by (asset, offset)); deriving it is
+    * pure metadata arithmetic (row-local sequence + slice), so the
+    * manifest is cheap at any corpus size and the expensive codec work
+    * downstream is exactly sized to the frames actually sampled. */
+  def frameManifest(media: DataFrame, window: Int, stride: Int): DataFrame = {
+    val nFrames = (floor((length(col("blob")) - window) / stride) + 1).cast("int")
+    media
+      .filter(length(col("blob")) >= window)
+      .select(col("media_id"), col("kind"), col("blob"),
+        posexplode(sequence(lit(0), nFrames - 1)))
+      .select(
+        col("media_id"), col("kind"),
+        col("pos").cast("long").as("frame_id"),
+        (col("pos").cast("long") * stride).as("byte_off"),
+        md5(col("blob").substr(col("pos") * stride + 1, lit(window)))
+          .as("frame_digest"))
+  }
 }

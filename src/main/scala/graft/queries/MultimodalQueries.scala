@@ -29,5 +29,34 @@ object MultimodalQueries {
       (s, dir) =>
         Multimodal.mediaStats(
           Multimodal.synthesize(Tables.documents(s, dir)), frameLen = 16, nFrames = 3)
-          .orderBy("media_id")))
+          .orderBy("media_id")),
+
+    Q(
+      "mm_frame_manifest",
+      """Frame-sampling manifest: one row per 16-byte window at stride 32
+        |over each asset — frame index, byte offset, window digest. The
+        |planning step a distributed decode fans out over (each row = one
+        |decode task keyed by asset+offset); pure row-local metadata
+        |arithmetic, generator fan-out at the scan, no shuffle. The oracle
+        |runs on the blob's text twin (byte-identical for these UTF-8
+        |assets), proving the binary slicing exact.""".stripMargin,
+      Some(
+        """WITH m AS (
+          |  SELECT doc_id AS media_id,
+          |         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+          |         text, length(text) AS n_bytes
+          |  FROM documents),
+          |f AS (SELECT media_id, kind, text,
+          |        unnest(range((n_bytes - 16) // 32 + 1)) AS frame_id
+          |      FROM m WHERE n_bytes >= 16)
+          |SELECT media_id, kind,
+          |       CAST(frame_id AS BIGINT) AS frame_id,
+          |       CAST(frame_id * 32 AS BIGINT) AS byte_off,
+          |       md5(substr(text, CAST(frame_id * 32 + 1 AS INT), 16)) AS frame_digest
+          |FROM f
+          |ORDER BY media_id, frame_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.frameManifest(
+          Multimodal.synthesize(Tables.documents(s, dir)), window = 16, stride = 32)
+          .orderBy("media_id", "frame_id")))
 }

@@ -27,6 +27,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // size(NULL) = NULL (not the legacy -1): matches DuckDB len(NULL)
+      // so null-text documents yield null stats everywhere instead of
+      // -1-poisoned ratios, and generator bounds built from size() stay
+      // null (emit nothing) rather than throwing on negative lengths.
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as long and convert in Tables.events.

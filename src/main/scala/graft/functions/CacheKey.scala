@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * Param keys are compile-time constants here (they are literal dict keys
   * at every reference call site), so the sort happens at plan time — the
   * whole key derivation stays inside whole-stage codegen with zero UDFs.
+  *
+  * Parity scope — byte-identity with the reference holds for the value
+  * shapes its call sites actually pass (ASCII strings and numbers, the
+  * URL/query-param domain). Two Python-isms are deliberately NOT
+  * reproduced: `json.dumps` default `ensure_ascii=True` escapes non-ASCII
+  * as `\uXXXX` where `to_json` emits raw UTF-8, and Python `str(True)` is
+  * `"True"` where a boolean column casts to `"true"` — callers hashing
+  * such values against reference-derived keys must pre-coerce them to
+  * the reference's string forms first (`when(b, "True").otherwise("False")`).
   */
 object CacheKey {
 

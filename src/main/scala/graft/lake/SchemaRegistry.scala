@@ -71,11 +71,15 @@ object SchemaRegistry {
     try {
       val parsed = spark.read.json(sample)
       val strFields = parsed.schema.fields.filter(_.dataType == StringType).map(_.name)
+      // backtick-quote field references: JSON feeds legally carry dots
+      // (and even backticks) in names, which unquoted col() would parse
+      // as nested access and fail to resolve
+      def fcol(f: String) = col("`" + f.replace("`", "``") + "`")
       if (strFields.isEmpty) parsed.schema
       else {
         val maxRow = parsed.agg(
-          coalesce(max(length(col(strFields.head))), lit(0)).as(strFields.head),
-          strFields.tail.map(f => coalesce(max(length(col(f))), lit(0)).as(f)): _*).first()
+          coalesce(max(length(fcol(strFields.head))), lit(0)).as(strFields.head),
+          strFields.tail.map(f => coalesce(max(length(fcol(f))), lit(0)).as(f)): _*).first()
         StructType(parsed.schema.fields.map {
           case f @ StructField(name, StringType, _, _) =>
             f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)

@@ -23,14 +23,16 @@ object ActionFlattener {
     *   additions: map<vessel, qty>>>.
     *
     * @param distributeQty parity flag, default OFF = reference behavior
-    *   (full per-ingredient qty repeated on every batch row, inflating
-    *   totals by the batch count). ON divides qty by `size(batches)` so
-    *   per-ingredient totals are conserved — the refinement the reference
-    *   comment asks for, behind a flag per SURVEY's "parity first, fixes
-    *   behind flags" rule. */
+    *   (full per-ingredient qty repeated on every emitted row, inflating
+    *   totals by the batch x vessel fan-out). ON divides qty by the FULL
+    *   fan-out `size(batches) * size(additions)` so summing the emitted
+    *   rows returns each ingredient's original qty exactly — the
+    *   refinement the reference comment asks for, behind a flag per
+    *   SURVEY's "parity first, fixes behind flags" rule. */
   def flatten(actions: DataFrame, distributeQty: Boolean = false): DataFrame = {
     val qtyOut =
-      if (distributeQty) col("qty") / col("n_batches") else col("qty")
+      if (distributeQty) col("qty") / (col("n_batches") * col("n_adds"))
+      else col("qty")
     actions
       .select(col("action_id"), explode(col("ingredients")).as("ing"))
       .select(
@@ -39,6 +41,7 @@ object ActionFlattener {
         col("ing.name").as("ingredient_name"),
         col("ing.qty").as("qty"),
         size(col("ing.batches")).as("n_batches"),
+        size(col("ing.additions")).as("n_adds"),
         explode(col("ing.batches")).as("batch"),
         col("ing.additions").as("additions"))
       .select(
@@ -46,7 +49,7 @@ object ActionFlattener {
         col("batch.batch_number").as("batch_number"),
         col("batch.lot").as("lot"),
         explode(map_entries(col("additions"))).as("add"),
-        col("qty"), col("n_batches"))
+        col("qty"), col("n_batches"), col("n_adds"))
       .select(
         col("action_id"), col("ingredient_id"), col("ingredient_name"),
         col("batch_number"), col("lot"),

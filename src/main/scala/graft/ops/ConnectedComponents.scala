@@ -85,17 +85,33 @@ object ConnectedComponents {
         .join(parents, propagated("component") === parents("__pid"))
         .select(col(idCol), col("__pcomp").as("component"))
         .localCheckpoint(false)
-      val newSum = next.agg(sum("component")).first().getLong(0)
+      // coalesce: sum over ZERO rows is null (empty input / everything
+      // filtered) — treat as 0 so the probe terminates instead of NPEing
+      val newSum = next.agg(coalesce(sum("component"), lit(0L))).first().getLong(0)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         Console.err.println(s"[cc] round $rounds sum=$newSum")
       changed = newSum < prevSum
       prevSum = newSum
+      // the new checkpoint fully materialized (the sum probe ran), so the
+      // PREVIOUS round's checkpoint blocks are dead weight — release them
+      // now instead of waiting for the ContextCleaner to notice
+      releaseCheckpoint(labels)
       labels = next
       rounds += 1
     }
     e.unpersist()
     (labels, rounds)
   }
+
+  /** Unpersist the cached RDD behind a localCheckpoint'd frame (no-op for
+    * anything else). localCheckpoint caches its RDD outside the dataset
+    * cache manager, so `Dataset.unpersist` cannot release it — the blocks
+    * otherwise linger until JVM GC drops the last reference. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** Large-star/small-star alternation (the two-phase MapReduce CC of
     * Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -163,6 +179,7 @@ object ConnectedComponents {
       val nextSig = signature(small)
       stable = nextSig == sig
       sig = nextSig
+      releaseCheckpoint(e) // materialized replacement exists; free the old blocks
       e = small
       rounds += 1
     }

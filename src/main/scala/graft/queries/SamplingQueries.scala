@@ -266,6 +266,10 @@ object SamplingQueries {
         val stride = 30
         val width = 40
         Tables.documents(s, dir)
+          // null text would make the sequence bound null; DuckDB's
+          // unnest-of-null emits nothing for such docs, so drop them
+          // explicitly to keep the engines row-identical
+          .filter(col("text").isNotNull)
           .withColumn("toks", Text.tokens(col("text")))
           .select(col("doc_id"),
             posexplode(transform(

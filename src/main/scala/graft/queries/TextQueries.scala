@@ -184,7 +184,8 @@ object TextQueries {
         |the corpus. Same semantics, better plan.""".stripMargin,
       Some(
         """WITH t AS (
-          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
           |base AS (
           |  SELECT doc_id, len(toks) AS n_toks,
           |         len(list_distinct(toks)) AS n_uniq,
@@ -229,6 +230,10 @@ object TextQueries {
         val topBg = round(topC.cast("double") /
           when(size(col("bgs")) > 0, size(col("bgs"))), 6)
         Tables.documents(s, dir)
+          // null text would -1-poison the size()-derived ratios under the
+          // session's legacy sizeOfNull (kept for perf — see GraftSession);
+          // both engines drop such docs explicitly
+          .filter(col("text").isNotNull)
           .withColumn("toks", Text.tokens(col("text")))
           .withColumn("bgs", Text.shinglesOfTokens(col("toks"), 2))
           .withColumn("tgs", Text.shinglesOfTokens(col("toks"), 3))

@@ -141,5 +141,54 @@ object NestedQueries {
             count(lit(1)).as("n_events"),
             d(sum(col("v"))).as("total_value"))
           .orderBy("user_id", "session_id")
-      }))
+      }),
+
+    Q(
+      "w_session_window_native",
+      """Gap sessionization through Spark's NATIVE session_window operator
+        |(UpdatingSessions plan) rather than the two-window composition of
+        |`w_sessionize_gap` — the same one-shuffle shape, but with
+        |session merging done inside the aggregate. Tie semantics differ
+        |from the composed form and are pinned here: session_window
+        |windows are half-open [ts, ts+gap), so an event EXACTLY gap
+        |after its predecessor starts a NEW session (the oracle uses >=);
+        |the composed form merges that tie. session_end = last event +
+        |gap, the window's exclusive bound.""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |         CAST(value AS DECIMAL(18,4)) AS v
+          |  FROM events),
+          |flagged AS (
+          |  SELECT user_id, ts, v,
+          |         CASE WHEN LAG(ts) OVER w IS NULL
+          |                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+          |              THEN 1 ELSE 0 END AS new_session,
+          |         event_id
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |sessions AS (
+          |  SELECT user_id, ts, v,
+          |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS session_id
+          |  FROM flagged)
+          |SELECT user_id,
+          |       MIN(ts) AS session_start,
+          |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+          |       COUNT(*) AS n_events,
+          |       CAST(SUM(v) AS DOUBLE) AS total_value
+          |FROM sessions
+          |GROUP BY user_id, session_id
+          |ORDER BY user_id, session_start""".stripMargin),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), dec(col("value")).as("v"))
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), d(sum(col("v"))).as("total_value"))
+          .select(
+            col("user_id"),
+            col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"),
+            col("n_events"), col("total_value"))
+          .orderBy("user_id", "session_start")))
 }

@@ -47,6 +47,16 @@ class CacheKeySpec extends SparkSpec {
     assert(row === sha256Hex("""https://h/p||{}||{"bu":"1110","items":"3"}"""))
   }
 
+  test("documented boolean pre-coercion reproduces Python str(True) bytes") {
+    // Python str-coerces bools to "True"/"False"; a raw boolean cast gives
+    // "true"/"false". The scaladoc's prescribed pre-coercion closes the gap.
+    val row = Seq(Tuple1(true)).toDF("archived")
+      .select(CacheKey.derive(lit("https://h/p"),
+        Seq("archived" -> when(col("archived"), "True").otherwise("False"))))
+      .as[String].head()
+    assert(row === sha256Hex("""https://h/p||{"archived":"True"}||{}"""))
+  }
+
   test("key is stable across row order and partitioning (pure projection)") {
     val df = spark.range(100)
       .select(col("id"), CacheKey.derive(lit("https://h/p"),

@@ -252,6 +252,38 @@ object AggWindowQueries {
           .orderBy("lvl", "source_k", "lang_k")),
 
     Q(
+      "a_grouping_sets",
+      """Explicit GROUPING SETS — the asymmetric subtotal combination
+        |ROLLUP cannot express: (source, lang) detail, per-LANG subtotal
+        |(crossing the rollup hierarchy), and grand total, still one
+        |aggregate pass over one scan. Same sentinel/level discipline as
+        |a_rollup_totals so both engines order identically.""".stripMargin,
+      Some(
+        """SELECT (2 * GROUPING(source) + GROUPING(lang)) AS lvl,
+          |       COALESCE(source, '<all>') AS source_k,
+          |       COALESCE(lang, '<all>') AS lang_k,
+          |       COUNT(*) AS n_docs,
+          |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents
+          |GROUP BY GROUPING SETS ((source, lang), (lang), ())
+          |ORDER BY lvl, source_k, lang_k""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupingSets(
+            Seq(Seq(col("source"), col("lang")), Seq(col("lang")), Seq.empty),
+            col("source"), col("lang"))
+          .agg(
+            (grouping(col("source")) * 2 + grouping(col("lang"))).cast("int").as("lvl"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .select(
+            col("lvl"),
+            coalesce(col("source"), lit("<all>")).as("source_k"),
+            coalesce(col("lang"), lit("<all>")).as("lang_k"),
+            col("n_docs"), col("total_chars"))
+          .orderBy("lvl", "source_k", "lang_k")),
+
+    Q(
       "a_profile_columns",
       """One-pass table profiling (the data-quality survey a lake runs on
         |every new feed): per-column null counts, distinct counts, and

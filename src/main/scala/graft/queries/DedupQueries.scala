@@ -306,6 +306,112 @@ object DedupQueries {
       }),
 
     Q(
+      "dd_lsh_confirm",
+      """The composed 100 TB near-dup path the jaccard/minhash docs point
+        |to, as one query: LSH band collisions GENERATE candidate pairs
+        |(bounded, bucketed — never all-pairs), then each candidate is
+        |CONFIRMED by exact Jaccard computed row-locally (hashed sorted
+        |sets + native merge-walk intersect). Signatures and confirm both
+        |run over 3-word SHINGLES, not unigrams: shingle space is large
+        |enough that band collisions mean real similarity (unigram
+        |minhash saturates on a bounded vocabulary and collides
+        |everything into one bucket — the degenerate case any LSH
+        |deployment must block against). The candidate set is
+        |collision-sized, so both joins against the per-doc set table
+        |broadcast it; the corpus is scanned, never shuffled. Confirm
+        |threshold 0.5 = near-dup decision.""".stripMargin,
+      Some {
+        // seed-hashes derive from the ONCE-computed per-shingle md5 (a
+        // fixed 32-char input), not the raw shingle — one long-string
+        // hash per shingle total, mirrored exactly in the engine
+        val mins = (0 until nSeeds)
+          .map(i => s"list_min(list_transform(toks, h -> md5('$i|' || h))) AS h$i")
+          .mkString(",\n         ")
+        val b0 = (0 until bandSize).map(i => s"h$i").mkString(" || ")
+        val b1 = (bandSize until nSeeds).map(i => s"h$i").mkString(" || ")
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+           |  FROM documents),
+           |tk AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(
+           |           list_transform(range(len(ws) - 2),
+           |             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]),
+           |           s -> md5(s))) AS toks
+           |  FROM w WHERE len(ws) >= 3),
+           |sig AS (
+           |  SELECT doc_id,
+           |         $mins
+           |  FROM tk),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band_id, md5($b0) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band_id, md5($b1) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+           |   AND x.doc_id < y.doc_id),
+           |confirmed AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |         len(list_filter(ta.toks, t -> list_contains(tb.toks, t))) AS n_inter,
+           |         len(ta.toks) AS n_a, len(tb.toks) AS n_b
+           |  FROM cand c
+           |  JOIN tk ta ON ta.doc_id = c.doc_a
+           |  JOIN tk tb ON tb.doc_id = c.doc_b)
+           |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+           |       round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+           |FROM confirmed
+           |WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+      (s, dir) => {
+        import org.apache.spark.sql.GraftColumnBridge
+        def minHash(seed: Int) =
+          array_min(transform(col("toks"), h => md5(concat(lit(s"$seed|"), h)))).as(s"h$seed")
+        // per-shingle md5 computed ONCE and cached: the signature branch
+        // (8 seed-mins) and the confirm branch (sorted hashed sets) both
+        // read this frame, and without the cache Spark recomputes the
+        // shingle+md5 pass once per branch
+        val base = Tables.documents(s, dir)
+          .withColumn("ws", Text.tokens(col("text")))
+          .filter(size(col("ws")) >= 3)
+          .withColumn("toks", array_distinct(
+            transform(Text.shinglesOfTokens(col("ws"), 3), sh => md5(sh))))
+          .select("doc_id", "toks")
+          .persist()
+        val sig = base.select(col("doc_id") +: (0 until nSeeds).map(minHash): _*)
+        val band0 = md5(concat((0 until bandSize).map(i => col(s"h$i")): _*))
+        val band1 = md5(concat((bandSize until nSeeds).map(i => col(s"h$i")): _*))
+        val bands = sig.select(col("doc_id"), lit(0).as("band_id"), band0.as("band_key"))
+          .unionAll(sig.select(col("doc_id"), lit(1).as("band_id"), band1.as("band_key")))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        // per-doc hashed sorted sets: the row-local confirm input (the
+        // same form dd_ngram_jaccard intersects)
+        val sets = base.select(col("doc_id"),
+          array_sort(transform(col("toks"), t => xxhash64(t))).as("th"))
+          .withColumn("n", size(col("th")))
+        val a = sets.select(col("doc_id").as("doc_a"), col("th").as("th_a"), col("n").as("n_a"))
+        val b = sets.select(col("doc_id").as("doc_b"), col("th").as("th_b"), col("n").as("n_b"))
+        val paired = broadcast(cand).join(a, "doc_a").join(b, "doc_b")
+          .withColumn("n_inter", GraftColumnBridge.column(
+            graft.plans.SortedIntersectCountExpression(
+              GraftColumnBridge.expression(col("th_a")),
+              GraftColumnBridge.expression(col("th_b")))).cast("long"))
+        val jac = col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))
+        paired
+          .filter(jac >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("n_inter"), round(jac, 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    Q(
       "dd_incremental",
       """Incremental dedup: a new crawl batch (the deterministic doc_id %
         |5 == 0 slice) deduped against the historical corpus (the rest)

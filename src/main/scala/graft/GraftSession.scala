@@ -33,8 +33,10 @@ object GraftSession {
       // (dd_ngram_jaccard 3.5 s -> 22 s at sf0.1 — nullable bounds knock
       // the when/sequence/transform chain off its optimized path).
       // Null-input hygiene is instead handled WHERE nulls can occur:
-      // queries over nullable text filter `text IS NOT NULL` explicitly
-      // (mirrored in their oracles), so no -1 ever reaches a result.
+      // every query whose output derives from size() over nullable text
+      // filters `text IS NOT NULL` explicitly (mirrored in its oracle),
+      // and the scalar key functions (Text.normalizedKey) are
+      // null-in-null-out — so no -1 ever reaches a result.
       .config("spark.sql.legacy.sizeOfNull", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized

@@ -34,9 +34,13 @@ object Text {
     size(filter(tokens(text), t => t.isin(markers: _*)))
 
   /** Exact-dedup normalization key: md5 of the sorted distinct token set —
-    * word-order-insensitive content identity. */
+    * word-order-insensitive content identity. Null-in-null-out: concat_ws
+    * would silently turn a null token ARRAY into "" (making every null
+    * document a dedup group keyed md5("")), where the oracle's
+    * array_to_string(NULL) stays NULL. */
   def normalizedKey(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    when(text.isNotNull,
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(text))))))
 
   /** Document fingerprint: md5 of the raw text (byte identity). */
   def fingerprint(text: Column): Column = md5(text)

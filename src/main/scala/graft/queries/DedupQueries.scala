@@ -399,16 +399,26 @@ object DedupQueries {
           .withColumn("n", size(col("th")))
         val a = sets.select(col("doc_id").as("doc_a"), col("th").as("th_a"), col("n").as("n_a"))
         val b = sets.select(col("doc_id").as("doc_b"), col("th").as("th_b"), col("n").as("n_b"))
-        val paired = broadcast(cand).join(a, "doc_a").join(b, "doc_b")
+        // BOTH joins keep the candidate-derived side as the broadcast
+        // build: the outer hint re-marks the (cand ⋈ a) result, which is
+        // still candidate-sized — without it the second join broadcasts
+        // the corpus-sized sets table instead
+        val paired = broadcast(broadcast(cand).join(a, "doc_a")).join(b, "doc_b")
           .withColumn("n_inter", GraftColumnBridge.column(
             graft.plans.SortedIntersectCountExpression(
               GraftColumnBridge.expression(col("th_a")),
               GraftColumnBridge.expression(col("th_b")))).cast("long"))
         val jac = col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))
-        paired
+        val confirmed = paired
           .filter(jac >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("n_inter"), round(jac, 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
+          // materialize the (tiny) confirmed set NOW so the corpus-sized
+          // shingle cache can be dropped before this query's frame is
+          // handed back — a bare persist would otherwise pin it for the
+          // rest of the session (Verify/Bench share one SparkSession)
+          .localCheckpoint(true)
+        base.unpersist()
+        confirmed.orderBy("doc_a", "doc_b")
       }),
 
     Q(

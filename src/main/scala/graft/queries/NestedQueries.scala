@@ -148,12 +148,13 @@ object NestedQueries {
       """Gap sessionization through Spark's NATIVE session_window operator
         |(UpdatingSessions plan) rather than the two-window composition of
         |`w_sessionize_gap` — the same one-shuffle shape, but with
-        |session merging done inside the aggregate. Tie semantics differ
-        |from the composed form and are pinned here: session_window
-        |windows are half-open [ts, ts+gap), so an event EXACTLY gap
-        |after its predecessor starts a NEW session (the oracle uses >=);
-        |the composed form merges that tie. session_end = last event +
-        |gap, the window's exclusive bound.""".stripMargin,
+        |session merging done inside the aggregate. Semantics match the
+        |composed form exactly, ties included: an event EXACTLY gap
+        |after its predecessor MERGES (verified empirically — Spark
+        |merges sessions whose windows touch, so the oracle's new-session
+        |test is strict >, identical to w_sessionize_gap).
+        |session_end = last event + gap, the window's bound, where the
+        |composed form reports the last event itself.""".stripMargin,
       Some(
         """WITH e AS (
           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -162,7 +163,7 @@ object NestedQueries {
           |flagged AS (
           |  SELECT user_id, ts, v,
           |         CASE WHEN LAG(ts) OVER w IS NULL
-          |                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+          |                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
           |              THEN 1 ELSE 0 END AS new_session,
           |         event_id
           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

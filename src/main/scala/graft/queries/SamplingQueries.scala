@@ -111,7 +111,7 @@ object SamplingQueries {
         """WITH toks AS (
           |  SELECT source, doc_id,
           |         len(string_split(lower(trim(text)), ' ')) AS n_tokens
-          |  FROM documents),
+          |  FROM documents WHERE text IS NOT NULL),
           |packed AS (
           |  SELECT source, n_tokens,
           |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -130,6 +130,9 @@ object SamplingQueries {
         val w = Window.partitionBy("source").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.documents(s, dir)
+          // a null text would inject n_tokens = -1 (legacy sizeOfNull,
+          // kept for perf — see GraftSession) and shift every later bin
+          .filter(col("text").isNotNull)
           .select(col("source"), col("doc_id"),
             size(Text.tokens(col("text"))).as("n_tokens"))
           .withColumn("prefix_before",

@@ -48,13 +48,14 @@ object TextQueries {
           |            WHEN len(string_split(lower(trim(text)), ' ')) >= 15 THEN 'fair'
           |            ELSE 'poor' END AS quality
           |FROM documents
+          |WHERE text IS NOT NULL
           |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val toks = Text.tokens(col("text"))
         val nTokens = size(toks)
         val nDistinct = size(array_distinct(toks))
         val ttr = nDistinct.cast("double") / nTokens
-        Tables.documents(s, dir).select(
+        Tables.documents(s, dir).filter(col("text").isNotNull).select(
           col("doc_id"),
           nTokens.as("n_tokens"),
           nDistinct.as("n_distinct"),
@@ -84,7 +85,7 @@ object TextQueries {
         s"""WITH scored AS (
            |  SELECT doc_id, lang,
            |       $scoreSql
-           |  FROM documents)
+           |  FROM documents WHERE text IS NOT NULL)
            |SELECT doc_id, lang AS labeled_lang,
            |       ${profiles.map(p => s"s_${p._1}").mkString(", ")},
            |       $ladder AS predicted_lang
@@ -92,7 +93,7 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin
       },
       (s, dir) => {
-        val scored = Tables.documents(s, dir).select(
+        val scored = Tables.documents(s, dir).filter(col("text").isNotNull).select(
           Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
             profiles.map { case (l, ws) => Text.markerHits(col("text"), ws).as(s"s_$l") }: _*)
         val maxScore = greatest(profiles.map(p => col(s"s_${p._1}")): _*)
@@ -122,12 +123,14 @@ object TextQueries {
           |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
           |         / SUM(length(text)) * 100 AS tokens_per_100_chars
           |FROM documents
+          |WHERE text IS NOT NULL
           |GROUP BY source
           |ORDER BY source""".stripMargin),
       (s, dir) => {
         val bpe = size(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),

@@ -76,4 +76,23 @@ class MultimodalSpec extends SparkSpec {
         col("frame_0") =!= md5(substring(col("text"), 1, 16))).count()
     assert(bad === 0)
   }
+
+  test("frameManifest invariants: stride-aligned offsets, in-bounds windows, exact digests") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val media = Multimodal.synthesize(docs)
+    val manifest = Multimodal.frameManifest(media, window = 16, stride = 32)
+    val joined = manifest.join(docs, manifest("media_id") === col("doc_id"))
+    // offsets are exactly frame_id*stride and every window starts in-blob
+    assert(joined.filter(col("byte_off") =!= col("frame_id") * 32).count() === 0)
+    assert(joined.filter(col("byte_off") + 16 > length(col("text"))
+      && col("byte_off") >= length(col("text"))).count() === 0)
+    // digest equals md5 of the exact byte slice, and frame counts per
+    // asset equal the closed-form floor((len-16)/32)+1
+    assert(joined.filter(col("frame_digest") =!=
+      md5(col("text").substr((col("frame_id") * 32 + 1).cast("int"), lit(16)))).count() === 0)
+    val counts = manifest.groupBy("media_id").count()
+      .join(docs, col("media_id") === col("doc_id"))
+      .filter(col("count") =!= (floor((length(col("text")) - 16) / 32) + 1))
+    assert(counts.count() === 0)
+  }
 }

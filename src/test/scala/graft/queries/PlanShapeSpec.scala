@@ -64,6 +64,17 @@ class PlanShapeSpec extends SparkSpec {
       "dd_contamination lost its benchmark broadcast")
   }
 
+  test("grouping-set reports are ONE aggregate pass (expand, not a union of scans)") {
+    Seq("a_rollup_totals", "a_grouping_sets").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        assert(p.toString.contains("Expand"), s"$q lost its Expand")
+        // one partial->final agg exchange + the output sort, nothing more
+        assert(shuffles(p).length <= 2, s"$q grew extra shuffles")
+      }
+    }
+  }
+
   test("top-k latest plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("w5_topk_latest").toString
     assert(p.contains("TakeOrderedAndProject"), p)

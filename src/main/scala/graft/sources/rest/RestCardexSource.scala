@@ -3,7 +3,7 @@ package graft.sources.rest
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, IsNotNull}
 import org.apache.spark.sql.types._
@@ -275,10 +275,25 @@ case class PageOffset(pages: Int) extends streaming.Offset {
 class CardexMicroBatchStream(defaultPages: Int, rowsPerPage: Int,
                              required: StructType, bu: Option[String],
                              minDate: Option[Int], retry: RetryConfig)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // Trigger.AvailableNow (the reference's catch-up scheduled-batch mode):
+  // pin the end offset ONCE at query start so the run drains exactly the
+  // pages published at that instant and terminates, even if the API keeps
+  // publishing while the batch is running.
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(FakeCardexApi.publishedPages(retry.runId, defaultPages))
+
   override def initialOffset(): streaming.Offset = PageOffset(0)
   override def latestOffset(): streaming.Offset =
-    PageOffset(FakeCardexApi.publishedPages(retry.runId, defaultPages))
+    PageOffset(availableNowCap.getOrElse(
+      FakeCardexApi.publishedPages(retry.runId, defaultPages)))
+  // SupportsAdmissionControl variant (ReadLimit unbounded — pages are the
+  // natural admission unit already; a rate-limited deployment would cap
+  // pages-per-trigger here)
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset =
+    latestOffset()
   override def deserializeOffset(json: String): streaming.Offset =
     PageOffset(json.toInt)
   override def commit(end: streaming.Offset): Unit = ()

@@ -74,6 +74,32 @@ class RestCardexStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("Trigger.AvailableNow drains the published pages and terminates") {
+    val run = "stream-avail"
+    FakeCardexApi.resetRun(run)
+    CardexStreamCapture.rows.clear()
+    FakeCardexApi.publishPages(run, 3)
+    val ckpt = Files.createTempDirectory("cardex-ckpt").toString
+    val q = spark.readStream
+      .format("graft.sources.rest.RestCardexSource")
+      .option("rowsPerPage", 10)
+      .option("apiRunId", run)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select("item", "r_date").collect().foreach(r =>
+          CardexStreamCapture.rows.add(
+            (r.getString(0), r.getDate(1).toLocalDate.toEpochDay.toInt)))
+      }
+      .start()
+    // the catch-up batch drains pages 0-2 and STOPS on its own
+    assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    assert(CardexStreamCapture.rows.size === 30)
+    (0 until 3).foreach(p => assert(FakeCardexApi.attempts(run, p) === 1))
+  }
+
   test("streaming fetches retry transients like batch (shared client path)") {
     val run = "stream-retry"
     FakeCardexApi.resetRun(run)

@@ -41,6 +41,8 @@ class RestCardexSource extends TableProvider {
     new CardexTable(
       pages = opts.getInt("pages", 4),
       rowsPerPage = opts.getInt("rowsPerPage", 1000),
+      maxPagesPerTrigger =
+        Option(opts.get("maxPagesPerTrigger")).map(_.toInt),
       retry = RetryConfig(
         maxRetries = opts.getInt("maxRetries", 3),
         baseDelayMs = opts.getLong("baseDelayMs", 10L),
@@ -186,16 +188,19 @@ object FakeCardexApi {
   }
 }
 
-class CardexTable(pages: Int, rowsPerPage: Int, retry: RetryConfig) extends Table with SupportsRead {
+class CardexTable(pages: Int, rowsPerPage: Int,
+                  maxPagesPerTrigger: Option[Int], retry: RetryConfig)
+    extends Table with SupportsRead {
   override def name(): String = "graft_rest_cardex"
   override def schema(): StructType = FakeCardexApi.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CardexScanBuilder(pages, rowsPerPage, retry)
+    new CardexScanBuilder(pages, rowsPerPage, maxPagesPerTrigger, retry)
 }
 
-class CardexScanBuilder(pages: Int, rowsPerPage: Int, retry: RetryConfig)
+class CardexScanBuilder(pages: Int, rowsPerPage: Int,
+                        maxPagesPerTrigger: Option[Int], retry: RetryConfig)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -231,12 +236,13 @@ class CardexScanBuilder(pages: Int, rowsPerPage: Int, retry: RetryConfig)
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false /* keep Spark's limit too */ }
 
   override def build(): Scan = new CardexScan(
-    pages, rowsPerPage, requiredSchema, pushedBu, pushedMinDate, limit, retry)
+    pages, rowsPerPage, requiredSchema, pushedBu, pushedMinDate, limit,
+    maxPagesPerTrigger, retry)
 }
 
 class CardexScan(pages: Int, rowsPerPage: Int, required: StructType,
                  bu: Option[String], minDate: Option[Int], limit: Option[Int],
-                 retry: RetryConfig)
+                 maxPagesPerTrigger: Option[Int], retry: RetryConfig)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -263,7 +269,8 @@ class CardexScan(pages: Int, rowsPerPage: Int, required: StructType,
     * already consumed is NEVER re-fetched (asserted in
     * RestCardexStreamSpec via the API's attempt counters). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CardexMicroBatchStream(pages, rowsPerPage, required, bu, minDate, retry)
+    new CardexMicroBatchStream(pages, rowsPerPage, required, bu, minDate,
+      maxPagesPerTrigger, retry)
 }
 
 /** Offset = number of pages published (a monotone high-watermark, exactly
@@ -274,7 +281,8 @@ case class PageOffset(pages: Int) extends streaming.Offset {
 
 class CardexMicroBatchStream(defaultPages: Int, rowsPerPage: Int,
                              required: StructType, bu: Option[String],
-                             minDate: Option[Int], retry: RetryConfig)
+                             minDate: Option[Int],
+                             maxPagesPerTrigger: Option[Int], retry: RetryConfig)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // Trigger.AvailableNow (the reference's catch-up scheduled-batch mode):
   // pin the end offset ONCE at query start so the run drains exactly the
@@ -288,12 +296,23 @@ class CardexMicroBatchStream(defaultPages: Int, rowsPerPage: Int,
   override def latestOffset(): streaming.Offset =
     PageOffset(availableNowCap.getOrElse(
       FakeCardexApi.publishedPages(retry.runId, defaultPages)))
-  // SupportsAdmissionControl variant (ReadLimit unbounded — pages are the
-  // natural admission unit already; a rate-limited deployment would cap
-  // pages-per-trigger here)
+  // SupportsAdmissionControl: pages are the admission unit. With
+  // maxPagesPerTrigger set, each micro-batch admits at most that many new
+  // pages (backpressure against a rate-limited API); the stream still
+  // drains to the published watermark across successive triggers.
+  // Trigger.AvailableNow ignores the cap by contract (it must reach the
+  // offset pinned at prepare time).
   override def latestOffset(start: streaming.Offset,
-                            limit: streaming.ReadLimit): streaming.Offset =
-    latestOffset()
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val target = availableNowCap.getOrElse(
+      FakeCardexApi.publishedPages(retry.runId, defaultPages))
+    val capped = maxPagesPerTrigger match {
+      case Some(cap) if availableNowCap.isEmpty =>
+        math.min(target, start.asInstanceOf[PageOffset].pages + cap)
+      case _ => target
+    }
+    PageOffset(capped)
+  }
   override def deserializeOffset(json: String): streaming.Offset =
     PageOffset(json.toInt)
   override def commit(end: streaming.Offset): Unit = ()

@@ -74,6 +74,35 @@ class RestCardexStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxPagesPerTrigger bounds each micro-batch yet the stream drains fully") {
+    val run = "stream-cap"
+    FakeCardexApi.resetRun(run)
+    CardexStreamCapture.rows.clear()
+    FakeCardexApi.publishPages(run, 5)
+    val ckpt = Files.createTempDirectory("cardex-ckpt").toString
+    val batchSizes = new ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format("graft.sources.rest.RestCardexSource")
+      .option("rowsPerPage", 10)
+      .option("apiRunId", run)
+      .option("maxPagesPerTrigger", 2)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batchSizes.add(batch.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // 5 pages at cap 2 -> micro-batches of 2+2+1 pages, all consumed
+      val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+      assert(sizes.sum === 50, s"sizes=$sizes")
+      assert(sizes.forall(_ <= 20), s"a batch exceeded the 2-page cap: $sizes")
+      assert(sizes.length >= 3, s"cap not applied (one giant batch): $sizes")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the published pages and terminates") {
     val run = "stream-avail"
     FakeCardexApi.resetRun(run)

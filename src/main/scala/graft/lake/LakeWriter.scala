@@ -28,6 +28,24 @@ object LakeWriter {
       .partitionBy("year", "month", "day")
       .parquet(s"$root/$recordType")
 
+  /** Append CLUSTERED by a key within each date partition: rows are
+    * sorted on `clusterCols` inside every write task, so each Parquet
+    * row group covers a narrow key range and a key-predicate read skips
+    * whole row groups on min/max stats — the data-clustering lever
+    * (Z-order's 1-D case) that cuts scan bytes at 100 TB without any
+    * table format. Costs one in-task sort at write time; the layout on
+    * disk is identical otherwise. */
+  def appendClustered(df: DataFrame, root: String, recordType: String,
+                      tsCol: String, clusterCols: Seq[String]): Unit =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .repartition(col("year"), col("month"), col("day"))
+      .sortWithinPartitions(("year" +: "month" +: "day" +: clusterCols).map(col): _*)
+      .write.mode("append")
+      .partitionBy("year", "month", "day")
+      .parquet(s"$root/$recordType")
+
   /** Read a record type with an inclusive date-range filter — resolved by
     * partition pruning, never a full-lake scan (replaces S8's manual
     * listing+parse, s3_helper.py:136-140). */

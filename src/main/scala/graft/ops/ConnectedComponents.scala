@@ -54,26 +54,29 @@ object ConnectedComponents {
           maxRounds: Int = 20): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     var labels = nodes.select(col(idCol), col(idCol).as("component"))
-    // Labels form a monotonically decreasing vector, so the label SUM
-    // strictly decreases until the fixpoint — a one-row agg per round.
-    // Seeding prevSum with MaxValue skips the round-0 baseline action:
-    // exactly ONE driver barrier per round. (At planet scale swap the sum
-    // probe for count(component != old) to dodge overflow.)
-    var prevSum = Long.MaxValue
+    // Convergence probe: each round carries the node's PREVIOUS label
+    // through the propagation so count_if(component != old) is a one-row
+    // agg on the round's own output — exactly ONE driver barrier per
+    // round, and (unlike a sum-of-labels probe) immune to Long overflow
+    // at any node count.
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
       val viaEdges = e
         .join(labels, e("dst") === labels(idCol))
-        .select(e("src").as(idCol), col("component"))
-      val propagated = labels.unionByName(viaEdges)
-        .groupBy(idCol).agg(min(col("component")).as("component"))
+        .select(e("src").as(idCol), col("component"),
+          lit(null).cast("long").as("__old"))
+      val propagated = labels
+        .select(col(idCol), col("component"), col("component").as("__old"))
+        .unionByName(viaEdges)
+        .groupBy(idCol)
+        .agg(min(col("component")).as("component"), max(col("__old")).as("__old"))
       // pointer halving: jump to the label OF my label (components are
       // themselves node ids and labels only decrease, so the lookup always
       // improves-or-holds)
       val parents = propagated
         .select(col(idCol).as("__pid"), col("component").as("__pcomp"))
-      // localCheckpoint (lazy — the sum probe below materializes it) cuts
+      // localCheckpoint (lazy — the probe below materializes it) cuts
       // the round's lineage to a LogicalRDD. Without this the self-join
       // doubles the logical plan EVERY round and analyzer/optimizer time
       // grows exponentially — measured 3 s -> 11 s -> stuck by round 5 on
@@ -83,32 +86,33 @@ object ConnectedComponents {
       // storage so a lost executor doesn't replay the whole loop).
       val next = propagated
         .join(parents, propagated("component") === parents("__pid"))
-        .select(col(idCol), col("__pcomp").as("component"))
+        .select(col(idCol), col("__pcomp").as("component"), col("__old"))
         .localCheckpoint(false)
-      // coalesce: sum over ZERO rows is null (empty input / everything
-      // filtered) — treat as 0 so the probe terminates instead of NPEing
-      val newSum = next.agg(coalesce(sum("component"), lit(0L))).first().getLong(0)
+      val nChanged = next
+        .agg(count_if(col("component") =!= col("__old"))).first().getLong(0)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        Console.err.println(s"[cc] round $rounds sum=$newSum")
-      changed = newSum < prevSum
-      prevSum = newSum
-      // the new checkpoint fully materialized (the sum probe ran), so the
+        Console.err.println(s"[cc] round $rounds changed=$nChanged")
+      changed = nChanged > 0
+      // the new checkpoint fully materialized (the probe ran), so the
       // PREVIOUS round's checkpoint blocks are dead weight — release them
       // now instead of waiting for the ContextCleaner to notice
       releaseCheckpoint(labels)
-      labels = next
+      labels = next.select(col(idCol), col("component"))
       rounds += 1
     }
     e.unpersist()
     (labels, rounds)
   }
 
-  /** Unpersist the cached RDD behind a localCheckpoint'd frame (no-op for
+  /** Unpersist the cached RDDs behind a localCheckpoint'd frame (no-op for
     * anything else). localCheckpoint caches its RDD outside the dataset
     * cache manager, so `Dataset.unpersist` cannot release it — the blocks
-    * otherwise linger until JVM GC drops the last reference. */
+    * otherwise linger until JVM GC drops the last reference. Traverses the
+    * analyzed plan so a projection layered over the checkpoint (the probe
+    * columns are dropped before the frame is carried forward) still
+    * releases the underlying blocks. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
+    df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
       case _ => ()
     }

@@ -36,16 +36,20 @@ object OpsToJde {
       dispatch: Iterator[Row] => Unit = _ => ()): Result = {
     val flat = ActionFlattener.flatten(actions)
 
-    val eligible = flat
+    val prepared = flat
       // P7: zero/null-quantity guard (dag_bakery_system_to_jde.py:176-179)
-      .filter(coalesce(col("qty").cast(Num.Qty), lit(0)) =!= 0)
       // P9: required-fields guard (jde_helper.py:1310-1312)
-      .filter(col("ingredient_name").isNotNull && col("ingredient_name") =!= "" &&
-        col("lot").isNotNull && col("lot") =!= "")
+      .withColumn("__eligible",
+        coalesce(col("qty").cast(Num.Qty), lit(0)) =!= 0 &&
+          col("ingredient_name").isNotNull && col("ingredient_name") =!= "" &&
+          col("lot").isNotNull && col("lot") =!= "")
       .withColumn("qty", Quantities.preservePrecision(col("qty")))          // F5
       .withColumn("unique_transaction_id",
         Quantities.uniqueTransactionId(
           col("ingredient_name"), col("lot"), col("vessel"), col("qty")))   // F7
+
+    val eligible = prepared
+      .filter(col("__eligible")).drop("__eligible")
       // overlapping-lookback in-batch dedup (first occurrence wins)
       .dropDuplicates("unique_transaction_id")
 
@@ -71,7 +75,16 @@ object OpsToJde {
         Keys.truncateStatus(concat(lit("dispatched "), col("Item_Number"))).as("detail"), // F17
         col("dispatched_at").as("updated_at")))
       LakeWriter.append(pending, lakeRoot, "jde_dispatch", "dispatched_at")
-      Result(flat.count(), eligible.count(), nPending)
+      // Audit counters in ONE pass over the flatten: count(*) for the raw
+      // row count, count(DISTINCT utid) gated by the eligibility flag for
+      // the post-guard post-dedup count (count distinct skips the nulls
+      // `when` leaves on ineligible rows). The id is never null on an
+      // eligible row — both guard fields are non-empty by construction.
+      val audit = prepared.agg(
+        count(lit(1)).as("flattened"),
+        count_distinct(when(col("__eligible"), col("unique_transaction_id")))
+          .as("eligible")).first()
+      Result(audit.getLong(0), audit.getLong(1), nPending)
     } finally pending.unpersist()
   }
 }

@@ -20,6 +20,66 @@ object DedupQueries {
   private val nSeeds = 8
   private val bandSize = 4 // 2 bands of 4 seeds
 
+  /** Shared closure oracle for both connected-components variants: the
+    * min-reachable-doc_id per node over the union of the two similarity
+    * edge sets, as a recursive CTE. Label propagation and large-star/
+    * small-star alternation must both converge to exactly this answer.
+    */
+  private val connComponentsOracle =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_sort(list_distinct(
+      |           string_split(lower(trim(text)), ' '))), ' ')) AS norm_key,
+      |         list_min(list_transform(
+      |           list_transform(range(len(string_split(lower(trim(text)), ' ')) - 4),
+      |             i -> concat_ws(' ',
+      |                    string_split(lower(trim(text)), ' ')[i+1],
+      |                    string_split(lower(trim(text)), ' ')[i+2],
+      |                    string_split(lower(trim(text)), ' ')[i+3],
+      |                    string_split(lower(trim(text)), ' ')[i+4],
+      |                    string_split(lower(trim(text)), ' ')[i+5])),
+      |           s -> md5(s))) AS winnow_fp
+      |  FROM documents),
+      |e1 AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst FROM keyed a JOIN keyed b
+      |  ON a.norm_key = b.norm_key AND a.doc_id <> b.doc_id),
+      |e2 AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst FROM keyed a JOIN keyed b
+      |  ON a.winnow_fp = b.winnow_fp AND a.doc_id <> b.doc_id),
+      |edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
+      |reach AS (
+      |  WITH RECURSIVE r(a, b) AS (
+      |    SELECT doc_id, doc_id FROM keyed
+      |    UNION
+      |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+      |  ) SELECT * FROM r)
+      |SELECT a AS doc_id, MIN(b) AS component FROM reach
+      |GROUP BY a
+      |ORDER BY doc_id""".stripMargin
+
+  /** The (nodes, star-edge) pair both CC variants run over: documents
+    * keyed by normalized token set and winnowing fingerprint, edges the
+    * union of the two key groups' star forms. Caller must unpersist the
+    * returned nodes frame after the fixpoint.
+    */
+  private def connComponentsInput(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val keyed = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        Text.normalizedKey(col("text")).as("norm_key"),
+        Text.winnowOfTokens(col("toks"), 5).as("winnow_fp"))
+      .persist()
+    // Star edges (ConnectedComponents.starEdges), never all-pairs: a
+    // k-member duplicate group emits 2(k-1) member<->min-root edges
+    // with the exact connectivity of the oracle's k(k-1) clique —
+    // linear in input on the heavy-tailed group sizes dedup data has.
+    val edges = graft.ops.ConnectedComponents
+      .starEdges(keyed, "doc_id", "norm_key")
+      .union(graft.ops.ConnectedComponents.starEdges(keyed, "doc_id", "winnow_fp"))
+    (keyed, edges)
+  }
+
   val qs: Seq[Q] = Seq(
     Q(
       "dd_exact_groups",
@@ -183,55 +243,33 @@ object DedupQueries {
         |loop runs with large-star/small-star alternation and per-round
         |checkpointing; the oracle is the same closure as a recursive
         |CTE.""".stripMargin,
-      Some(
-        """WITH keyed AS (
-          |  SELECT doc_id,
-          |         md5(array_to_string(list_sort(list_distinct(
-          |           string_split(lower(trim(text)), ' '))), ' ')) AS norm_key,
-          |         list_min(list_transform(
-          |           list_transform(range(len(string_split(lower(trim(text)), ' ')) - 4),
-          |             i -> concat_ws(' ',
-          |                    string_split(lower(trim(text)), ' ')[i+1],
-          |                    string_split(lower(trim(text)), ' ')[i+2],
-          |                    string_split(lower(trim(text)), ' ')[i+3],
-          |                    string_split(lower(trim(text)), ' ')[i+4],
-          |                    string_split(lower(trim(text)), ' ')[i+5])),
-          |           s -> md5(s))) AS winnow_fp
-          |  FROM documents),
-          |e1 AS (
-          |  SELECT a.doc_id AS src, b.doc_id AS dst FROM keyed a JOIN keyed b
-          |  ON a.norm_key = b.norm_key AND a.doc_id <> b.doc_id),
-          |e2 AS (
-          |  SELECT a.doc_id AS src, b.doc_id AS dst FROM keyed a JOIN keyed b
-          |  ON a.winnow_fp = b.winnow_fp AND a.doc_id <> b.doc_id),
-          |edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
-          |reach AS (
-          |  WITH RECURSIVE r(a, b) AS (
-          |    SELECT doc_id, doc_id FROM keyed
-          |    UNION
-          |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
-          |  ) SELECT * FROM r)
-          |SELECT a AS doc_id, MIN(b) AS component FROM reach
-          |GROUP BY a
-          |ORDER BY doc_id""".stripMargin),
+      Some(connComponentsOracle),
       (s, dir) => {
-        val keyed = Tables.documents(s, dir)
-          .withColumn("toks", Text.tokens(col("text")))
-          .select(
-            col("doc_id"),
-            Text.normalizedKey(col("text")).as("norm_key"),
-            Text.winnowOfTokens(col("toks"), 5).as("winnow_fp"))
-          .persist()
-        // Star edges (ConnectedComponents.starEdges), never all-pairs: a
-        // k-member duplicate group emits 2(k-1) member<->min-root edges
-        // with the exact connectivity of the oracle's k(k-1) clique —
-        // linear in input on the heavy-tailed group sizes dedup data has.
-        val edges = graft.ops.ConnectedComponents
-          .starEdges(keyed, "doc_id", "norm_key")
-          .union(graft.ops.ConnectedComponents.starEdges(keyed, "doc_id", "winnow_fp"))
+        val (keyed, edges) = connComponentsInput(s, dir)
         val (labels, rounds) =
           graft.ops.ConnectedComponents.run(keyed, edges, "doc_id")
         Console.err.println(s"[dd_conn_components] converged in $rounds rounds")
+        keyed.unpersist()
+        labels.orderBy("doc_id")
+      }),
+
+    Q(
+      "dd_conn_components_alt",
+      """The same dedup cluster formation run through large-star/small-star
+        |ALTERNATION (Kiveris et al., SoCC'14) instead of label
+        |propagation — the variant whose per-round state is bounded by the
+        |current EDGE count rather than the node count, and whose O(log²
+        |n) round bound holds on any graph shape (deep chains included,
+        |where plain propagation needs O(log diameter) rounds over a
+        |node-sized label table). Same star-edge input, same
+        |recursive-CTE closure oracle: both variants must converge to the
+        |identical min-doc_id labeling or one of them is wrong.""".stripMargin,
+      Some(connComponentsOracle),
+      (s, dir) => {
+        val (keyed, edges) = connComponentsInput(s, dir)
+        val (labels, rounds) =
+          graft.ops.ConnectedComponents.alternatingComponents(keyed, edges, "doc_id")
+        Console.err.println(s"[dd_conn_components_alt] converged in $rounds rounds")
         keyed.unpersist()
         labels.orderBy("doc_id")
       }),

@@ -16,10 +16,10 @@ import scala.jdk.CollectionConverters._
 /** S2-S6 as a real DataSourceV2 (SURVEY.md §2.1/§4.2: "custom DataSourceV2
   * with filter pushdown if live REST federation is in scope"): the
   * reference polls a paged orchestrator REST API with query params
-  * (`bu`, `rDate` lower bound, `size`) — here that API surface is modeled
-  * by [[FakeCardexApi]] (a deterministic in-executor stand-in; swap it for
-  * an HTTP client and nothing else changes), and the pushdown machinery is
-  * the real thing:
+  * (`bu`, `rDate` lower bound, `size`) — that API surface is the injected
+  * [[CardexApi]] client (default: the deterministic [[FakeCardexClient]];
+  * a real HTTP impl plugs in via `.option("apiClass", ...)` with zero
+  * reader changes), and the pushdown machinery is the real thing:
   *
   *  - `SupportsPushDownFilters`: `bu = x` / `rDate >= d` become "query
   *    params" — pages that cannot match are never fetched;
@@ -39,6 +39,7 @@ class RestCardexSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new CardexTable(
+      api = CardexApi.fromOptions(properties),
       pages = opts.getInt("pages", 4),
       rowsPerPage = opts.getInt("rowsPerPage", 1000),
       maxPagesPerTrigger =
@@ -46,9 +47,7 @@ class RestCardexSource extends TableProvider {
       retry = RetryConfig(
         maxRetries = opts.getInt("maxRetries", 3),
         baseDelayMs = opts.getLong("baseDelayMs", 10L),
-        defaultRateWaitMs = opts.getLong("defaultRateWaitMs", 10L),
-        runId = opts.getOrDefault("apiRunId", "default"),
-        failPlan = Option(opts.get("failPlan")).getOrElse("")))
+        defaultRateWaitMs = opts.getLong("defaultRateWaitMs", 10L)))
   }
 }
 
@@ -65,10 +64,11 @@ class RestCardexSource extends TableProvider {
   *    want a poisoned page to surface, not as a missing partition).
   *
   * Delays are milliseconds here (the reference sleeps seconds) so specs
-  * can exercise the real sleep path without real latency. */
+  * can exercise the real sleep path without real latency. The policy is
+  * client-independent — the loop itself is [[CardexApi.fetchWithRetry]],
+  * applied around whatever [[CardexApi]] the read injected. */
 case class RetryConfig(maxRetries: Int = 3, baseDelayMs: Long = 10L,
-                       defaultRateWaitMs: Long = 10L, runId: String = "default",
-                       failPlan: String = "")
+                       defaultRateWaitMs: Long = 10L)
 
 /** The canned "orchestrator API": deterministic pages of cardex rows.
   * Pages are date-ordered (like `sort=rDate:1`), so a pushed lower bound
@@ -85,17 +85,6 @@ object FakeCardexApi {
   val datesPerPage = 2 // each page spans 2 days
 
   def pageMinDate(page: Int): Int = baseDate + page * datesPerPage
-
-  /** 429/423 with the server's `metadata.wait` hint (None = the server
-    * sent no hint — the reference then falls back to a fixed default). */
-  final case class RateLimited(waitMs: Option[Long])
-      extends RuntimeException(s"429 rate limited (wait=$waitMs)")
-  /** 5xx-ish transient failure: retryable with client-side backoff. */
-  final case class TransientError(page: Int)
-      extends RuntimeException(s"503 transient failure on page $page")
-  /** Non-retryable failure (the reference raises after logging). */
-  final case class PoisonedPage(page: Int)
-      extends RuntimeException(s"400 permanently failing page $page")
 
   // Server-side per-page attempt state + a log of every client sleep,
   // keyed by runId so concurrent specs don't interfere. JVM-wide is the
@@ -147,9 +136,10 @@ object FakeCardexApi {
             failPlan: String = ""): Iterator[(String, String, Int, Double)] = {
     val attempt = attemptCounts.merge((runId, page), 1, (a, b) => a + b).intValue
     planFor(failPlan, page).foreach {
-      case ("transient", n) if attempt <= n.getOrElse(1L) => throw TransientError(page)
-      case ("rate", hint) if attempt <= 1 => throw RateLimited(hint)
-      case ("poison", _) => throw PoisonedPage(page)
+      case ("transient", n) if attempt <= n.getOrElse(1L) =>
+        throw CardexApi.TransientError(page)
+      case ("rate", hint) if attempt <= 1 => throw CardexApi.RateLimited(hint)
+      case ("poison", _) => throw CardexApi.PoisonedPage(page)
       case _ => ()
     }
     (0 until rowsPerPage).iterator.map { i =>
@@ -161,34 +151,9 @@ object FakeCardexApi {
       buParam.forall(_ == bu) && minDateParam.forall(d >= _)
     }
   }
-
-  /** Client retry loop around [[fetch]] — the engine analog of the
-    * reference's `retry_request` (`backend/utility.py:382-400`: 429/423
-    * honor `metadata.wait`, else a fixed default) with the bounded
-    * exponential ladder of `backend/bakery_ops_helper.py:277-281`
-    * (`base * 2^attempt`, capped retries, raise past the cap). */
-  def fetchWithRetry(page: Int, rowsPerPage: Int, buParam: Option[String],
-                     minDateParam: Option[Int], retry: RetryConfig): Iterator[(String, String, Int, Double)] = {
-    var attempt = 0
-    while (true) {
-      try {
-        return fetch(page, rowsPerPage, buParam, minDateParam, retry.runId, retry.failPlan)
-      } catch {
-        case RateLimited(hint) if attempt < retry.maxRetries =>
-          sleep(retry.runId, page, hint.getOrElse(retry.defaultRateWaitMs))
-          attempt += 1
-        case TransientError(_) if attempt < retry.maxRetries =>
-          sleep(retry.runId, page, retry.baseDelayMs << attempt)
-          attempt += 1
-        // past the cap (or poisoned): propagate — the task fails loudly
-        // rather than dropping the page
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
 }
 
-class CardexTable(pages: Int, rowsPerPage: Int,
+class CardexTable(api: CardexApi, pages: Int, rowsPerPage: Int,
                   maxPagesPerTrigger: Option[Int], retry: RetryConfig)
     extends Table with SupportsRead {
   override def name(): String = "graft_rest_cardex"
@@ -196,10 +161,10 @@ class CardexTable(pages: Int, rowsPerPage: Int,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CardexScanBuilder(pages, rowsPerPage, maxPagesPerTrigger, retry)
+    new CardexScanBuilder(api, pages, rowsPerPage, maxPagesPerTrigger, retry)
 }
 
-class CardexScanBuilder(pages: Int, rowsPerPage: Int,
+class CardexScanBuilder(api: CardexApi, pages: Int, rowsPerPage: Int,
                         maxPagesPerTrigger: Option[Int], retry: RetryConfig)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
@@ -236,25 +201,25 @@ class CardexScanBuilder(pages: Int, rowsPerPage: Int,
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false /* keep Spark's limit too */ }
 
   override def build(): Scan = new CardexScan(
-    pages, rowsPerPage, requiredSchema, pushedBu, pushedMinDate, limit,
+    api, pages, rowsPerPage, requiredSchema, pushedBu, pushedMinDate, limit,
     maxPagesPerTrigger, retry)
 }
 
-class CardexScan(pages: Int, rowsPerPage: Int, required: StructType,
+class CardexScan(api: CardexApi, pages: Int, rowsPerPage: Int, required: StructType,
                  bu: Option[String], minDate: Option[Int], limit: Option[Int],
                  maxPagesPerTrigger: Option[Int], retry: RetryConfig)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"FakeCardexApi[pages=$pages, bu=$bu, minDate=$minDate, limit=$limit, cols=${required.fieldNames.mkString(",")}]"
+    s"${api.getClass.getSimpleName}[pages=$pages, bu=$bu, minDate=$minDate, limit=$limit, cols=${required.fieldNames.mkString(",")}]"
 
   /** Page-level pruning: a pushed date bound skips whole pages — the
     * "server-side" filtering the reference got from query params. */
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages)
       .filter(p => minDate.forall(_ < FakeCardexApi.pageMinDate(p) + FakeCardexApi.datesPerPage))
-      .map(p => CardexPage(p, rowsPerPage, bu, minDate, limit, retry): InputPartition)
+      .map(p => CardexPage(p, rowsPerPage, bu, minDate, limit, api, retry): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -269,7 +234,7 @@ class CardexScan(pages: Int, rowsPerPage: Int, required: StructType,
     * already consumed is NEVER re-fetched (asserted in
     * RestCardexStreamSpec via the API's attempt counters). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CardexMicroBatchStream(pages, rowsPerPage, required, bu, minDate,
+    new CardexMicroBatchStream(api, pages, rowsPerPage, required, bu, minDate,
       maxPagesPerTrigger, retry)
 }
 
@@ -279,7 +244,7 @@ case class PageOffset(pages: Int) extends streaming.Offset {
   override def json(): String = pages.toString
 }
 
-class CardexMicroBatchStream(defaultPages: Int, rowsPerPage: Int,
+class CardexMicroBatchStream(api: CardexApi, defaultPages: Int, rowsPerPage: Int,
                              required: StructType, bu: Option[String],
                              minDate: Option[Int],
                              maxPagesPerTrigger: Option[Int], retry: RetryConfig)
@@ -290,12 +255,11 @@ class CardexMicroBatchStream(defaultPages: Int, rowsPerPage: Int,
   // publishing while the batch is running.
   @volatile private var availableNowCap: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(FakeCardexApi.publishedPages(retry.runId, defaultPages))
+    availableNowCap = Some(api.publishedPages(defaultPages))
 
   override def initialOffset(): streaming.Offset = PageOffset(0)
   override def latestOffset(): streaming.Offset =
-    PageOffset(availableNowCap.getOrElse(
-      FakeCardexApi.publishedPages(retry.runId, defaultPages)))
+    PageOffset(availableNowCap.getOrElse(api.publishedPages(defaultPages)))
   // SupportsAdmissionControl: pages are the admission unit. With
   // maxPagesPerTrigger set, each micro-batch admits at most that many new
   // pages (backpressure against a rate-limited API); the stream still
@@ -304,8 +268,7 @@ class CardexMicroBatchStream(defaultPages: Int, rowsPerPage: Int,
   // offset pinned at prepare time).
   override def latestOffset(start: streaming.Offset,
                             limit: streaming.ReadLimit): streaming.Offset = {
-    val target = availableNowCap.getOrElse(
-      FakeCardexApi.publishedPages(retry.runId, defaultPages))
+    val target = availableNowCap.getOrElse(api.publishedPages(defaultPages))
     val capped = maxPagesPerTrigger match {
       case Some(cap) if availableNowCap.isEmpty =>
         math.min(target, start.asInstanceOf[PageOffset].pages + cap)
@@ -322,23 +285,26 @@ class CardexMicroBatchStream(defaultPages: Int, rowsPerPage: Int,
                                    end: streaming.Offset): Array[InputPartition] =
     (start.asInstanceOf[PageOffset].pages until end.asInstanceOf[PageOffset].pages)
       .filter(p => minDate.forall(_ < FakeCardexApi.pageMinDate(p) + FakeCardexApi.datesPerPage))
-      .map(p => CardexPage(p, rowsPerPage, bu, minDate, None, retry): InputPartition)
+      .map(p => CardexPage(p, rowsPerPage, bu, minDate, None, api, retry): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CardexReaderFactory(required)
 }
 
+/** One API page = one partition; carries the injected client to the
+  * executor that fetches it. */
 case class CardexPage(page: Int, rowsPerPage: Int, bu: Option[String],
                       minDate: Option[Int], limit: Option[Int],
-                      retry: RetryConfig) extends InputPartition
+                      api: CardexApi, retry: RetryConfig) extends InputPartition
 
 class CardexReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CardexPage]
     new PartitionReader[InternalRow] {
       private val it = {
-        val base = FakeCardexApi.fetchWithRetry(p.page, p.rowsPerPage, p.bu, p.minDate, p.retry)
+        val base = CardexApi.fetchWithRetry(
+          p.api, p.page, p.rowsPerPage, p.bu, p.minDate, p.retry)
         p.limit.map(base.take).getOrElse(base)
       }
       private var current: (String, String, Int, Double) = _

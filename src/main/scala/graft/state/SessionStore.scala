@@ -73,8 +73,13 @@ object SessionStore {
   /** Drop every expired row (session_helper.py:53-60). Returns the number
     * of live sessions remaining. */
   def cleanup(spark: SparkSession, dir: String, now: Timestamp): Long = {
-    Snapshots.publish(spark, dir,
-      readAll(spark, dir).filter(col("expires_at") > lit(now)))
-    readAll(spark, dir).count()
+    // One read of the old snapshot: count the cached survivor set, then
+    // publish from the same cache — not publish-then-re-read-and-count.
+    val live = readAll(spark, dir).filter(col("expires_at") > lit(now)).persist()
+    try {
+      val n = live.count()
+      Snapshots.publish(spark, dir, live)
+      n
+    } finally { live.unpersist(); () }
   }
 }

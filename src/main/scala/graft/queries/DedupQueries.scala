@@ -403,61 +403,89 @@ object DedupQueries {
            |WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin
       },
-      (s, dir) => {
-        import org.apache.spark.sql.GraftColumnBridge
-        def minHash(seed: Int) =
-          array_min(transform(col("toks"), h => md5(concat(lit(s"$seed|"), h)))).as(s"h$seed")
-        // per-shingle md5 computed ONCE and cached: the signature branch
-        // (8 seed-mins) and the confirm branch (sorted hashed sets) both
-        // read this frame, and without the cache Spark recomputes the
-        // shingle+md5 pass once per branch
-        val base = Tables.documents(s, dir)
-          .withColumn("ws", Text.tokens(col("text")))
-          .filter(size(col("ws")) >= 3)
-          .withColumn("toks", array_distinct(
-            transform(Text.shinglesOfTokens(col("ws"), 3), sh => md5(sh))))
-          .select("doc_id", "toks")
-          .persist()
-        val sig = base.select(col("doc_id") +: (0 until nSeeds).map(minHash): _*)
-        val band0 = md5(concat((0 until bandSize).map(i => col(s"h$i")): _*))
-        val band1 = md5(concat((bandSize until nSeeds).map(i => col(s"h$i")): _*))
-        val bands = sig.select(col("doc_id"), lit(0).as("band_id"), band0.as("band_key"))
-          .unionAll(sig.select(col("doc_id"), lit(1).as("band_id"), band1.as("band_key")))
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band_id") === col("y.band_id") &&
-              col("x.band_key") === col("y.band_key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        // per-doc hashed sorted sets: the row-local confirm input (the
-        // same form dd_ngram_jaccard intersects)
-        val sets = base.select(col("doc_id"),
-          array_sort(transform(col("toks"), t => xxhash64(t))).as("th"))
-          .withColumn("n", size(col("th")))
-        val a = sets.select(col("doc_id").as("doc_a"), col("th").as("th_a"), col("n").as("n_a"))
-        val b = sets.select(col("doc_id").as("doc_b"), col("th").as("th_b"), col("n").as("n_b"))
-        // BOTH joins keep the candidate-derived side as the broadcast
-        // build: the outer hint re-marks the (cand ⋈ a) result, which is
-        // still candidate-sized — without it the second join broadcasts
-        // the corpus-sized sets table instead
-        val paired = broadcast(broadcast(cand).join(a, "doc_a")).join(b, "doc_b")
-          .withColumn("n_inter", GraftColumnBridge.column(
-            graft.plans.SortedIntersectCountExpression(
-              GraftColumnBridge.expression(col("th_a")),
-              GraftColumnBridge.expression(col("th_b")))).cast("long"))
-        val jac = col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))
-        val confirmed = paired
-          .filter(jac >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("n_inter"), round(jac, 6).as("jaccard"))
-          // materialize the (tiny) confirmed set NOW so the corpus-sized
-          // shingle cache can be dropped before this query's frame is
-          // handed back — a bare persist would otherwise pin it for the
-          // rest of the session (Verify/Bench share one SparkSession)
-          .localCheckpoint(true)
-        base.unpersist()
-        confirmed.orderBy("doc_a", "doc_b")
-      }),
+      (s, dir) =>
+        // implementation shared with DedupPipeline (graft.ops.NearDup) so
+        // the end-to-end pipeline runs exactly the oracle-checked operator
+        graft.ops.NearDup.confirmedPairs(
+          Tables.documents(s, dir), shingleSize = 3,
+          nSeeds = nSeeds, bandSize = bandSize, threshold = 0.5)
+          .orderBy("doc_a", "doc_b")),
+
+    Q(
+      "dd_pipeline_keepers",
+      """The WHOLE dedup pipeline oracle-checked end-to-end
+        |(graft.pipelines.DedupPipeline): exact-duplicate star edges
+        |(normalized content key) unioned with LSH-candidate →
+        |exact-confirm near-dup pairs (Jaccard >= 0.5 over 3-word
+        |shingles), connected components over the union, min-doc_id
+        |canonical keeper per cluster. Output: every document with its
+        |keeper and whether it survives — the J5-exactly-once + A1-style
+        |canonical-pick composition. The oracle recomputes the same
+        |closure as a recursive CTE over clique-form edges (identical
+        |connectivity to the engine's linear star form).""".stripMargin,
+      Some {
+        val mins = (0 until nSeeds)
+          .map(i => s"list_min(list_transform(toks, h -> md5('$i|' || h))) AS h$i")
+          .mkString(",\n         ")
+        val b0 = (0 until bandSize).map(i => s"h$i").mkString(" || ")
+        val b1 = (bandSize until nSeeds).map(i => s"h$i").mkString(" || ")
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+           |  FROM documents),
+           |keyed AS (
+           |  SELECT doc_id,
+           |         md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS norm_key
+           |  FROM w),
+           |tk AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(
+           |           list_transform(range(len(ws) - 2),
+           |             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]),
+           |           s -> md5(s))) AS toks
+           |  FROM w WHERE len(ws) >= 3),
+           |sig AS (
+           |  SELECT doc_id,
+           |         $mins
+           |  FROM tk),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band_id, md5($b0) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band_id, md5($b1) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+           |   AND x.doc_id < y.doc_id),
+           |conf AS (
+           |  SELECT c.doc_a, c.doc_b
+           |  FROM cand c
+           |  JOIN tk ta ON ta.doc_id = c.doc_a
+           |  JOIN tk tb ON tb.doc_id = c.doc_b
+           |  WHERE CAST(len(list_filter(ta.toks, t -> list_contains(tb.toks, t))) AS DOUBLE)
+           |        / (len(ta.toks) + len(tb.toks)
+           |           - len(list_filter(ta.toks, t -> list_contains(tb.toks, t)))) >= 0.5),
+           |e1 AS (
+           |  SELECT a.doc_id AS src, b.doc_id AS dst FROM keyed a JOIN keyed b
+           |  ON a.norm_key = b.norm_key AND a.doc_id <> b.doc_id),
+           |e2 AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM conf
+           |  UNION ALL
+           |  SELECT doc_b AS src, doc_a AS dst FROM conf),
+           |edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
+           |reach AS (
+           |  WITH RECURSIVE r(a, b) AS (
+           |    SELECT doc_id, doc_id FROM keyed
+           |    UNION
+           |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+           |  ) SELECT * FROM r)
+           |SELECT a AS doc_id, MIN(b) AS keeper, (a = MIN(b)) AS is_keeper
+           |FROM reach
+           |GROUP BY a
+           |ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) =>
+        graft.pipelines.DedupPipeline.assignments(Tables.documents(s, dir))
+          .orderBy("doc_id")),
 
     Q(
       "dd_incremental",

@@ -1,0 +1,66 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.functions.Text
+import graft.ops.NearDup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** End-to-end dedup: exact + near-dup edges -> connected components ->
+  * canonical keeper -> keeper-only corpus, with the funnel invariants the
+  * composition must satisfy (every non-keeper maps to exactly one keeper
+  * in its own cluster; dedup actually removed the duplicates it claimed).
+  */
+class DedupPipelineSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfSmoke)
+  private lazy val assign = DedupPipeline.assignments(docs).persist()
+
+  test("total function: every document gets exactly one keeper assignment") {
+    assert(assign.count() === docs.count())
+    assert(assign.select("doc_id").distinct().count() === docs.count())
+    assert(assign.filter(col("keeper").isNull).count() === 0)
+  }
+
+  test("keepers are fixpoints and every keeper id is a real document") {
+    // a keeper's keeper is itself; non-keepers never appear as keepers
+    assert(assign.filter(col("is_keeper") && col("keeper") =!= col("doc_id")).count() === 0)
+    assert(assign.filter(!col("is_keeper") && col("keeper") === col("doc_id")).count() === 0)
+    val keeperIds = assign.select(col("keeper").as("doc_id")).distinct()
+    assert(keeperIds.join(assign.filter(col("is_keeper")), "doc_id", "left_anti").count() === 0)
+  }
+
+  test("keeper is the min doc_id of its cluster (A1-style canonical pick)") {
+    val bad = assign.groupBy("keeper").agg(min("doc_id").as("mn"))
+      .filter(col("keeper") =!= col("mn"))
+    assert(bad.count() === 0)
+  }
+
+  test("funnel reconciles and matches the keeper corpus") {
+    val f = DedupPipeline.funnel(assign)
+    assert(f.raw === docs.count())
+    assert(f.raw === f.keepers + f.removed)
+    assert(f.keepers > 0 && f.removed > 0) // fixture has real duplicates
+    assert(DedupPipeline.keeperCorpus(docs, assign).count() === f.keepers)
+  }
+
+  test("exact duplicates collapse: keeper corpus has unique content keys") {
+    val kept = DedupPipeline.keeperCorpus(docs, assign)
+      .select(Text.normalizedKey(col("text")).as("k"))
+    assert(kept.count() === kept.distinct().count())
+  }
+
+  test("confirmed near-dup pairs always share a keeper, and no pair survives") {
+    val conf = NearDup.confirmedPairs(docs)
+    val ka = assign.select(col("doc_id").as("doc_a"), col("keeper").as("keep_a"),
+      col("is_keeper").as("ik_a"))
+    val kb = assign.select(col("doc_id").as("doc_b"), col("keeper").as("keep_b"),
+      col("is_keeper").as("ik_b"))
+    val joined = conf.join(ka, "doc_a").join(kb, "doc_b").persist()
+    assert(joined.count() === conf.count())
+    assert(joined.filter(col("keep_a") =!= col("keep_b")).count() === 0)
+    // at most one side of any confirmed near-dup pair survives dedup
+    assert(joined.filter(col("ik_a") && col("ik_b")).count() === 0)
+    joined.unpersist()
+  }
+}

@@ -4,10 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for the training-data pipeline (beyond-parity
-  * extension): media as opaque `binary` columns with typed metadata, and a
-  * feature-extraction stage whose Spark side (schema, partitioning, batch
-  * iteration shape) is real while the codec itself is a STUB — the actual
-  * image/audio decoders are not in this environment.
+  * extension): media as opaque `binary` columns with typed metadata, plus
+  * feature-extraction stages. The IMAGE path is real end-to-end —
+  * [[Multimodal.synthesizePngs]] encodes and [[Multimodal.decodeImageStats]]
+  * decodes actual PNGs via the JDK's `javax.imageio`, oracle-checked
+  * (`mm_decode_stats`). The audio/video stages keep deterministic stand-in
+  * codecs (those decoders are not in this environment) behind the same
+  * production-shaped plumbing.
   *
   * Layout mirrors how a lakehouse carries media: one row per asset,
   * `blob BINARY` + `meta STRUCT` + modality discriminator. Feature
@@ -108,6 +111,70 @@ object Multimodal {
         val start = k * stride * frameLen
         MediaFrame(r.media_id, k,
           r.blob.slice(start, math.min(start + frameLen, r.blob.length)))
+      }
+    }
+  }
+
+  case class PngAsset(media_id: Long, blob: Array[Byte])
+  case class DecodedImage(media_id: Long, img_w: Int, img_h: Int, px_sum: Long)
+
+  /** Synthesize REAL PNG assets — actual encoded images via `javax.imageio`
+    * (pure JVM, ships in every JDK), not byte stand-ins. Dimensions and
+    * pixel values are a closed-form function of `doc_id` (gray value
+    * `(doc_id*31 + i) mod 256` for pixel index `i` in row-major order), so
+    * a SQL oracle can compute the expected decode output without ever
+    * touching an image library: the only way the decode query matches is
+    * if the PNG round-trip is byte-faithful. Partition-local, no shuffle —
+    * the same scaling shape as reading `binaryFile` sources. */
+  def synthesizePngs(documents: DataFrame): Dataset[PngAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 1 + (id % 8).toInt
+        val h = 1 + (id % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id * 31 + i) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        PngAsset(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL IMAGE DECODE — `ImageIO.read` over the blob column, in the same
+    * batched `mapPartitions` shape the codec stubs documented (one decoder
+    * instance per partition, rows streamed through it, no shuffle). Emits
+    * per-asset decoded stats: true pixel dimensions and the exact sum of
+    * all channel values — integers, so the oracle comparison is hash-exact.
+    * An undecodable blob fails the task loudly (no silent nulls: at 100 TB
+    * a corrupt asset should surface in Spark's task retry, not vanish). */
+  def decodeImageStats(media: Dataset[PngAsset]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null, s"undecodable image blob for media_id=${r.media_id}")
+        var sum = 0L; var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(r.media_id, img.getWidth, img.getHeight, sum)
       }
     }
   }

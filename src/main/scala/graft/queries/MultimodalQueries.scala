@@ -3,12 +3,38 @@ package graft.queries
 import graft.ops.Multimodal
 import graft.sources.Tables
 
-/** Expression-side multimodal stats as an oracle-checked query; the typed
-  * mapPartitions decode path is covered by MultimodalSpec (a stub codec
-  * has no SQL oracle).
+/** Multimodal queries: expression-side stats, the frame-sampling manifest,
+  * and a REAL image decode — PNG encode (`javax.imageio`) on one side,
+  * `ImageIO.read` on the other, with a closed-form pixel function so the
+  * SQL oracle can predict the decoded output exactly.
   */
 object MultimodalQueries {
   val qs: Seq[Q] = Seq(
+    Q(
+      "mm_decode_stats",
+      """Real image decode, oracle-checked: assets are ACTUAL PNGs encoded
+        |executor-side with javax.imageio from a closed-form pixel function
+        |of doc_id (gray (doc_id*31+i) mod 256 over row-major pixel index
+        |i, width 1+id%8, height 1+id%5); the query ImageIO-decodes each
+        |blob back in batched mapPartitions and emits true width/height and
+        |the exact channel-value sum. The oracle computes the same stats
+        |arithmetically, never touching an image library — equality proves
+        |the encode->decode round trip is pixel-faithful. Partition-local
+        |both sides: no shuffle at any corpus size.""".stripMargin,
+      Some(
+        """SELECT doc_id AS media_id,
+          |       CAST(1 + doc_id % 8 AS INT) AS img_w,
+          |       CAST(1 + doc_id % 5 AS INT) AS img_h,
+          |       CAST(3 * list_sum(list_transform(
+          |              range((1 + doc_id % 8) * (1 + doc_id % 5)),
+          |              i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS px_sum
+          |FROM documents
+          |ORDER BY media_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.decodeImageStats(
+          Multimodal.synthesizePngs(Tables.documents(s, dir)))
+          .toDF().orderBy("media_id")),
+
     Q(
       "mm_media_stats",
       """Binary media columns: synthesized assets (UTF-8 bytes as the

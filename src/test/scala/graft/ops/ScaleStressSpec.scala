@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.{ScaleStress, SparkSpec}
+
+/** Pinned round/time bounds for the iterative and quadratic-prone
+  * operators under adversarial shapes — one heavy-tailed duplicate group,
+  * one deep chain, one 90%-hot agg key, one viral LSH band. These are the
+  * shapes sf0.1 never produces; the bounds here are the 100×-scale claims
+  * from the operator docs made falsifiable. The same harness runs bigger
+  * via `tools/run.sh graft.ScaleStress [scale]`.
+  */
+class ScaleStressSpec extends SparkSpec {
+
+  // one 10^4-member duplicate group + a 10^3-deep chain (the verdict's
+  // fixture), both CC variants
+  private lazy val runs = ScaleStress.ccStress(spark, k = 10000, singles = 2000, depth = 1000)
+  private lazy val lp = runs.find(_.variant == "label_propagation").get
+  private lazy val alt = runs.find(_.variant == "alternating_star").get
+
+  test("heavy-tail group + deep chain: both CC variants produce the exact labeling") {
+    assert(lp.correct, s"label propagation mislabeled: $lp")
+    assert(alt.correct, s"alternation mislabeled: $alt")
+    assert(lp.nodes === 10000 + 2000 + 1001)
+  }
+
+  test("label propagation collapses a depth-1000 chain in <= log2(d) + 2 rounds") {
+    // pointer halving: O(log diameter), never O(diameter). log2(1000) ~ 10.
+    val bound = (math.log(1000) / math.log(2)).ceil.toInt + 2
+    assert(lp.rounds <= bound, s"${lp.rounds} rounds > bound $bound")
+  }
+
+  test("alternation converges within its O(log^2 n) bound on the same fixture") {
+    // Kiveris et al. SoCC'14: O(log^2 n) rounds; empirically a depth-1000
+    // chain alternates home in ~log2(n) rounds — pin 2*log2(n) as the
+    // regression tripwire (n = 13001 nodes => bound 28)
+    val bound = 2 * (math.log(13001.0) / math.log(2)).ceil.toInt
+    assert(alt.rounds <= bound, s"${alt.rounds} rounds > bound $bound")
+  }
+
+  test("star edges keep heavy-tail CC linear: 10x the group is <~10x the time") {
+    // The all-pairs clique form this repo replaced is quadratic: 10x the
+    // group => 100x the edges. Star form: 10x edges, same rounds. Allow
+    // a wide scheduling-noise margin; quadratic growth would still trip.
+    val r10 = ScaleStress.ccStress(spark, k = 100000, singles = 2000, depth = 1000)
+    val lp10 = r10.find(_.variant == "label_propagation").get
+    assert(lp10.correct)
+    assert(lp10.rounds <= lp.rounds + 2,
+      s"10x group changed round count: ${lp.rounds} -> ${lp10.rounds}")
+    val ratio = lp10.seconds / math.max(lp.seconds, 1e-9)
+    assert(ratio < 25.0, f"10x data took $ratio%.1fx the time (quadratic?)")
+  }
+
+  test("salted aggregation neutralizes a 90%-hot key with identical results") {
+    val (_, _, equal) = ScaleStress.saltedAggStress(spark, rows = 2000000L, saltBuckets = 32)
+    assert(equal)
+  }
+
+  test("LSH hot band: uncapped pairing is quadratic; the cap keeps it collision-sized") {
+    val (uncappedSample, capped) = ScaleStress.hotBandStress(spark, m = 3000, cap = 100)
+    // 40-doc sample of the hot band alone: 40*39/2 pairs + the 3 real
+    // group pairs — quadratic growth made visible
+    assert(uncappedSample === 40L * 39 / 2 + 3)
+    // capped full run (3000-member hot band dropped): only the 3 genuine
+    // under-cap pairs survive — no m^2 blowup
+    assert(capped === 3)
+  }
+}

@@ -16,8 +16,25 @@ import org.apache.spark.sql.SparkSession
   * every sample so a consumer can audit the spread; `value` is the sum
   * of medians. SPARK_GRAFT_ONLY=name,name limits the set (iteration aid;
   * unset = full catalog, which is what the driver runs).
+  *
+  * Scale curve: after the main pass, a `copies`× replica of the SF dir is
+  * generated (graft.ScaledData — key-shifted copies, mutually invisible)
+  * and the headline queries run once against it; the same JSON line then
+  * carries `"scaled":{"copies":N,"value":…,"queries":{…}}`. Two scale
+  * points in every BENCH file make super-linear growth visible instead of
+  * asserted. SPARK_GRAFT_SCALE_COPIES overrides (0 disables).
   */
 object Bench {
+  /** The scale-curve subset: the scan/join/agg/dedup/text/ann/pipeline
+    * shapes whose 100×-claims are worth a second data point — the rest of
+    * the catalog is dominated by these same plan shapes. */
+  val headline: Set[String] = Set(
+    "flagship_reconcile", "nested_flatten_actions", "f5_f7_transaction_ids",
+    "j5_anti_dispatched", "j_asof_attribution", "w_session_window_native",
+    "dd_exact_groups", "dd_minhash_lsh", "dd_lsh_confirm", "dd_simhash",
+    "dd_conn_components", "dd_conn_components_alt", "dd_pipeline_keepers",
+    "ann_topk_agg", "t_token_quality", "s_pack_sequences", "mm_decode_stats")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -52,8 +69,27 @@ object Bench {
     // consumer expecting {"sf": N} must not get a path string.
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
+
+    // second scale point: headline queries, once each, against the
+    // copies× replica (single-shot is enough — the signal is the RATIO to
+    // the median above, and a >>copies× ratio screams even unrepeated)
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "5").toInt
+    val scaledJson = if (copies <= 0) "" else {
+      val scaledDir = "target/bench-scaled"
+      ScaledData.generate(spark, sfDir, scaledDir, copies)
+      val scaled = names.filter { case (n, _) => headline.contains(n) }
+        .map { case (name, fn) =>
+          System.err.println(s"[bench] scaled(${copies}x) $name")
+          val t0 = System.nanoTime()
+          try fn(spark, scaledDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] scaled $name failed: $e") }
+          (name, (System.nanoTime() - t0) / 1e9)
+        }
+      val sqs = scaled.map { case (k, s) => s"\"" + k + "\":" + s }.mkString("{", ",", "}")
+      s""","scaled":{"copies":$copies,"value":${scaled.map(_._2).sum},"queries":$sqs}"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"raw":$raw,"sf":$sfNum}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"raw":$raw,"sf":$sfNum$scaledJson}"""
     // Stop Spark BEFORE printing so shutdown logging cannot interleave
     // with (or follow) the result line; the JSON is the final stdout line.
     spark.stop()

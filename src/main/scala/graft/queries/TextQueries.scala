@@ -294,5 +294,67 @@ object TextQueries {
           row_number().over(w).cast("long").as("rank"),
           round(cum.cast("double") / tot, 6).as("cum_share"))
           .orderBy("rank")
+      }),
+
+    Q(
+      "t_pii_scrub",
+      """PII detection + redaction — the compliance scrub stage of a
+        |training-data pipeline: per-document counts of emails, phone
+        |numbers, and IPv4 addresses, plus the redacted text with each
+        |occurrence replaced by its [EMAIL]/[PHONE]/[IP] tag. The synthetic
+        |corpus is digit-free, so (same pattern as mm_decode_stats) both
+        |sides first augment each document with PII built as a closed-form
+        |function of doc_id; the detection/redaction regexes then run for
+        |real, and the oracle proves the counts and the full redacted
+        |string byte-for-byte. Regexes use the Java/RE2 common subset so
+        |Spark and DuckDB compile them identically. Scan-side row-local
+        |work: zero shuffle at any corpus size except the output-contract
+        |sort.""".stripMargin,
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         text || ' contact u' || CAST(doc_id AS VARCHAR)
+          |              || '@mail.example.com or call +1 555 '
+          |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |              || ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+          |              || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' end' AS t
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(t,
+          |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          |       CAST(len(regexp_extract_all(t,
+          |         '\+1 [0-9]{3} [0-9]{4}')) AS BIGINT) AS n_phone,
+          |       CAST(len(regexp_extract_all(t,
+          |         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+          |       regexp_replace(regexp_replace(regexp_replace(t,
+          |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |         '\+1 [0-9]{3} [0-9]{4}', '[PHONE]', 'g'),
+          |         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS redacted
+          |FROM aug
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1 [0-9]{3} [0-9]{4}"
+        val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        // email is redacted first so the phone/ip passes never see its
+        // digits; the trailing literal guards the last pattern's edge
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("t", concat(
+            col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail.example.com or call +1 555 "),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" node 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".0."), pmod(col("doc_id"), lit(250)).cast("string"), lit(" end")))
+          .select(
+            col("doc_id"),
+            regexp_count(col("t"), lit(emailRe)).cast("long").as("n_email"),
+            regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phone"),
+            regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ip"),
+            regexp_replace(regexp_replace(regexp_replace(col("t"),
+              lit(emailRe), lit("[EMAIL]")),
+              lit(phoneRe), lit("[PHONE]")),
+              lit(ipRe), lit("[IP]")).as("redacted"))
+          .orderBy("doc_id")
       }))
 }

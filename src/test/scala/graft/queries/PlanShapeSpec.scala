@@ -54,7 +54,8 @@ class PlanShapeSpec extends SparkSpec {
   test("scan-side operators have at most the output-sort shuffle") {
     Seq("t_token_quality", "t_fingerprints", "f5_f7_transaction_ids",
       "mm_media_stats", "f19_sanitize", "t_repetition_quality",
-      "f20_cache_key", "s_chunk_overlap", "mm_frame_manifest").foreach { q =>
+      "f20_cache_key", "s_chunk_overlap", "mm_frame_manifest",
+      "t_pii_scrub", "mm_decode_stats").foreach { q =>
       withClue(q) { assert(shuffles(plan(q)).length <= 1, s"$q grew a shuffle") }
     }
   }

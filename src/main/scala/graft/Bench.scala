@@ -74,8 +74,13 @@ object Bench {
     // copies× replica (single-shot is enough — the signal is the RATIO to
     // the median above, and a >>copies× ratio screams even unrepeated)
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "5").toInt
-    val scaledJson = if (copies <= 0) "" else {
-      val scaledDir = "target/bench-scaled"
+    // fail-soft: the curve is extra evidence — a replica-write problem
+    // (unwritable cwd, disk) must not cost the round its primary numbers
+    val scaledJson = if (copies <= 0) "" else try {
+      // tmpdir, not a repo-relative path: the harness may run this main
+      // from any working directory
+      val scaledDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-bench-scaled").getAbsolutePath
       ScaledData.generate(spark, sfDir, scaledDir, copies)
       val scaled = names.filter { case (n, _) => headline.contains(n) }
         .map { case (name, fn) =>
@@ -87,6 +92,9 @@ object Bench {
         }
       val sqs = scaled.map { case (k, s) => s"\"" + k + "\":" + s }.mkString("{", ",", "}")
       s""","scaled":{"copies":$copies,"value":${scaled.map(_._2).sum},"queries":$sqs}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scale-curve pass skipped: $e"); ""
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"raw":$raw,"sf":$sfNum$scaledJson}"""

@@ -85,9 +85,11 @@ object CardexApi {
     * or no-arg constructor — the full option map is handed to the former,
     * so an implementation configures itself from the same `.option(...)`
     * surface as the source. Unset, the deterministic fake is used (specs,
-    * local smoke). */
-  def fromOptions(properties: util.Map[String, String]): CardexApi =
-    Option(properties.get("apiClass")) match {
+    * local smoke). `cacheTtlMs` (> 0) wraps whichever client was built in
+    * the [[CachingCardexApi]] GET memo — the reference's
+    * `retry_request_lru` composition, opt-in per read. */
+  def fromOptions(properties: util.Map[String, String]): CardexApi = {
+    val base = Option(properties.get("apiClass")) match {
       case None =>
         FakeCardexClient(
           runId = Option(properties.get("apiRunId")).getOrElse("default"),
@@ -104,6 +106,13 @@ object CardexApi {
             c.getDeclaredConstructor().newInstance().asInstanceOf[CardexApi]
         }
     }
+    Option(properties.get("cacheTtlMs")).map(_.toLong).filter(_ > 0) match {
+      case Some(ttl) =>
+        CachingCardexApi(base, scope =
+          Option(properties.get("apiRunId")).getOrElse("default"), ttlMs = ttl)
+      case None => base
+    }
+  }
 }
 
 /** The spec/default implementation: a thin serializable handle onto the

@@ -72,26 +72,40 @@ object Bench {
 
     // second scale point: headline queries, once each, against the
     // copies× replica (single-shot is enough — the signal is the RATIO to
-    // the median above, and a >>copies× ratio screams even unrepeated)
-    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "5").toInt
-    // fail-soft: the curve is extra evidence — a replica-write problem
-    // (unwritable cwd, disk) must not cost the round its primary numbers
-    val scaledJson = if (copies <= 0) "" else try {
-      // tmpdir, not a repo-relative path: the harness may run this main
-      // from any working directory
-      val scaledDir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-bench-scaled").getAbsolutePath
-      ScaledData.generate(spark, sfDir, scaledDir, copies)
-      val scaled = names.filter { case (n, _) => headline.contains(n) }
-        .map { case (name, fn) =>
-          System.err.println(s"[bench] scaled(${copies}x) $name")
-          val t0 = System.nanoTime()
-          try fn(spark, scaledDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] scaled $name failed: $e") }
-          (name, (System.nanoTime() - t0) / 1e9)
+    // the median above, and a >>copies× ratio screams even unrepeated).
+    // fail-soft end to end: the curve is extra evidence — a bad env value
+    // or replica-write problem must not cost the round its primary numbers
+    val scaledJson = try {
+      val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "5").toInt
+      if (copies <= 0) "" else {
+        // per-run unique dir under tmpdir (cwd-independent, and two
+        // concurrent benches can't clobber each other's replica mid-read);
+        // deleted after the pass — a 5x replica shouldn't squat on /tmp
+        val scaledDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-bench-scaled-${java.util.UUID.randomUUID()}").getAbsolutePath
+        try {
+          ScaledData.generate(spark, sfDir, scaledDir, copies)
+          val scaled = names.filter { case (n, _) => headline.contains(n) }
+            .map { case (name, fn) =>
+              System.err.println(s"[bench] scaled(${copies}x) $name")
+              val t0 = System.nanoTime()
+              val ok =
+                try { fn(spark, scaledDir).write.format("noop").mode("overwrite").save(); true }
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] scaled $name failed: $e"); false }
+              (name, (System.nanoTime() - t0) / 1e9, ok)
+            }
+          // a failed query must NOT appear as a (small, plausible) timing —
+          // that would read as an improvement in the curve; list it instead
+          val good = scaled.filter(_._3)
+          val sqs = good.map { case (k, s, _) => s"\"" + k + "\":" + s }.mkString("{", ",", "}")
+          val failed = scaled.filterNot(_._3)
+            .map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
+          s""","scaled":{"copies":$copies,"value":${good.map(_._2).sum},"queries":$sqs,"failed":$failed}"""
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir)); ()
         }
-      val sqs = scaled.map { case (k, s) => s"\"" + k + "\":" + s }.mkString("{", ",", "}")
-      s""","scaled":{"copies":$copies,"value":${scaled.map(_._2).sum},"queries":$sqs}"""
+      }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale-curve pass skipped: $e"); ""

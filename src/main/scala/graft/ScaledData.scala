@@ -52,9 +52,15 @@ object ScaledData {
   }
 
   /** Write the N× replica of `srcDir` into `outDir` (overwrite). */
-  def generate(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit =
+  def generate(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
+    // INT key columns wrap at copy*KeyShift > Int.MaxValue (non-ANSI cast),
+    // which would silently merge copies and void the mutual-invisibility
+    // premise — refuse loudly instead (Bench's fail-soft catch reports it)
+    require(copies >= 1 && copies.toLong * KeyShift <= Int.MaxValue,
+      s"copies=$copies would overflow INT key columns (max ${Int.MaxValue / KeyShift})")
     tables.foreach { t =>
       replicateTable(spark.read.parquet(s"$srcDir/$t.parquet"), t, copies)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+  }
 }

@@ -12,13 +12,23 @@ import java.util.concurrent.ConcurrentHashMap
   * (utility.py:322-329).
   *
   * Scope of the mirror: this memo is a PROCESS-LOCAL cache (one per
-  * executor JVM, like a connector's LRU), so unlike the durable
+  * executor JVM, like the reference's `lru_cache`), so unlike the durable
   * [[graft.state.ResultCache]] it does NOT reproduce the reference's
   * expired-tombstone quirk — an expired entry is simply replaced by the
   * next successful fetch. The durable store preserves that quirk
   * faithfully; at the connector layer it would only manufacture permanent
-  * cache misses. `publishedPages` (the streaming watermark) and `sleep`
-  * delegate uncached — memoizing the watermark would stall the stream.
+  * cache misses. Like the reference's LRU it is BOUNDED
+  * ([[CachingCardexApi.MaxEntries]]): on overflow, expired entries are
+  * swept first, then the oldest survivor is evicted — a streaming reader
+  * minting a fresh (page, minDate) key every micro-batch cannot grow the
+  * executor heap without bound. `publishedPages` (the streaming
+  * watermark) and `sleep` delegate uncached — memoizing the watermark
+  * would stall the stream.
+  *
+  * Entries are namespaced by `(scope, inner.clientId)`: two sources
+  * sharing a JVM but backed by DIFFERENT clients (fake vs real HTTP, or
+  * two fakes with different fail plans) must never serve each other's
+  * rows, even under the default scope.
   *
   * Composition order matters and is the reference's own:
   * `fetchWithRetry(CachingCardexApi(inner))` — the cache sits INSIDE the
@@ -28,8 +38,7 @@ import java.util.concurrent.ConcurrentHashMap
   * once. Enable from the option surface with `cacheTtlMs` (see
   * [[CardexApi.fromOptions]]).
   *
-  * @param scope  cache namespace (parallel specs / independent sources);
-  *               entries live in a JVM-wide map keyed by (scope, key)
+  * @param scope  cache namespace (parallel specs / independent sources)
   * @param clock  injectable for deterministic TTL specs
   */
 final case class CachingCardexApi(
@@ -37,9 +46,12 @@ final case class CachingCardexApi(
     ttlMs: Long = CachingCardexApi.DefaultTtlMs,
     clock: () => Long = () => System.currentTimeMillis()) extends CardexApi {
 
+  /** The memo namespace: scope + the delegate's configuration identity. */
+  def namespace: String = s"$scope|${inner.clientId}"
+
   override def fetch(page: Int, rowsPerPage: Int, buParam: Option[String],
                      minDateParam: Option[Int]): Iterator[(String, String, Int, Double)] = {
-    val key = (scope, CachingCardexApi.cacheKey(page, rowsPerPage, buParam, minDateParam))
+    val key = (namespace, CachingCardexApi.cacheKey(page, rowsPerPage, buParam, minDateParam))
     val now = clock()
     val cached = Option(CachingCardexApi.entries.get(key))
       .filter { case (storedAt, _) => now - storedAt <= ttlMs }
@@ -49,10 +61,17 @@ final case class CachingCardexApi(
         val rows = inner.fetch(page, rowsPerPage, buParam, minDateParam).toVector
         // never cache empty (utility.py:322-329); replace-on-expiry is the
         // documented divergence from the durable store's tombstone quirk
-        if (rows.nonEmpty) CachingCardexApi.entries.put(key, (now, rows))
+        if (rows.nonEmpty) CachingCardexApi.insert(key, now, rows, ttlMs)
         rows.iterator
     }
   }
+
+  /** Targeted invalidation in THIS decorator's namespace — the post-write
+    * staleness hook (utility.py:614-637). */
+  def invalidate(page: Int, rowsPerPage: Int, buParam: Option[String],
+                 minDateParam: Option[Int]): Boolean =
+    CachingCardexApi.entries.remove(
+      (namespace, CachingCardexApi.cacheKey(page, rowsPerPage, buParam, minDateParam))) != null
 
   override def publishedPages(default: Int): Int = inner.publishedPages(default)
   override def sleep(page: Int, ms: Long): Unit = inner.sleep(page, ms)
@@ -60,10 +79,41 @@ final case class CachingCardexApi(
 
 object CachingCardexApi {
   val DefaultTtlMs: Long = 3600000L // utility.py:515 INTERVAL '3600 seconds'
+  /** JVM-wide entry bound (the reference's lru_cache is bounded too). */
+  val MaxEntries: Int = 1024
   private val BaseUrl = "cardex://fetch"
 
   private val entries =
     new ConcurrentHashMap[(String, String), (Long, Vector[(String, String, Int, Double)])]()
+
+  private def insert(key: (String, String), now: Long,
+                     rows: Vector[(String, String, Int, Double)], ttlMs: Long): Unit = {
+    if (entries.size >= MaxEntries) {
+      // sweep expired first; if the map is still full, evict the oldest
+      entries.entrySet.removeIf(e => now - e.getValue._1 > ttlMs)
+      if (entries.size >= MaxEntries) {
+        import scala.jdk.CollectionConverters._
+        entries.entrySet.asScala.minByOption(_.getValue._1)
+          .foreach(oldest => entries.remove(oldest.getKey))
+      }
+    }
+    entries.put(key, (now, rows)); ()
+  }
+
+  /** JSON string-value escaping per the JSON spec — the exact byte forms
+    * `to_json` (Jackson) emits, so hand-rolled params JSON cannot drift
+    * from the F20 expression on quotes, backslashes, or control chars. */
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** The request-identity key, byte-identical to the F20 column expression
     * `CacheKey.derive(lit(BaseUrl), params)` over the same four params —
@@ -73,7 +123,7 @@ object CachingCardexApi {
     * can never drift. */
   def cacheKey(page: Int, rowsPerPage: Int, buParam: Option[String],
                minDateParam: Option[Int]): String = {
-    def j(v: Option[String]) = v.map("\"" + _ + "\"").getOrElse("null")
+    def j(v: Option[String]) = v.map("\"" + esc(_) + "\"").getOrElse("null")
     val paramsJson =
       s"""{"bu":${j(buParam)},"minDate":${j(minDateParam.map(_.toString))}""" +
         s""","page":"$page","rowsPerPage":"$rowsPerPage"}"""
@@ -82,13 +132,9 @@ object CachingCardexApi {
       .map("%02x".format(_)).mkString
   }
 
-  /** Targeted invalidation — the post-write staleness hook
-    * (utility.py:614-637). */
-  def invalidate(scope: String, page: Int, rowsPerPage: Int,
-                 buParam: Option[String], minDateParam: Option[Int]): Boolean =
-    entries.remove((scope, cacheKey(page, rowsPerPage, buParam, minDateParam))) != null
-
-  /** Drop a whole scope (spec isolation / source teardown). */
-  def clear(scope: String): Unit =
-    entries.keySet.removeIf(_._1 == scope)
+  /** Drop every entry under `scope` (spec isolation / source teardown),
+    * whatever client it was namespaced with. */
+  def clear(scope: String): Unit = {
+    entries.keySet.removeIf(_._1.startsWith(scope + "|")); ()
+  }
 }

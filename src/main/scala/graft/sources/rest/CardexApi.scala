@@ -36,6 +36,14 @@ trait CardexApi extends Serializable {
     * waits (server-hint honoring, exponential ladder) without timing
     * flakiness; production impls keep the default. */
   def sleep(page: Int, ms: Long): Unit = Thread.sleep(ms)
+
+  /** Stable configuration identity — [[CachingCardexApi]] namespaces its
+    * memo by this, so two sources backed by different clients (or the
+    * same client class configured differently) never serve each other's
+    * cached rows. Default: the class name (stable across instances,
+    * distinct across implementations); override with a config-bearing
+    * string when one class serves multiple distinct backends. */
+  def clientId: String = getClass.getName
 }
 
 object CardexApi {
@@ -87,13 +95,15 @@ object CardexApi {
     * surface as the source. Unset, the deterministic fake is used (specs,
     * local smoke). `cacheTtlMs` (> 0) wraps whichever client was built in
     * the [[CachingCardexApi]] GET memo — the reference's
-    * `retry_request_lru` composition, opt-in per read. */
+    * `retry_request_lru` composition, opt-in per read. Option names are
+    * case-insensitive, matching every other option of this source. */
   def fromOptions(properties: util.Map[String, String]): CardexApi = {
-    val base = Option(properties.get("apiClass")) match {
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    val base = Option(opts.get("apiClass")) match {
       case None =>
         FakeCardexClient(
-          runId = Option(properties.get("apiRunId")).getOrElse("default"),
-          failPlan = Option(properties.get("failPlan")).getOrElse(""))
+          runId = Option(opts.get("apiRunId")).getOrElse("default"),
+          failPlan = Option(opts.get("failPlan")).getOrElse(""))
       case Some(cls) =>
         val c = Class.forName(cls)
         val byMap = c.getConstructors.find(
@@ -106,10 +116,10 @@ object CardexApi {
             c.getDeclaredConstructor().newInstance().asInstanceOf[CardexApi]
         }
     }
-    Option(properties.get("cacheTtlMs")).map(_.toLong).filter(_ > 0) match {
+    Option(opts.get("cacheTtlMs")).map(_.toLong).filter(_ > 0) match {
       case Some(ttl) =>
         CachingCardexApi(base, scope =
-          Option(properties.get("apiRunId")).getOrElse("default"), ttlMs = ttl)
+          Option(opts.get("apiRunId")).getOrElse("default"), ttlMs = ttl)
       case None => base
     }
   }
@@ -133,4 +143,8 @@ final case class FakeCardexClient(runId: String = "default",
   /** Recorded sleeps — specs assert the exact wait ladder. */
   override def sleep(page: Int, ms: Long): Unit =
     FakeCardexApi.sleep(runId, page, ms)
+
+  /** Config-bearing identity: two fakes with different runId/failPlan are
+    * different backends and must not share a cache namespace. */
+  override def clientId: String = s"FakeCardexClient($runId,$failPlan)"
 }

@@ -63,16 +63,22 @@ object ResultCache {
   def put(spark: SparkSession, dir: String, cacheKey: String, response: String,
           now: Timestamp): Unit = {
     import spark.implicits._
-    val incoming = Seq((cacheKey, response, now))
-      .toDF("cache_key", "response", "created_at")
-      .withColumn("response",
-        when(json_array_length(col("response")) === 1,
-          get_json_object(col("response"), "$[0]"))
-          .otherwise(col("response")))
-    val existing = readAll(spark, dir)
-    Snapshots.publish(spark, dir,
-      existing.unionByName(
-        incoming.join(existing.select("cache_key"), Seq("cache_key"), "left_anti")))
+    // conflict probe first: ON CONFLICT DO NOTHING is a no-op WRITE in the
+    // reference — blocked inserts must not rewrite the whole snapshot
+    // (an expired tombstone would otherwise cost a full-table rewrite on
+    // every put of its key)
+    val existing = readAll(spark, dir).persist()
+    try {
+      if (existing.filter(col("cache_key") === cacheKey).isEmpty) {
+        val incoming = Seq((cacheKey, response, now))
+          .toDF("cache_key", "response", "created_at")
+          .withColumn("response",
+            when(json_array_length(col("response")) === 1,
+              get_json_object(col("response"), "$[0]"))
+              .otherwise(col("response")))
+        Snapshots.publish(spark, dir, existing.unionByName(incoming))
+      }
+    } finally { existing.unpersist(); () }
   }
 
   /** The unexpired, non-empty, parseable response for `cacheKey`, if any.

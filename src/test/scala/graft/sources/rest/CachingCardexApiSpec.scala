@@ -79,10 +79,24 @@ class CachingCardexApiSpec extends SparkSpec {
     val inner = new Counting(2)
     val a = api(inner, "s5")
     a.fetch(1, 10, None, None).toVector
-    assert(CachingCardexApi.invalidate("s5", 1, 10, None, None))
-    assert(!CachingCardexApi.invalidate("s5", 1, 10, None, None))
+    assert(a.invalidate(1, 10, None, None))
+    assert(!a.invalidate(1, 10, None, None))
     a.fetch(1, 10, None, None).toVector
     assert(inner.fetches.get === 2)
+  }
+
+  test("clients with different identities never share a namespace") {
+    CachingCardexApi.clear("s7"); nowMs = 0L
+    // same scope, different backends: the second must NOT see the first's rows
+    val a = api(FakeCardexClient("nsA"), "s7")
+    val b = api(FakeCardexClient("nsB"), "s7")
+    assert(a.namespace !== b.namespace)
+    val fromA = a.fetch(1, 3, None, None).toVector
+    val innerB = new Counting(3)
+    val c = api(innerB, "s7")
+    c.fetch(1, 3, None, None).toVector
+    assert(innerB.fetches.get === 1) // fetched itself, not served fromA
+    assert(fromA.nonEmpty)
   }
 
   test("retry composes outside the cache: errors pass through, the retried success caches once") {
@@ -100,7 +114,10 @@ class CachingCardexApiSpec extends SparkSpec {
     val cases = Seq(
       (3, 100, Some("9000"), Some(20240101)),
       (1, 10, None, None),
-      (7, 50, Some("B01"), None))
+      (7, 50, Some("B01"), None),
+      // escaping parity: quote, backslash, tab in the bu value must hash
+      // to the same bytes to_json emits for them
+      (2, 20, Some("A\"B\\C\tD"), None))
     cases.foreach { case (page, rpp, bu, minDate) =>
       val expected = spark.range(1).select(
         CacheKey.derive(lit("cardex://fetch"), Seq(

@@ -297,6 +297,83 @@ object TextQueries {
       }),
 
     Q(
+      "t_boilerplate_lines",
+      """Boilerplate-line removal (the CCNet/RefinedWeb scrub): documents
+        |are split into lines (10-token chunks here — the corpus has no
+        |newlines — plus closed-form injected header/footer lines standing
+        |in for the shared boilerplate real crawls carry), a corpus-wide
+        |frequency pass finds lines present in >= 5% of documents, and
+        |each document drops exactly those lines. Scale shape: the
+        |frequency agg is line-cardinality with map-side partials; the
+        |boilerplate SET is aggregated to one tiny array row and
+        |broadcast, so the removal itself is row-local — the corpus is
+        |never shuffled to be cleaned. Output: per-doc line counts and
+        |the cleaned text, hash-compared.""".stripMargin,
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+          |  FROM documents WHERE text IS NOT NULL),
+          |lined AS (
+          |  SELECT doc_id,
+          |         (CASE WHEN doc_id % 3 <> 0
+          |               THEN ['copyright acme corp all rights reserved']
+          |               ELSE [] END)
+          |         || list_transform(range(CAST(ceil(len(ws) / 10.0) AS INT)),
+          |              i -> array_to_string(ws[i*10+1 : i*10+10], ' '))
+          |         || (CASE WHEN doc_id % 5 = 0
+          |                  THEN ['subscribe to our newsletter today']
+          |                  ELSE [] END) AS ls
+          |  FROM d),
+          |freq AS (
+          |  SELECT l AS line, COUNT(*) AS n
+          |  FROM (SELECT DISTINCT doc_id, unnest(ls) AS l FROM lined)
+          |  GROUP BY 1),
+          |boiler AS (
+          |  SELECT list_sort(list(line)) AS barr
+          |  FROM freq WHERE n >= 0.05 * (SELECT COUNT(*) FROM d))
+          |SELECT doc_id,
+          |       CAST(len(ls) AS BIGINT) AS n_lines,
+          |       CAST(len(ls) - len(list_filter(ls, x -> NOT list_contains(barr, x)))
+          |            AS BIGINT) AS n_removed,
+          |       array_to_string(list_filter(ls, x -> NOT list_contains(barr, x)),
+          |                       chr(10)) AS cleaned
+          |FROM lined, boiler
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val header = "copyright acme corp all rights reserved"
+        val footer = "subscribe to our newsletter today"
+        val emptyArr = array().cast("array<string>")
+        val lined = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("ws", Text.tokens(col("text")))
+          .withColumn("ls", concat(
+            when(pmod(col("doc_id"), lit(3)) =!= 0, array(lit(header))).otherwise(emptyArr),
+            transform(
+              sequence(lit(0), ceil(size(col("ws")) / 10.0).cast("int") - 1),
+              i => concat_ws(" ", slice(col("ws"), i * 10 + 1, lit(10)))),
+            when(pmod(col("doc_id"), lit(5)) === 0, array(lit(footer))).otherwise(emptyArr)))
+          .select(col("doc_id"), col("ls"))
+        // corpus-wide line frequencies (per-doc distinct), then the
+        // boilerplate SET as ONE sorted-array row — broadcast below so
+        // the removal is row-local and the corpus never shuffles
+        val freq = lined
+          .select(col("doc_id"), explode(array_distinct(col("ls"))).as("line"))
+          .groupBy("line").agg(count(lit(1)).as("n"))
+        val nDocs = lined.select(count(lit(1)).as("total"))
+        val boiler = freq.crossJoin(broadcast(nDocs))
+          .filter(col("n") >= lit(0.05) * col("total"))
+          .agg(sort_array(collect_list(col("line"))).as("barr"))
+        val keep = filter(col("ls"), x => !array_contains(col("barr"), x))
+        lined.crossJoin(broadcast(boiler))
+          .select(
+            col("doc_id"),
+            size(col("ls")).cast("long").as("n_lines"),
+            (size(col("ls")) - size(keep)).cast("long").as("n_removed"),
+            concat_ws("\n", keep).as("cleaned"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
       "t_pii_scrub",
       """PII detection + redaction — the compliance scrub stage of a
         |training-data pipeline: per-document counts of emails, phone

@@ -60,6 +60,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate removal broadcasts the line set (corpus never shuffles to be cleaned)") {
+    val p = plan("t_boilerplate_lines")
+    // line-freq agg + total-count + one-row boiler collect + output sort;
+    // the cleaning itself is a broadcast nested-loop of a one-row array
+    assert(shuffles(p).length <= 4)
+    val bnl = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, "boiler set no longer broadcast")
+  }
+
   test("contamination check broadcasts the benchmark side (corpus never shuffles for the join)") {
     assert(bcasts(plan("dd_contamination")).nonEmpty,
       "dd_contamination lost its benchmark broadcast")

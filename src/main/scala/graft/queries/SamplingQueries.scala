@@ -285,5 +285,83 @@ object SamplingQueries {
             size(col("col")).as("n_chunk_toks"),
             md5(concat_ws(" ", col("col"))).as("chunk_md5"))
           .orderBy("doc_id", "chunk_id")
+      }),
+
+    Q(
+      "s_token_budget",
+      """Token-budget data selection: keep the highest-quality documents
+        |until 30% of the corpus's tokens are spent (quality = type-token
+        |ratio bucketed to 1/1000ths; ties break on doc_id). The naive
+        |form is a GLOBAL ordered running sum — a single-partition window
+        |that serializes the corpus through one task. This implements the
+        |scale-correct histogram-cutoff instead: per-bucket token sums
+        |(<= 1001 rows) take the tiny global window; buckets fully inside /
+        |outside the budget decide row-locally off the broadcast cutoff
+        |table; ONLY the one straddling bucket runs a within-bucket
+        |running sum. The budget is pure integer arithmetic
+        |((3 * total) DIV 10) — a 0.3 * sum double would floor differently
+        |than the oracle's decimal on exact multiples. Oracle = the global
+        |running-sum definition, proving the decomposition selects the
+        |identical document set.""".stripMargin,
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+          |  FROM documents WHERE text IS NOT NULL),
+          |b AS (
+          |  SELECT doc_id, len(ws) AS n_tokens,
+          |         CAST(floor(CAST(len(list_distinct(ws)) AS DOUBLE)
+          |                    / len(ws) * 1000) AS INT) AS bucket
+          |  FROM d),
+          |t AS (SELECT (3 * SUM(n_tokens)) // 10 AS budget FROM b),
+          |o AS (
+          |  SELECT doc_id, n_tokens, bucket,
+          |         COALESCE(SUM(n_tokens) OVER (ORDER BY bucket DESC, doc_id
+          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          |  FROM b)
+          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, bucket,
+          |       (cb < budget) AS selected
+          |FROM o, t
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("ws", Text.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            floor(size(array_distinct(col("ws"))).cast("double")
+              / size(col("ws")) * 1000).cast("int").as("bucket"))
+        // the tiny frame: per-bucket token totals + the budget + each
+        // bucket's tokens-before — all computed over <= 1001 rows, then
+        // broadcast back to the corpus
+        val wDesc = Window.orderBy(col("bucket").desc)
+        val cuts = base.groupBy("bucket").agg(sum("n_tokens").as("bt"))
+          .withColumn("cum_before", coalesce(
+            sum("bt").over(wDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("total",
+            sum("bt").over(wDesc.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("budget", expr("(3 * total) DIV 10"))
+          .select("bucket", "bt", "cum_before", "budget")
+          // materialize the <=1001-row cutoff table ONCE: both union
+          // branches below reference it, and without this each branch
+          // re-runs the bucket agg (two extra corpus scans)
+          .localCheckpoint(true)
+        val joined = base.join(broadcast(cuts), "bucket")
+        val straddles =
+          col("cum_before") < col("budget") && col("cum_before") + col("bt") > col("budget")
+        // decided buckets: membership is row-local off the broadcast
+        val decided = joined.filter(!straddles)
+          .withColumn("selected", col("cum_before") + col("bt") <= col("budget"))
+        // the one straddling bucket: within-bucket running sum, ordered by
+        // doc_id — bucket-sized work, not corpus-sized
+        val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val straddled = joined.filter(straddles)
+          .withColumn("selected",
+            col("cum_before") + coalesce(sum("n_tokens").over(wIn), lit(0L)) < col("budget"))
+        decided.unionByName(straddled)
+          .select("doc_id", "n_tokens", "bucket", "selected")
+          .orderBy("doc_id")
       }))
 }

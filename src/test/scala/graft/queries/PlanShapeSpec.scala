@@ -60,6 +60,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("token-budget selection: histogram cutoff broadcast, corpus-sized window only for the straddling bucket") {
+    val p = plan("s_token_budget")
+    // the cutoff table is checkpoint-materialized once, so the plan shows
+    // only the straddle window's exchange + the output sort; the decided
+    // buckets join the broadcast cutoff table row-locally
+    assert(shuffles(p).length <= 2)
+    assert(bcasts(p).nonEmpty, "cutoff table no longer broadcast")
+  }
+
   test("boilerplate removal broadcasts the line set (corpus never shuffles to be cleaned)") {
     val p = plan("t_boilerplate_lines")
     // line-freq agg + total-count + one-row boiler collect + output sort;

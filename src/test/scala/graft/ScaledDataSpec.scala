@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.NearDup
+import org.apache.spark.sql.functions._
+
+/** The scale-curve replica generator's invariants — the measurement is
+  * only valid if copies are mutually invisible: row counts scale exactly,
+  * key spaces are disjoint per copy, foreign keys stay internally
+  * consistent (each copy joins only itself), and replicated documents
+  * never near-dup-pair across copies (which would grow candidates
+  * quadratically in N and measure the replication artifact, not the
+  * operator).
+  */
+class ScaledDataSpec extends SparkSpec {
+
+  private lazy val outDir = {
+    val dir = Files.createTempDirectory("scaled-data").toString
+    ScaledData.generate(spark, sfSmoke, dir, copies = 2)
+    dir
+  }
+
+  test("row counts scale by exactly the copy factor, schemas unchanged") {
+    ScaledData.tables.foreach { t =>
+      val src = spark.read.parquet(s"$sfSmoke/$t.parquet")
+      val out = spark.read.parquet(s"$outDir/$t.parquet")
+      withClue(t) {
+        assert(out.count() === 2 * src.count())
+        assert(out.schema === src.schema)
+      }
+    }
+  }
+
+  test("key spaces are disjoint per copy and FKs stay internally consistent") {
+    val orders = spark.read.parquet(s"$outDir/orders.parquet")
+    val customer = spark.read.parquet(s"$outDir/customer.parquet")
+    // copy 0 keys < shift, copy 1 keys >= shift: no overlap
+    val shift = 100000000L
+    assert(orders.filter(col("o_orderkey") >= shift).count() ===
+      orders.filter(col("o_orderkey") < shift).count())
+    // every order's customer exists, and in the SAME copy
+    val joined = orders.join(customer, col("o_custkey") === col("c_custkey"))
+    assert(joined.count() === orders.count())
+    assert(joined.filter(
+      (col("o_orderkey") >= shift) =!= (col("c_custkey") >= shift)).count() === 0)
+  }
+
+  test("replicated documents never near-dup-pair across copies") {
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    val shift = lit(100000000L)
+    val pairs = NearDup.confirmedPairs(docs.limit(0).unionByName(
+      // a bounded slice is enough: a replica of doc d would pair with
+      // d + shift if the token suffix failed
+      docs.filter(col("doc_id") % shift < 50)))
+    assert(pairs.filter(
+      (col("doc_a") < shift) =!= (col("doc_b") < shift)).count() === 0)
+  }
+}

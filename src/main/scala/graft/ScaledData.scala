@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   * exactly what higher SF means for a stream table.
   */
 object ScaledData {
-  private val KeyShift = 100000000L // < Int.MaxValue / 9: int keys stay int
+  // < Int.MaxValue / 21: int keys stay int; specs reference it so the
+  // invariants retune with it
+  private[graft] val KeyShift = 100000000L
 
   val tables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

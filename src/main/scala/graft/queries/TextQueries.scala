@@ -329,7 +329,7 @@ object TextQueries {
           |  FROM (SELECT DISTINCT doc_id, unnest(ls) AS l FROM lined)
           |  GROUP BY 1),
           |boiler AS (
-          |  SELECT list_sort(list(line)) AS barr
+          |  SELECT COALESCE(list_sort(list(line)), []) AS barr
           |  FROM freq WHERE n >= 0.05 * (SELECT COUNT(*) FROM d))
           |SELECT doc_id,
           |       CAST(len(ls) AS BIGINT) AS n_lines,
@@ -363,13 +363,17 @@ object TextQueries {
         val boiler = freq.crossJoin(broadcast(nDocs))
           .filter(col("n") >= lit(0.05) * col("total"))
           .agg(sort_array(collect_list(col("line"))).as("barr"))
-        val keep = filter(col("ls"), x => !array_contains(col("barr"), x))
+        // keep is materialized ONCE into a named column: higher-order
+        // functions get no common-subexpression elimination (Text.scala
+        // shingle comment), so inlining it twice would run the
+        // O(lines x |barr|) filter twice per row
         lined.crossJoin(broadcast(boiler))
+          .withColumn("keep", filter(col("ls"), x => !array_contains(col("barr"), x)))
           .select(
             col("doc_id"),
             size(col("ls")).cast("long").as("n_lines"),
-            (size(col("ls")) - size(keep)).cast("long").as("n_removed"),
-            concat_ws("\n", keep).as("cleaned"))
+            (size(col("ls")) - size(col("keep"))).cast("long").as("n_removed"),
+            concat_ws("\n", col("keep")).as("cleaned"))
           .orderBy("doc_id")
       }),
 

@@ -36,7 +36,7 @@ class ScaledDataSpec extends SparkSpec {
     val orders = spark.read.parquet(s"$outDir/orders.parquet")
     val customer = spark.read.parquet(s"$outDir/customer.parquet")
     // copy 0 keys < shift, copy 1 keys >= shift: no overlap
-    val shift = 100000000L
+    val shift = ScaledData.KeyShift
     assert(orders.filter(col("o_orderkey") >= shift).count() ===
       orders.filter(col("o_orderkey") < shift).count())
     // every order's customer exists, and in the SAME copy
@@ -48,11 +48,10 @@ class ScaledDataSpec extends SparkSpec {
 
   test("replicated documents never near-dup-pair across copies") {
     val docs = spark.read.parquet(s"$outDir/documents.parquet")
-    val shift = lit(100000000L)
-    val pairs = NearDup.confirmedPairs(docs.limit(0).unionByName(
-      // a bounded slice is enough: a replica of doc d would pair with
-      // d + shift if the token suffix failed
-      docs.filter(col("doc_id") % shift < 50)))
+    val shift = lit(ScaledData.KeyShift)
+    // a bounded slice is enough: a replica of doc d would pair with
+    // d + shift if the token suffix failed
+    val pairs = NearDup.confirmedPairs(docs.filter(col("doc_id") % shift < 50))
     assert(pairs.filter(
       (col("doc_a") < shift) =!= (col("doc_b") < shift)).count() === 0)
   }

@@ -288,6 +288,42 @@ object SamplingQueries {
       }),
 
     Q(
+      "s_epoch_shuffle",
+      """Deterministic epoch shuffle — the dataloader contract: every
+        |document gets a shard (hash-derived, so shard membership is
+        |stable under retries/repartitioning) and a within-shard position
+        |that reshuffles per epoch (order key = md5(doc_id, epoch seed)).
+        |A 1000-worker training job reads shard w in position order and
+        |every re-run feeds batches in the identical sequence — rand()
+        |or zipWithIndex would survive neither retries nor topology
+        |changes. Shard int derivation uses ascii(first md5 hex char) mod
+        |nShards — DuckDB 1.0 has no hex->int conv, ascii() matches both
+        |engines byte-for-byte. The rank window partitions by shard:
+        |parallelism = nShards at any corpus size, never a global sort.""".stripMargin,
+      Some(
+        """SELECT doc_id,
+          |       CAST(ascii(substr(md5(doc_id::VARCHAR || ':shard-seed-42'), 1, 1)) % 8
+          |            AS INT) AS shard,
+          |       CAST(row_number() OVER (
+          |         PARTITION BY ascii(substr(md5(doc_id::VARCHAR || ':shard-seed-42'), 1, 1)) % 8
+          |         ORDER BY md5(doc_id::VARCHAR || ':epoch-1'), doc_id) AS BIGINT) AS pos
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val shard = pmod(
+          ascii(substring(md5(concat(col("doc_id").cast("string"), lit(":shard-seed-42"))), 1, 1)),
+          lit(8))
+        val orderKey = md5(concat(col("doc_id").cast("string"), lit(":epoch-1")))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          shard.cast("int").as("shard"),
+          row_number().over(
+            Window.partitionBy(shard).orderBy(orderKey, col("doc_id")))
+            .cast("long").as("pos"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
       "s_token_budget",
       """Token-budget data selection: keep the highest-quality documents
         |until 30% of the corpus's tokens are spent (quality = type-token

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * feature-extraction stages. The IMAGE path is real end-to-end —
   * [[Multimodal.synthesizePngs]] encodes and [[Multimodal.decodeImageStats]]
   * decodes actual PNGs via the JDK's `javax.imageio`, oracle-checked
-  * (`mm_decode_stats`). The audio/video stages keep deterministic stand-in
-  * codecs (those decoders are not in this environment) behind the same
-  * production-shaped plumbing.
+  * (`mm_decode_stats`) — and so is the AUDIO path:
+  * [[Multimodal.synthesizeWavs]] / [[Multimodal.decodeWavStats]] run real
+  * WAV containers through `javax.sound.sampled` (`mm_audio_decode`).
+  * Only the VIDEO stage keeps a deterministic stand-in codec (no video
+  * decoder ships in the JDK) behind the same production-shaped plumbing.
   *
   * Layout mirrors how a lakehouse carries media: one row per asset,
   * `blob BINARY` + `meta STRUCT` + modality discriminator. Feature
@@ -175,6 +177,54 @@ object Multimodal {
           y += 1
         }
         DecodedImage(r.media_id, img.getWidth, img.getHeight, sum)
+      }
+    }
+  }
+
+  case class WavAsset(media_id: Long, blob: Array[Byte])
+  case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long, amp_sum: Long)
+
+  /** Synthesize REAL WAV assets — actual encoded audio via
+    * `javax.sound.sampled` (pure JVM, no audio device needed), the audio
+    * twin of [[synthesizePngs]]: 8-bit unsigned PCM mono at 8 kHz, sample
+    * `i` = `(doc_id*7 + i*13) mod 256`, length `100 + doc_id mod 200`
+    * frames — closed-form, so a SQL oracle predicts the decoded stats
+    * without an audio library. Partition-local, no shuffle. */
+  def synthesizeWavs(documents: DataFrame): Dataset[WavAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      ids.map { id =>
+        val n = (100 + id % 200).toInt
+        val pcm = Array.tabulate[Byte](n)(i => ((id * 7 + i * 13) % 256).toByte)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        WavAsset(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL AUDIO DECODE — `AudioSystem.getAudioInputStream` over the blob,
+    * batched `mapPartitions`, no shuffle: emits the container's true
+    * sample rate and frame count plus the exact sum of all unsigned
+    * sample amplitudes (integers — the oracle compare is hash-exact).
+    * Undecodable blobs fail the task loudly, like the image path. */
+  def decodeWavStats(media: Dataset[WavAsset]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.blob))
+        val frames = ais.getFrameLength
+        val data = ais.readAllBytes()
+        require(data.length == frames,
+          s"audio frame count mismatch for media_id=${r.media_id}")
+        var sum = 0L; var i = 0
+        while (i < data.length) { sum += (data(i) & 0xff); i += 1 }
+        DecodedAudio(r.media_id, ais.getFormat.getSampleRate.toInt, frames, sum)
       }
     }
   }

@@ -36,6 +36,32 @@ object MultimodalQueries {
           .toDF().orderBy("media_id")),
 
     Q(
+      "mm_audio_decode",
+      """Real audio decode, oracle-checked — the audio twin of
+        |mm_decode_stats: assets are ACTUAL WAV containers encoded
+        |executor-side with javax.sound.sampled (8-bit unsigned PCM mono,
+        |8 kHz; sample i = (doc_id*7 + i*13) mod 256 over 100 + doc_id%200
+        |frames); the query AudioSystem-decodes each blob in batched
+        |mapPartitions and emits the container's true sample rate, frame
+        |count, and exact amplitude sum. The oracle computes the same
+        |stats arithmetically, never touching an audio library — equality
+        |proves the encode->decode round trip is sample-faithful.
+        |Partition-local both sides: no shuffle at any corpus size.""".stripMargin,
+      Some(
+        """SELECT doc_id AS media_id,
+          |       8000 AS sample_rate,
+          |       CAST(100 + doc_id % 200 AS BIGINT) AS n_samples,
+          |       CAST(list_sum(list_transform(
+          |              range(CAST(100 + doc_id % 200 AS INT)),
+          |              i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT) AS amp_sum
+          |FROM documents
+          |ORDER BY media_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.decodeWavStats(
+          Multimodal.synthesizeWavs(Tables.documents(s, dir)))
+          .toDF().orderBy("media_id")),
+
+    Q(
       "mm_media_stats",
       """Binary media columns: synthesized assets (UTF-8 bytes as the
         |encoded blob, modality from id, metadata from length) with

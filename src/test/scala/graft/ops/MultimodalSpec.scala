@@ -116,6 +116,34 @@ class MultimodalSpec extends SparkSpec {
     pngs.unpersist()
   }
 
+  test("WAV round trip: blobs are real RIFF/WAVE containers and decode recovers the samples") {
+    import spark.implicits._
+    val wavs = Multimodal.synthesizeWavs(
+      Tables.documents(spark, sfSmoke).limit(50)).cache()
+    // real WAV magic: RIFF....WAVE
+    assert(wavs.collect().forall { w =>
+      w.blob.take(4).sameElements("RIFF".getBytes) &&
+        w.blob.slice(8, 12).sameElements("WAVE".getBytes)
+    })
+    val bad = Multimodal.decodeWavStats(wavs).map { d =>
+      val id = d.media_id
+      val n = (100 + id % 200).toInt
+      val expect = (0 until n).map(i => (id * 7 + i * 13) % 256).sum
+      (d.sample_rate == 8000) && (d.n_samples == n) && (d.amp_sum == expect)
+    }.filter(ok => !ok).count()
+    assert(bad === 0)
+    wavs.unpersist()
+  }
+
+  test("decodeWavStats fails loudly on an undecodable blob") {
+    import spark.implicits._
+    val junk = Seq(Multimodal.WavAsset(1L, Array[Byte](9, 9, 9))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWavStats(junk).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("decodeImageStats fails loudly on an undecodable blob") {
     import spark.implicits._
     val junk = Seq(Multimodal.PngAsset(1L, Array[Byte](1, 2, 3))).toDS()

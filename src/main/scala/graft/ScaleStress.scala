@@ -137,6 +137,40 @@ object ScaleStress {
     (uncapped, capped)
   }
 
+  case class PipelineRun(docs: Long, reps: Long, confirmedPairs: Long,
+                         seconds: Double, correct: Boolean)
+
+  /** The round-5 composition finding made falsifiable: one k-member
+    * EXACT-duplicate group (identical text ⇒ identical shingle sets,
+    * signatures, and band keys — the shape that used to land k docs in
+    * one LSH band and pay k(k-1)/2 candidate pairs) plus `singles`
+    * vocabulary-disjoint singletons, through the FULL
+    * [[graft.pipelines.DedupPipeline]]. Correctness is closed-form (hot
+    * members keeper 0, singletons keep themselves); `reps` and
+    * `confirmedPairs` expose the pairing work the pipeline actually
+    * paid — linear means the k-group collapsed to ONE doc before LSH. */
+  def pipelineStress(spark: SparkSession, k: Int, singles: Int): PipelineRun = {
+    import graft.pipelines.DedupPipeline
+    val hot = spark.range(0, k).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    val rest = spark.range(0, singles).select((col("id") + k).as("doc_id"),
+      concat_ws(" ", Seq("a", "b", "c", "d", "e", "f", "g", "h")
+        .map(t => concat(lit(t), col("id"))): _*).as("text"))
+    val docs = hot.unionAll(rest).persist()
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val assign = DedupPipeline.assignments(docs)
+    val bad = assign.agg(count_if(
+      (col("doc_id") < k && col("keeper") =!= 0L) ||
+        (col("doc_id") >= k && col("keeper") =!= col("doc_id")))).first().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val reps = DedupPipeline.representatives(docs)
+    val nReps = reps.count()
+    val nPairs = graft.ops.NearDup.confirmedPairs(reps).count()
+    docs.unpersist()
+    PipelineRun(nDocs, nReps, nPairs, sec, bad == 0L)
+  }
+
   def main(args: Array[String]): Unit = {
     val scale = args.headOption.map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -152,6 +186,8 @@ object ScaleStress {
     println(s"""{"op":"salted_agg","rows":$rows,"sec":$sec,"equal":$ok}""")
     val (uncapped, capped) = hotBandStress(spark, 3000 * scale, 100)
     println(s"""{"op":"lsh_hot_band","uncapped_sample_pairs":$uncapped,"capped_pairs":$capped}""")
+    val pr = pipelineStress(spark, k = 10000 * scale, singles = 500)
+    println(s"""{"op":"dedup_pipeline","docs":${pr.docs},"reps":${pr.reps},"confirmed_pairs":${pr.confirmedPairs},"sec":${pr.seconds},"correct":${pr.correct}}""")
     spark.stop()
   }
 }

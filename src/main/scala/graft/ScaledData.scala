@@ -43,9 +43,12 @@ object ScaledData {
         acc.withColumn(n, (col(n) + col("__copy") * KeyShift).cast(f.dataType))
       else if (table == "documents" && n == "text")
         // uniform per-copy token suffix: within-copy token equality (and
-        // thus shingle/jaccard structure) is untouched; cross-copy is nil
-        acc.withColumn(n, concat_ws(" ",
-          transform(split(col(n), " "), t => concat(t, lit("~"), col("__copy")))))
+        // thus shingle/jaccard structure) is untouched; cross-copy is nil.
+        // NULL text stays NULL (concat_ws would rewrite it to "", letting
+        // rows the base data excludes via `text IS NOT NULL` leak into
+        // the scaled timing pass — a semantic drift between scale points)
+        acc.withColumn(n, when(col(n).isNull, col(n)).otherwise(concat_ws(" ",
+          transform(split(col(n), " "), t => concat(t, lit("~"), col("__copy"))))))
       else if (table == "embeddings" && n == "label")
         acc.withColumn(n, (col(n) + col("__copy") * lit(1000)).cast(f.dataType))
       else acc

@@ -54,6 +54,11 @@ object ConnectedComponents {
           maxRounds: Int = 20): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     var labels = nodes.select(col(idCol), col(idCol).as("component"))
+    // only checkpoints THIS loop created are ever released — the initial
+    // labels frame derives from the caller's `nodes` plan, and walking it
+    // could unpersist a checkpoint-backed input mid-job (truncated
+    // lineage = unrecoverable)
+    var ownCheckpoint: DataFrame = null
     // Convergence probe: each round carries the node's PREVIOUS label
     // through the propagation so count_if(component != old) is a one-row
     // agg on the round's own output — exactly ONE driver barrier per
@@ -96,7 +101,8 @@ object ConnectedComponents {
       // the new checkpoint fully materialized (the probe ran), so the
       // PREVIOUS round's checkpoint blocks are dead weight — release them
       // now instead of waiting for the ContextCleaner to notice
-      releaseCheckpoint(labels)
+      if (ownCheckpoint ne null) releaseCheckpoint(ownCheckpoint)
+      ownCheckpoint = next
       labels = next.select(col(idCol), col("component"))
       rounds += 1
     }
@@ -108,9 +114,12 @@ object ConnectedComponents {
     * anything else). localCheckpoint caches its RDD outside the dataset
     * cache manager, so `Dataset.unpersist` cannot release it — the blocks
     * otherwise linger until JVM GC drops the last reference. Traverses the
-    * analyzed plan so a projection layered over the checkpoint (the probe
-    * columns are dropped before the frame is carried forward) still
-    * releases the underlying blocks. */
+    * analyzed plan, so it must ONLY ever be handed frames this loop
+    * checkpointed itself ([[run]] tracks them in `ownCheckpoint`;
+    * [[alternatingComponents]]' edge frame is loop-checkpointed before any
+    * release): a caller-derived frame's lineage can contain the CALLER's
+    * checkpoint-backed inputs, and releasing those mid-job is
+    * unrecoverable (truncated lineage cannot recompute). */
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()

@@ -46,17 +46,25 @@ final case class CachingCardexApi(
     ttlMs: Long = CachingCardexApi.DefaultTtlMs,
     clock: () => Long = () => System.currentTimeMillis()) extends CardexApi {
 
-  /** The memo namespace: scope + the delegate's configuration identity. */
-  def namespace: String = s"$scope|${inner.clientId}"
+  /** The memo namespace — a (scope, clientId) TUPLE, not a joined string:
+    * a scope containing the old join character could otherwise alias (or
+    * be cleared as) another scope's prefix. The string form is
+    * display-only. */
+  def namespace: (String, String) = (scope, inner.clientId)
+
+  private def keyOf(page: Int, rowsPerPage: Int, buParam: Option[String],
+                    minDateParam: Option[Int]): (String, String, String) =
+    (scope, inner.clientId,
+      CachingCardexApi.cacheKey(page, rowsPerPage, buParam, minDateParam))
 
   override def fetch(page: Int, rowsPerPage: Int, buParam: Option[String],
                      minDateParam: Option[Int]): Iterator[(String, String, Int, Double)] = {
-    val key = (namespace, CachingCardexApi.cacheKey(page, rowsPerPage, buParam, minDateParam))
+    val key = keyOf(page, rowsPerPage, buParam, minDateParam)
     val now = clock()
     val cached = Option(CachingCardexApi.entries.get(key))
-      .filter { case (storedAt, _) => now - storedAt <= ttlMs }
+      .filter(now <= _.expiresAt)
     cached match {
-      case Some((_, rows)) => rows.iterator
+      case Some(e) => e.rows.iterator
       case None =>
         val rows = inner.fetch(page, rowsPerPage, buParam, minDateParam).toVector
         // never cache empty (utility.py:322-329); replace-on-expiry is the
@@ -71,7 +79,7 @@ final case class CachingCardexApi(
   def invalidate(page: Int, rowsPerPage: Int, buParam: Option[String],
                  minDateParam: Option[Int]): Boolean =
     CachingCardexApi.entries.remove(
-      (namespace, CachingCardexApi.cacheKey(page, rowsPerPage, buParam, minDateParam))) != null
+      keyOf(page, rowsPerPage, buParam, minDateParam)) != null
 
   override def publishedPages(default: Int): Int = inner.publishedPages(default)
   override def sleep(page: Int, ms: Long): Unit = inner.sleep(page, ms)
@@ -83,21 +91,28 @@ object CachingCardexApi {
   val MaxEntries: Int = 1024
   private val BaseUrl = "cardex://fetch"
 
-  private val entries =
-    new ConcurrentHashMap[(String, String), (Long, Vector[(String, String, Int, Double)])]()
+  /** A memo entry carries its OWN absolute expiry: the overflow sweep
+    * evicts on each entry's expiry, never on the inserting decorator's
+    * ttlMs — a short-TTL decorator sharing the JVM-wide map can therefore
+    * never sweep another decorator's still-live long-TTL entries. */
+  private final case class Entry(storedAt: Long, expiresAt: Long,
+                                 rows: Vector[(String, String, Int, Double)])
 
-  private def insert(key: (String, String), now: Long,
+  private val entries = new ConcurrentHashMap[(String, String, String), Entry]()
+
+  private def insert(key: (String, String, String), now: Long,
                      rows: Vector[(String, String, Int, Double)], ttlMs: Long): Unit = {
     if (entries.size >= MaxEntries) {
-      // sweep expired first; if the map is still full, evict the oldest
-      entries.entrySet.removeIf(e => now - e.getValue._1 > ttlMs)
+      // sweep entries past their OWN expiry first; if the map is still
+      // full, evict the oldest survivor
+      entries.entrySet.removeIf(e => now > e.getValue.expiresAt)
       if (entries.size >= MaxEntries) {
         import scala.jdk.CollectionConverters._
-        entries.entrySet.asScala.minByOption(_.getValue._1)
+        entries.entrySet.asScala.minByOption(_.getValue.storedAt)
           .foreach(oldest => entries.remove(oldest.getKey))
       }
     }
-    entries.put(key, (now, rows)); ()
+    entries.put(key, Entry(now, now + ttlMs, rows)); ()
   }
 
   /** JSON string-value escaping per the JSON spec — the exact byte forms
@@ -133,8 +148,9 @@ object CachingCardexApi {
   }
 
   /** Drop every entry under `scope` (spec isolation / source teardown),
-    * whatever client it was namespaced with. */
+    * whatever client it was namespaced with. Exact tuple-component match:
+    * no scope can be a string-prefix alias of another. */
   def clear(scope: String): Unit = {
-    entries.keySet.removeIf(_._1.startsWith(scope + "|")); ()
+    entries.keySet.removeIf(_._1 == scope); ()
   }
 }

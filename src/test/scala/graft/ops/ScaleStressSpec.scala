@@ -55,6 +55,19 @@ class ScaleStressSpec extends SparkSpec {
     assert(equal)
   }
 
+  test("a 10^4-member exact-dup group passes the FULL pipeline with linear pairing work") {
+    // the round-5 composition finding: identical texts mean identical
+    // signatures, so the uncapped form paid k(k-1)/2 ~ 5*10^7 candidate
+    // pairs here. The representative collapse must reduce the group to
+    // ONE doc before LSH pairing — and still label every member.
+    val r = graft.ScaleStress.pipelineStress(spark, k = 10000, singles = 500)
+    assert(r.correct, s"pipeline mislabeled: $r")
+    assert(r.docs === 10500)
+    assert(r.reps === 501, s"10^4-member group did not collapse: ${r.reps} reps")
+    assert(r.confirmedPairs === 0,
+      s"vocabulary-disjoint reps produced ${r.confirmedPairs} pairs")
+  }
+
   test("LSH hot band: uncapped pairing is quadratic; the cap keeps it collision-sized") {
     val (uncappedSample, capped) = ScaleStress.hotBandStress(spark, m = 3000, cap = 100)
     // 40-doc sample of the hot band alone: 40*39/2 pairs + the 3 real

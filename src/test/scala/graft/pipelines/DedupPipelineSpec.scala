@@ -50,6 +50,38 @@ class DedupPipelineSpec extends SparkSpec {
     assert(kept.count() === kept.distinct().count())
   }
 
+  test("Config.maxBandGroup reaches the pairing step (cap 0 disables every near-dup edge)") {
+    import org.apache.spark.sql.expressions.Window
+    // with every band over cap 0 dropped, NO near-dup edges form and the
+    // clusters must be exactly the norm_key groups — observable only if
+    // the Config cap actually flows into NearDup.confirmedPairs
+    val assign0 = DedupPipeline.assignments(
+      docs, DedupPipeline.Config(maxBandGroup = Some(0)))
+    val expected = docs
+      .select(col("doc_id"), Text.normalizedKey(col("text")).as("k"))
+      .withColumn("keeper", when(col("k").isNull, col("doc_id"))
+        .otherwise(min("doc_id").over(Window.partitionBy("k"))))
+      .select("doc_id", "keeper")
+    assert(assign0.select("doc_id", "keeper")
+      .exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(assign0.select("doc_id", "keeper")).count() === 0)
+    // and the default (uncapped) run has strictly fewer clusters: the
+    // near-dup edges it adds merge some of these groups
+    assert(assign0.filter(col("is_keeper")).count() >=
+      assign.filter(col("is_keeper")).count())
+  }
+
+  test("representatives: one min-id doc per token-identical class, near-dup-invariant") {
+    val reps = DedupPipeline.representatives(docs).persist()
+    val classes = docs.select(md5(lower(trim(col("text")))).as("k")).distinct().count()
+    assert(reps.count() === classes)
+    // each representative is the min doc_id of its class
+    val byClass = docs.select(md5(lower(trim(col("text")))).as("k"), col("doc_id"))
+      .groupBy("k").agg(min("doc_id").as("doc_id")).select("doc_id")
+    assert(reps.select("doc_id").exceptAll(byClass).count() === 0)
+    reps.unpersist()
+  }
+
   test("confirmed near-dup pairs always share a keeper, and no pair survives") {
     val conf = NearDup.confirmedPairs(docs)
     val ka = assign.select(col("doc_id").as("doc_a"), col("keeper").as("keep_a"),

@@ -5,20 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for the training-data pipeline (beyond-parity
   * extension): media as opaque `binary` columns with typed metadata, plus
-  * feature-extraction stages. The IMAGE path is real end-to-end —
-  * [[Multimodal.synthesizePngs]] encodes and [[Multimodal.decodeImageStats]]
-  * decodes actual PNGs via the JDK's `javax.imageio`, oracle-checked
-  * (`mm_decode_stats`) — and so is the AUDIO path:
-  * [[Multimodal.synthesizeWavs]] / [[Multimodal.decodeWavStats]] run real
-  * WAV containers through `javax.sound.sampled` (`mm_audio_decode`).
-  * Only the VIDEO stage keeps a deterministic stand-in codec (no video
-  * decoder ships in the JDK) behind the same production-shaped plumbing.
+  * feature-extraction stages. Every codec stage is REAL and oracle-checked:
+  *  - IMAGE decode: [[synthesizePngs]] encodes and [[decodeImageStats]]
+  *    decodes actual PNGs via `javax.imageio` (`mm_decode_stats`);
+  *  - IMAGE resize: [[synthesizePngs2x]] / [[resizeImageStats]] run a
+  *    `Graphics2D` nearest-neighbor downscale over decoded pixels
+  *    (`mm_resize_stats`);
+  *  - AUDIO decode: [[synthesizeWavs]] / [[decodeWavStats]] run real WAV
+  *    containers through `javax.sound.sampled` (`mm_audio_decode`);
+  *  - VIDEO frame decode: [[synthesizeGifs]] / [[decodeGifFrames]] run
+  *    real multi-frame animated GIFs through the JDK's GIF codec — the
+  *    one genuinely multi-frame container format the JDK ships
+  *    (`mm_video_frames`).
   *
   * Layout mirrors how a lakehouse carries media: one row per asset,
   * `blob BINARY` + `meta STRUCT` + modality discriminator. Feature
   * extraction is `mapPartitions` over a typed Dataset — the same
-  * batch-per-partition shape a vectorized (Arrow) UDF presents, so
-  * swapping the stub for a real decoder is a one-function change. The
+  * batch-per-partition shape a vectorized (Arrow) UDF presents. Every
   * extractor is partition-local: no shuffle, scales with input splits.
   */
 object Multimodal {
@@ -42,13 +45,12 @@ object Multimodal {
       .withColumn("sample_rate", lit(16000))
       .withColumn("n_frames", (length(col("blob")) / 10).cast("int"))
 
-  /** STUB DECODER — deterministic fake standing in for the real codec
-    * (image decode / audio resample / video frame extraction). Consumes the
-    * raw bytes and emits a fixed-width feature vector (normalized 16-bin
-    * byte histogram). The real implementation would call the codec here;
-    * everything around it (typed batch iteration, partition locality,
-    * output schema) is production-shaped. */
-  private def decodeStub(blob: Array[Byte]): Array[Double] = {
+  /** Codec-free byte-level featurizer: a normalized 16-bin byte histogram
+    * over the raw blob — the container-agnostic screening feature (entropy
+    * proxy, format fingerprint) a media pipeline computes BEFORE paying
+    * for a decode. The codec-backed extractors below handle the decoded
+    * paths. */
+  private def byteHistogram(blob: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     var i = 0
     while (i < blob.length) { hist((blob(i) & 0xff) / 16) += 1.0; i += 1 }
@@ -62,7 +64,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val feat = decodeStub(r.blob)
+        val feat = byteHistogram(r.blob)
         val mean =
           if (r.blob.isEmpty) 0.0
           else r.blob.map(_ & 0xff).sum.toDouble / r.blob.length
@@ -72,47 +74,162 @@ object Multimodal {
     }
   }
 
-  case class ResizedMedia(media_id: Long, kind: String, blob: Array[Byte],
-                          width: Int, target_width: Int)
-  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+  case class ResizedImage(media_id: Long, out_w: Int, out_h: Int, px_sum: Long)
 
-  /** STUB RESIZE — the image/audio downsample stage. The stub keeps every
-    * ceil(width/target)-th byte (a real resampler would interpolate
-    * pixels/samples); the plumbing is the production shape: typed in/out
-    * schemas, explicit batch iteration (`grouped`) exactly as an Arrow
-    * batch would arrive, partition-local, no shuffle. */
-  def resize(media: Dataset[MediaRow], targetWidth: Int,
-             batchSize: Int = 64): Dataset[ResizedMedia] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val stride = math.max(1, math.ceil(
-            math.max(r.width, 1).toDouble / targetWidth).toInt)
-          val out = r.blob.indices.collect {
-            case i if i % stride == 0 => r.blob(i)
-          }.toArray
-          ResizedMedia(r.media_id, r.kind, out, r.width, targetWidth)
+  /** Synthesize REAL even-dimension PNGs for the resize stage — same
+    * closed-form pixel function as [[synthesizePngs]] (gray
+    * `(doc_id*31 + i) mod 256` over row-major index `i`) at
+    * `w = 2*(2 + id mod 4)`, `h = 2*(2 + id mod 3)`, so an exact 2×
+    * downscale is always defined. */
+  def synthesizePngs2x(documents: DataFrame): Dataset[PngAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 2 * (2 + (id % 4).toInt)
+        val h = 2 * (2 + (id % 3).toInt)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id * 31 + i) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            i += 1; x += 1
+          }
+          y += 1
         }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        PngAsset(id, bos.toByteArray)
       }
     }
   }
 
-  /** STUB FRAME SAMPLER — the video stage: emit up to `n` strided frames
-    * per asset as one row each (media_id, frame_idx, bytes), the long
-    * format downstream vision encoders consume. flatMap = generator
-    * shape; row count multiplies by the sample rate, so run AFTER
-    * filtering, never before. */
-  def sampleFrames(media: Dataset[MediaRow], frameLen: Int, n: Int): Dataset[MediaFrame] = {
+  /** REAL IMAGE RESIZE — `ImageIO.read` the blob, `Graphics2D.drawImage`
+    * it down at NEAREST_NEIGHBOR to exactly half each dimension, and emit
+    * the resized dimensions plus the exact channel-value sum of the
+    * RESIZED pixels. The 2× ratio is deliberate: at an exact integer
+    * downscale every Java2D blit path picks the same source pixel for a
+    * destination pixel — `dst(x,y) = src(2x+1, 2y+1)`, the pixel-center
+    * nearest — so the output is closed-form and oracle-checkable
+    * (verified exhaustively over the synthesis space). Fractional ratios
+    * route through fixed-point vs float stepping loops that pick
+    * DIFFERENT pixels near integer boundaries — real resampling, but not
+    * bit-reproducible across render paths, which an oracle-checked
+    * pipeline cannot accept. Partition-local, no shuffle. */
+  def resizeImageStats(media: Dataset[PngAsset]): Dataset[ResizedImage] = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val available = math.max(r.blob.length / math.max(frameLen, 1), 0)
-      val take = math.min(n, available)
-      val stride = if (take == 0) 1 else math.max(1, available / take)
-      (0 until take).map { k =>
-        val start = k * stride * frameLen
-        MediaFrame(r.media_id, k,
-          r.blob.slice(start, math.min(start + frameLen, r.blob.length)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null, s"undecodable image blob for media_id=${r.media_id}")
+        val dw = img.getWidth / 2
+        val dh = img.getHeight / 2
+        val dst = new java.awt.image.BufferedImage(
+          dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = dst.createGraphics()
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g2.drawImage(img, 0, 0, dw, dh, null)
+        g2.dispose()
+        var sum = 0L; var y = 0
+        while (y < dh) {
+          var x = 0
+          while (x < dw) {
+            val rgb = dst.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(r.media_id, dw, dh, sum)
+      }
+    }
+  }
+
+  case class GifAsset(media_id: Long, blob: Array[Byte])
+  case class DecodedFrame(media_id: Long, frame_idx: Int, f_w: Int, f_h: Int,
+                          px_sum: Long)
+
+  /** Synthesize REAL multi-frame video assets: animated GIFs via the
+    * JDK's `javax.imageio` GIF writer — the one multi-frame container
+    * format the JDK can both encode and decode. Frame `f`, row-major
+    * pixel `i`: gray `(doc_id*13 + f*7 + i*3) mod 256` through a 256-gray
+    * palette; `w = 5 + id mod 4`, `h = 5 + id mod 3`,
+    * `nFrames = 2 + id mod 4`. Dimensions floor at 5 on purpose: the JDK
+    * GIF LZW coder mis-writes some rasters smaller than ~5×5 (verified
+    * empirically — every shape this synthesis emits round-trips exactly).
+    * Closed-form pixels mean a SQL oracle predicts every decoded frame
+    * without an image library. Partition-local, no shuffle. */
+  def synthesizeGifs(documents: DataFrame): Dataset[GifAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val gray = Array.tabulate[Byte](256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      ids.map { id =>
+        val w = 5 + (id % 4).toInt
+        val h = 5 + (id % 3).toInt
+        val nf = 2 + (id % 4).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var i = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id * 13 + f * 7 + i * 3) % 256).toInt)
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        GifAsset(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL VIDEO FRAME DECODE — the JDK GIF reader over the blob, one
+    * reader reused per partition, emitting one row per decoded frame
+    * (media_id, frame_idx, true dimensions, exact gray-value sum): the
+    * long format downstream vision encoders consume. flatMap = generator
+    * shape; row count multiplies by frames-per-asset, so run AFTER
+    * filtering, never before. Undecodable blobs fail the task loudly,
+    * like the image and audio paths. */
+  def decodeGifFrames(media: Dataset[GifAsset]): Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.blob)))
+        val n = reader.getNumImages(true)
+        require(n > 0, s"undecodable video blob for media_id=${r.media_id}")
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          var sum = 0L; var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += (img.getRGB(x, y) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFrame(r.media_id, f, img.getWidth, img.getHeight, sum)
+        }
       }
     }
   }

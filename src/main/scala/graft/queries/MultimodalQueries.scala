@@ -62,6 +62,71 @@ object MultimodalQueries {
           .toDF().orderBy("media_id")),
 
     Q(
+      "mm_video_frames",
+      """Real multi-frame VIDEO decode, oracle-checked: assets are ACTUAL
+        |animated GIFs encoded executor-side with the JDK's javax.imageio
+        |GIF writer (the one multi-frame container the JDK both encodes
+        |and decodes) from a closed-form pixel function — frame f, pixel
+        |i: gray (doc_id*13 + f*7 + i*3) mod 256 over w=5+id%4, h=5+id%3,
+        |2+id%4 frames. The query GIF-decodes every frame back in batched
+        |mapPartitions (one reader per partition) and emits one row per
+        |frame with true dimensions and the exact gray-value sum; the
+        |oracle computes the same stats arithmetically, never touching an
+        |image library — equality proves the multi-frame encode->decode
+        |round trip is pixel-faithful. Generator fan-out at the decode
+        |(rows multiply by frames-per-asset), partition-local both sides:
+        |no shuffle at any corpus size.""".stripMargin,
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id AS media_id,
+          |         unnest(range(2 + doc_id % 4)) AS frame_idx
+          |  FROM documents)
+          |SELECT media_id,
+          |       CAST(frame_idx AS INT) AS frame_idx,
+          |       CAST(5 + media_id % 4 AS INT) AS f_w,
+          |       CAST(5 + media_id % 3 AS INT) AS f_h,
+          |       CAST(list_sum(list_transform(
+          |              range((5 + media_id % 4) * (5 + media_id % 3)),
+          |              i -> (media_id * 13 + frame_idx * 7 + i * 3) % 256))
+          |            AS BIGINT) AS px_sum
+          |FROM f
+          |ORDER BY media_id, frame_idx""".stripMargin),
+      (s, dir) =>
+        Multimodal.decodeGifFrames(
+          Multimodal.synthesizeGifs(Tables.documents(s, dir)))
+          .toDF().orderBy("media_id", "frame_idx")),
+
+    Q(
+      "mm_resize_stats",
+      """Real image RESIZE, oracle-checked: even-dimension PNGs
+        |(w=2*(2+id%4), h=2*(2+id%3), gray (id*31+i) mod 256) are
+        |ImageIO-decoded and downscaled to exactly half size with
+        |Graphics2D at NEAREST_NEIGHBOR, emitting the resized dimensions
+        |and the exact channel sum of the RESIZED pixels. The 2x ratio
+        |makes the interpolation closed-form — every Java2D blit path
+        |picks dst(x,y) = src(2x+1, 2y+1), the pixel-center nearest — so
+        |the oracle predicts the resampled image arithmetically without
+        |an image library: equality proves decode AND resample are
+        |pixel-exact. Partition-local, no shuffle.""".stripMargin,
+      Some(
+        """SELECT doc_id AS media_id,
+          |       CAST(2 + doc_id % 4 AS INT) AS out_w,
+          |       CAST(2 + doc_id % 3 AS INT) AS out_h,
+          |       CAST(3 * list_sum(list_transform(
+          |              range((2 + doc_id % 4) * (2 + doc_id % 3)),
+          |              j -> (doc_id * 31
+          |                    + (2 * (j // (2 + doc_id % 4)) + 1)
+          |                      * (2 * (2 + doc_id % 4))
+          |                    + 2 * (j % (2 + doc_id % 4)) + 1) % 256))
+          |            AS BIGINT) AS px_sum
+          |FROM documents
+          |ORDER BY media_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.resizeImageStats(
+          Multimodal.synthesizePngs2x(Tables.documents(s, dir)))
+          .toDF().orderBy("media_id")),
+
+    Q(
       "mm_media_stats",
       """Binary media columns: synthesized assets (UTF-8 bytes as the
         |encoded blob, modality from id, metadata from length) with

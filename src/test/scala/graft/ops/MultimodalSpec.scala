@@ -5,7 +5,8 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: synthesized binary assets, typed mapPartitions
-  * feature extraction (stub decoder), expression-side media stats. */
+  * codec stages (PNG/WAV/GIF, all real JDK codecs), expression-side media
+  * stats. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -27,43 +28,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize: strided downsample, deterministic, bounded output size") {
-    import Multimodal.MediaRow
-    val media = Multimodal.synthesize(Tables.documents(spark, sfSmoke)).as[MediaRow]
-    val resized = Multimodal.resize(media, targetWidth = 32).collect()
-    assert(resized.nonEmpty)
-    val origLens = Multimodal.synthesize(Tables.documents(spark, sfSmoke)).as[MediaRow]
-      .collect().map(r => r.media_id -> (r.blob.length, r.width)).toMap
-    resized.foreach { r =>
-      assert(r.target_width === 32)
-      val (origLen, width) = origLens(r.media_id)
-      val stride = math.max(1, math.ceil(math.max(width, 1) / 32.0).toInt)
-      // strided selection keeps ceil(origLen / stride) bytes exactly
-      assert(r.blob.length === (origLen + stride - 1) / stride)
+  test("GIF round trip: blobs are real multi-frame GIFs and every frame decodes exactly") {
+    val gifs = Multimodal.synthesizeGifs(
+      Tables.documents(spark, sfSmoke).limit(60)).cache()
+    // real GIF magic: these are encoded animations, not byte stand-ins
+    assert(gifs.collect().forall(g =>
+      g.blob.take(6).sameElements("GIF89a".getBytes) ||
+        g.blob.take(6).sameElements("GIF87a".getBytes)))
+    val byAsset = Multimodal.decodeGifFrames(gifs).collect().groupBy(_.media_id)
+    byAsset.foreach { case (id, fs) =>
+      val w = 5 + (id % 4).toInt; val h = 5 + (id % 3).toInt
+      assert(fs.length === 2 + (id % 4).toInt, s"frame count for $id")
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
+      fs.foreach { f =>
+        assert(f.f_w === w && f.f_h === h)
+        val expect = (0 until w * h).map(i => (id * 13 + f.frame_idx * 7 + i * 3) % 256).sum
+        assert(f.px_sum === expect, s"pixel sum for ($id, ${f.frame_idx})")
+      }
     }
-    // deterministic across runs
-    val again = Multimodal.resize(media, targetWidth = 32).collect()
-    assert(resized.map(r => (r.media_id, r.blob.toSeq)).toMap ===
-      again.map(r => (r.media_id, r.blob.toSeq)).toMap)
+    gifs.unpersist()
   }
 
-  test("sampleFrames: long format, strided, capped at n, frame bytes match slices") {
-    import Multimodal.MediaRow
-    val media = Multimodal.synthesize(Tables.documents(spark, sfSmoke)).as[MediaRow]
-    val frames = Multimodal.sampleFrames(media, frameLen = 16, n = 4)
-    val byAsset = frames.collect().groupBy(_.media_id)
-    assert(byAsset.nonEmpty)
-    byAsset.foreach { case (_, fs) =>
-      assert(fs.length <= 4)
-      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
-      fs.foreach(f => assert(f.frame.length <= 16 && f.frame.nonEmpty))
+  test("resizeImageStats: Graphics2D 2x downscale matches the pixel-center closed form") {
+    val pngs = Multimodal.synthesizePngs2x(
+      Tables.documents(spark, sfSmoke).limit(60)).cache()
+    val bad = Multimodal.resizeImageStats(pngs).map { r =>
+      val id = r.media_id
+      val ow = 2 + (id % 4).toInt; val oh = 2 + (id % 3).toInt
+      val sw = 2 * ow
+      // NN at exact 2x picks src(2x+1, 2y+1) on every Java2D path
+      val expect = 3L * (for (y <- 0 until oh; x <- 0 until ow)
+        yield (id * 31 + (2 * y + 1) * sw + 2 * x + 1) % 256).sum
+      (r.out_w == ow) && (r.out_h == oh) && (r.px_sum == expect)
+    }.filter(ok => !ok).count()
+    assert(bad === 0)
+    pngs.unpersist()
+  }
+
+  test("decodeGifFrames fails loudly on an undecodable blob") {
+    val junk = Seq(Multimodal.GifAsset(1L, Array[Byte](7, 7, 7))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeGifFrames(junk).collect()
     }
-    // spot-check frame 0 equals the head slice of the blob
-    val blobs = media.collect().map(r => r.media_id -> r.blob).toMap
-    byAsset.foreach { case (id, fs) =>
-      val f0 = fs.find(_.frame_idx == 0).get
-      assert(f0.frame.toSeq === blobs(id).slice(0, 16).toSeq)
-    }
+    assert(e.getMessage != null)
   }
 
   test("mediaStats frame digests match direct byte-slice hashing") {

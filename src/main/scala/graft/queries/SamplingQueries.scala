@@ -293,33 +293,41 @@ object SamplingQueries {
         |document gets a shard (hash-derived, so shard membership is
         |stable under retries/repartitioning) and a within-shard position
         |that reshuffles per epoch (order key = md5(doc_id, epoch seed)).
-        |A 1000-worker training job reads shard w in position order and
+        |A 256-worker training job reads shard w in position order and
         |every re-run feeds batches in the identical sequence — rand()
         |or zipWithIndex would survive neither retries nor topology
-        |changes. Shard int derivation uses ascii(first md5 hex char) mod
-        |nShards — DuckDB 1.0 has no hex->int conv, ascii() matches both
-        |engines byte-for-byte. The rank window partitions by shard:
-        |parallelism = nShards at any corpus size, never a global sort.""".stripMargin,
+        |changes. Shard int derivation (graft.functions.Sharding): two
+        |md5 hex nibbles located via instr('0123456789abcdef', c) —
+        |identical byte semantics in Spark and DuckDB (neither has a
+        |portable hex->int builtin), uniform across all 256 shards, and
+        |extensible a nibble (16x) at a time for larger fleets. The rank
+        |window partitions by shard: parallelism = nShards at any corpus
+        |size, never a global sort.""".stripMargin,
       Some(
-        """SELECT doc_id,
-          |       CAST(ascii(substr(md5(doc_id::VARCHAR || ':shard-seed-42'), 1, 1)) % 8
-          |            AS INT) AS shard,
+        """WITH s AS (
+          |  SELECT doc_id,
+          |         CAST(((instr('0123456789abcdef',
+          |                      substr(md5(doc_id::VARCHAR || ':shard-seed-42'), 1, 1)) - 1) * 16
+          |               + instr('0123456789abcdef',
+          |                       substr(md5(doc_id::VARCHAR || ':shard-seed-42'), 2, 1)) - 1) % 256
+          |              AS INT) AS shard
+          |  FROM documents)
+          |SELECT doc_id, shard,
           |       CAST(row_number() OVER (
-          |         PARTITION BY ascii(substr(md5(doc_id::VARCHAR || ':shard-seed-42'), 1, 1)) % 8
+          |         PARTITION BY shard
           |         ORDER BY md5(doc_id::VARCHAR || ':epoch-1'), doc_id) AS BIGINT) AS pos
-          |FROM documents
+          |FROM s
           |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        val shard = pmod(
-          ascii(substring(md5(concat(col("doc_id").cast("string"), lit(":shard-seed-42"))), 1, 1)),
-          lit(8))
         val orderKey = md5(concat(col("doc_id").cast("string"), lit(":epoch-1")))
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          shard.cast("int").as("shard"),
-          row_number().over(
-            Window.partitionBy(shard).orderBy(orderKey, col("doc_id")))
-            .cast("long").as("pos"))
+        Tables.documents(s, dir)
+          .withColumn("shard",
+            graft.functions.Sharding.shardOf(col("doc_id"), ":shard-seed-42", 256))
+          .select(
+            col("doc_id"), col("shard"),
+            row_number().over(
+              Window.partitionBy("shard").orderBy(orderKey, col("doc_id")))
+              .cast("long").as("pos"))
           .orderBy("doc_id")
       }),
 

@@ -17,12 +17,19 @@ import org.apache.spark.sql.SparkSession
   * of medians. SPARK_GRAFT_ONLY=name,name limits the set (iteration aid;
   * unset = full catalog, which is what the driver runs).
   *
-  * Scale curve: after the main pass, a `copies`× replica of the SF dir is
+  * Scale curve: after the main pass, `copies`× replicas of the SF dir are
   * generated (graft.ScaledData — key-shifted copies, mutually invisible)
-  * and the headline queries run once against it; the same JSON line then
-  * carries `"scaled":{"copies":N,"value":…,"queries":{…}}`. Two scale
-  * points in every BENCH file make super-linear growth visible instead of
-  * asserted. SPARK_GRAFT_SCALE_COPIES overrides (0 disables).
+  * and re-timed: the headline queries once at SPARK_GRAFT_SCALE_COPIES
+  * (default 10×) and the FULL catalog once at SPARK_GRAFT_SCALE_FULL
+  * (default 5×), so the curve covers every query, not a subset. The JSON
+  * line carries `"scaled":{"copies":N,…,"full":{"copies":M,…}}`. Multiple
+  * scale points in every BENCH file make super-linear growth visible
+  * instead of asserted. Either env set to 0 disables that pass.
+  *
+  * Streaming point: a `"streaming"` block times the REST cardex DSv2
+  * source in micro-batch mode (Trigger.AvailableNow draining published
+  * pages under admission control) — rows/s and per-batch wall times, the
+  * §2.9 surface the batch queries never exercise.
   */
 object Bench {
   /** The scale-curve subset: the scan/join/agg/dedup/text/ann/pipeline
@@ -70,48 +77,112 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
 
-    // second scale point: headline queries, once each, against the
-    // copies× replica (single-shot is enough — the signal is the RATIO to
-    // the median above, and a >>copies× ratio screams even unrepeated).
-    // fail-soft end to end: the curve is extra evidence — a bad env value
-    // or replica-write problem must not cost the round its primary numbers
-    val scaledJson = try {
-      val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "5").toInt
-      if (copies <= 0) "" else {
-        // per-run unique dir under tmpdir (cwd-independent, and two
-        // concurrent benches can't clobber each other's replica mid-read);
-        // deleted after the pass — a 5x replica shouldn't squat on /tmp
-        val scaledDir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-bench-scaled-${java.util.UUID.randomUUID()}").getAbsolutePath
-        try {
-          ScaledData.generate(spark, sfDir, scaledDir, copies)
-          val scaled = names.filter { case (n, _) => headline.contains(n) }
-            .map { case (name, fn) =>
-              System.err.println(s"[bench] scaled(${copies}x) $name")
-              val t0 = System.nanoTime()
-              val ok =
-                try { fn(spark, scaledDir).write.format("noop").mode("overwrite").save(); true }
-                catch { case e: Throwable =>
-                  System.err.println(s"[bench] scaled $name failed: $e"); false }
-              (name, (System.nanoTime() - t0) / 1e9, ok)
-            }
-          // a failed query must NOT appear as a (small, plausible) timing —
-          // that would read as an improvement in the curve; list it instead
-          val good = scaled.filter(_._3)
-          val sqs = good.map { case (k, s, _) => s"\"" + k + "\":" + s }.mkString("{", ",", "}")
-          val failed = scaled.filterNot(_._3)
-            .map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
-          s""","scaled":{"copies":$copies,"value":${good.map(_._2).sum},"queries":$sqs,"failed":$failed}"""
-        } finally {
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir)); ()
+    // one single-shot timing pass over `qset` against a copies× replica
+    // (single-shot is enough — the signal is the RATIO to the median
+    // above, and a >>copies× ratio screams even unrepeated). Returns the
+    // inner JSON object. A failed query must NOT appear as a (small,
+    // plausible) timing — that would read as an improvement in the
+    // curve; it is listed in `failed` instead.
+    def scaledPass(copies: Int, qset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                   label: String): String = {
+      // per-run unique dir under tmpdir (cwd-independent, and two
+      // concurrent benches can't clobber each other's replica mid-read);
+      // deleted after the pass — a replica shouldn't squat on /tmp
+      val scaledDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-bench-scaled-${java.util.UUID.randomUUID()}").getAbsolutePath
+      try {
+        ScaledData.generate(spark, sfDir, scaledDir, copies)
+        val scaled = qset.map { case (name, fn) =>
+          System.err.println(s"[bench] $label(${copies}x) $name")
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, scaledDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $label $name failed: $e"); false }
+          (name, (System.nanoTime() - t0) / 1e9, ok)
         }
+        val good = scaled.filter(_._3)
+        val sqs = good.map { case (k, s, _) => s"\"" + k + "\":" + s }.mkString("{", ",", "}")
+        val failed = scaled.filterNot(_._3)
+          .map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
+        s"""{"copies":$copies,"value":${good.map(_._2).sum},"queries":$sqs,"failed":$failed}"""
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir)); ()
+      }
+    }
+
+    // scale curve: headline subset at SCALE_COPIES (default 10x), full
+    // catalog at SCALE_FULL (default 5x). fail-soft end to end: the curve
+    // is extra evidence — a bad env value or replica-write problem must
+    // not cost the round its primary numbers
+    val scaledJson = try {
+      val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+      val fullCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_FULL", "5").toInt
+      val fullJson =
+        if (fullCopies <= 0) ""
+        else s""","full":${scaledPass(fullCopies, names, "scaled-full")}"""
+      if (copies <= 0 && fullJson.isEmpty) ""
+      else if (copies <= 0) s""","scaled":{${fullJson.stripPrefix(",")}}"""
+      else {
+        val head = scaledPass(copies,
+          names.filter { case (n, _) => headline.contains(n) }, "scaled")
+        s""","scaled":${head.stripSuffix("}")}$fullJson}"""
       }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale-curve pass skipped: $e"); ""
     }
+
+    // streaming throughput point: drain P published pages of the REST
+    // cardex source under Trigger.AvailableNow with admission control
+    // (maxPagesPerTrigger) — rows/s plus per-batch wall times. fail-soft
+    // like the scale curve.
+    val streamingJson = try {
+      val pages = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAGES", "64").toInt
+      if (pages <= 0) "" else {
+        val rowsPerPage = 2000
+        val perTrigger = 8
+        val runId = s"bench-${java.util.UUID.randomUUID()}"
+        graft.sources.rest.FakeCardexApi.publishPages(runId, pages)
+        val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-bench-stream-${java.util.UUID.randomUUID()}").getAbsolutePath
+        try {
+          // default ProcessingTime(0) trigger, NOT AvailableNow: the
+          // source honors maxPagesPerTrigger only outside AvailableNow
+          // (which by contract drains to its pinned offset in one go), and
+          // the admission-controlled multi-batch path is the one worth
+          // timing — it is how a rate-limited API is actually consumed
+          val t0 = System.nanoTime()
+          val q = spark.readStream
+            .format("graft.sources.rest.RestCardexSource")
+            .option("pages", pages)
+            .option("rowsPerPage", rowsPerPage)
+            .option("apiRunId", runId)
+            .option("maxPagesPerTrigger", perTrigger)
+            .load()
+            .writeStream
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .start()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress.filter(_.numInputRows > 0)
+          q.stop()
+          val rows = progress.map(_.numInputRows).sum
+          val ms = progress.map(_.batchDuration.toString).mkString("[", ",", "]")
+          s""","streaming":{"pages":$pages,"rows":$rows,"batches":${progress.length},"sec":$sec,"rows_per_sec":${rows / math.max(sec, 1e-9)},"batch_ms":$ms}"""
+        } finally {
+          graft.sources.rest.FakeCardexApi.resetRun(runId)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)); ()
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming pass skipped: $e"); ""
+    }
+
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"raw":$raw,"sf":$sfNum$scaledJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"raw":$raw,"sf":$sfNum$scaledJson$streamingJson}"""
     // Stop Spark BEFORE printing so shutdown logging cannot interleave
     // with (or follow) the result line; the JSON is the final stdout line.
     spark.stop()

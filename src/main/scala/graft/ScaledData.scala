@@ -51,6 +51,14 @@ object ScaledData {
           transform(split(col(n), " "), t => concat(t, lit("~"), col("__copy"))))))
       else if (table == "embeddings" && n == "label")
         acc.withColumn(n, (col(n) + col("__copy") * lit(1000)).cast(f.dataType))
+      else if (table == "documents" && n == "source")
+        // source is the blocked-Jaccard blocking key (dd_ngram_jaccard):
+        // left unshifted, every copy lands in the same blocks and the
+        // per-block all-pairs term grows quadratically in N — measuring
+        // the replication artifact, not the operator (measured: 4.1x per
+        // unit data at 5x before this shift). Suffixing per copy keeps
+        // block sizes constant, like the embeddings.label shift.
+        acc.withColumn(n, concat(col(n), lit("~"), col("__copy")))
       else acc
     }
     shifted.drop("__copy")

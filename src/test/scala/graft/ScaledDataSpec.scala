@@ -46,6 +46,27 @@ class ScaledDataSpec extends SparkSpec {
       (col("o_orderkey") >= shift) =!= (col("c_custkey") >= shift)).count() === 0)
   }
 
+  test("blocking keys stay copy-local: source and label never span copies") {
+    // source is the blocked-Jaccard blocking key, label the ANN one: if a
+    // copy shared either with another copy, blocked all-pairs work would
+    // grow quadratically in N (the replication artifact, not the operator)
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    val srcSpan = docs.groupBy("source")
+      .agg(countDistinct(floor(col("doc_id") / ScaledData.KeyShift)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+    assert(srcSpan.count() === 0, "a source block spans copies")
+    // and per-copy block sizes are unchanged from the base data
+    val baseMax = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .groupBy("source").count().agg(max("count")).first().getLong(0)
+    val outMax = docs.groupBy("source").count().agg(max("count")).first().getLong(0)
+    assert(outMax === baseMax, "replication grew a source block")
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    val labSpan = emb.groupBy("label")
+      .agg(countDistinct(floor(col("vec_id") / ScaledData.KeyShift)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+    assert(labSpan.count() === 0, "a label block spans copies")
+  }
+
   test("replicated documents never near-dup-pair across copies") {
     val docs = spark.read.parquet(s"$outDir/documents.parquet")
     val shift = lit(ScaledData.KeyShift)

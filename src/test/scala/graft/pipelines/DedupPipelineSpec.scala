@@ -82,6 +82,28 @@ class DedupPipelineSpec extends SparkSpec {
     reps.unpersist()
   }
 
+  test("near-dup edges between exact-dup GROUPS survive the representative collapse") {
+    import spark.implicits._
+    // two exact-duplicate groups (identical text within each) whose texts
+    // are near-duplicates of EACH OTHER (7 of 8 shingles shared -> jaccard
+    // ~0.75), plus one unrelated singleton. The representative path must
+    // still merge both groups into one cluster: reps of each group carry
+    // the groups' near-dup relation, star edges carry members to reps.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base.replace("kappa", "lambda")
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, base),         // group A (exact dups)
+      (10L, near), (11L, near),                   // group B (exact dups)
+      (50L, "one two three four five six seven")  // unrelated
+    ).toDF("doc_id", "text")
+    val assign = DedupPipeline.assignments(docs)
+    val keepers = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A and B merged: every member of both groups keeps min id 0
+    Seq(0L, 1L, 2L, 10L, 11L).foreach(id =>
+      assert(keepers(id) === 0L, s"doc $id not merged into the near-dup cluster"))
+    assert(keepers(50L) === 50L)
+  }
+
   test("confirmed near-dup pairs always share a keeper, and no pair survives") {
     val conf = NearDup.confirmedPairs(docs)
     val ka = assign.select(col("doc_id").as("doc_a"), col("keeper").as("keep_a"),

@@ -55,9 +55,21 @@ class PlanShapeSpec extends SparkSpec {
     Seq("t_token_quality", "t_fingerprints", "f5_f7_transaction_ids",
       "mm_media_stats", "f19_sanitize", "t_repetition_quality",
       "f20_cache_key", "s_chunk_overlap", "mm_frame_manifest",
-      "t_pii_scrub", "mm_decode_stats").foreach { q =>
+      "t_pii_scrub", "mm_decode_stats", "mm_video_frames",
+      "mm_resize_stats").foreach { q =>
       withClue(q) { assert(shuffles(plan(q)).length <= 1, s"$q grew a shuffle") }
     }
+  }
+
+  test("epoch shuffle: rank window partitions by shard (parallelism = nShards, no global sort)") {
+    val p = plan("s_epoch_shuffle")
+    // one shard shuffle for the window + the output sort, nothing more
+    assert(shuffles(p).length <= 2, "epoch shuffle grew a shuffle")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "per-epoch rank window must stay partitioned by shard")
   }
 
   test("token-budget selection: histogram cutoff broadcast, corpus-sized window only for the straddling bucket") {

@@ -108,6 +108,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("k-means assignment is row-local: no n×k window, vector side only shuffles for recenter partials") {
+    val p = plan("emb_kmeans")
+    // the crossJoin+row_number anti-pattern would show as a WindowExec over
+    // n×k rows; the fold-argmin form has NO window anywhere
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "k-means assignment regressed to a windowed argmin")
+    // 2 packed-centroid one-row aggs + recenter's (cluster,pos)->cluster
+    // agg pair + the output sort = at most 5 exchanges, all key-sized
+    assert(shuffles(p).length <= 5, "emb_kmeans grew a shuffle")
+  }
+
+  test("semdedup: pairwise cosine stays inside the cluster join, no global window") {
+    val p = plan("dd_semdedup")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "dd_semdedup grew a window")
+  }
+
   test("top-k latest plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("w5_topk_latest").toString
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -534,5 +534,71 @@ object DedupQueries {
               .when(col("doc_id") =!= col("first_id"), "dup_batch")
               .otherwise("new").as("verdict"))
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "dd_substring_spans",
+      """Exact n-gram span dedup (the substring-level pass of Lee et al.
+        |2022, "Deduplicating Training Data Makes Language Models
+        |Better"): every 8-token window is hashed, windows whose hash
+        |occurs in >= 2 DISTINCT documents are duplicated spans, and each
+        |document reports how much of it is covered by cross-document
+        |repetition (total windows, duplicated windows, distinct
+        |duplicated 8-grams, first duplicated offset).
+        |
+        |Scale shape: the window fan-out is generated at the scan
+        |(sequence+transform over a materialized token array — zero
+        |shuffle); the first aggregate keys on (hash, doc) with map-side
+        |partials, so the shuffle carries distinct window-hash pairs, not
+        |token positions; doc-frequency is then a count window over the
+        |already-aggregated pair frame (one hash-key shuffle); the final
+        |per-doc rollup is a third key-sized aggregate. No self-join, no
+        |corpus rescan — the three shuffles are all bounded by distinct
+        |(hash, doc) cardinality.""".stripMargin,
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |  FROM documents
+          |  WHERE text IS NOT NULL
+          |    AND len(string_split(lower(trim(text)), ' ')) >= 8),
+          |w AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+          |         md5(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3],
+          |                            toks[i+4], toks[i+5], toks[i+6],
+          |                            toks[i+7], toks[i+8])) AS h
+          |  FROM t, LATERAL (SELECT unnest(range(len(toks) - 7)) AS i)),
+          |d AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+          |SELECT w.doc_id,
+          |       CAST(COUNT(*) AS BIGINT) AS n_windows,
+          |       CAST(COUNT(*) FILTER (WHERE nd >= 2) AS BIGINT) AS dup_windows,
+          |       CAST(COUNT(DISTINCT w.h) FILTER (WHERE nd >= 2) AS BIGINT) AS dup_ngrams,
+          |       MIN(start) FILTER (WHERE nd >= 2) AS first_dup_start
+          |FROM w JOIN d ON w.h = d.h
+          |GROUP BY w.doc_id
+          |ORDER BY w.doc_id""".stripMargin),
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .filter(col("text").isNotNull && size(col("toks")) >= 8)
+          .select(col("doc_id"), col("toks"))
+        val w = t
+          .select(col("doc_id"),
+            posexplode(transform(Text.shinglesOfTokens(col("toks"), 8),
+              sh => md5(sh))))
+          .select(col("doc_id"), col("pos").cast("bigint").as("start"),
+            col("col").as("h"))
+        // (hash, doc) pairs first — dedups positions map-side; the count
+        // window over that frame IS the distinct-doc frequency (the frame
+        // is unique on (h, doc)), replacing the oracle's w JOIN d rescan
+        val pairs = w.groupBy("h", "doc_id")
+          .agg(count(lit(1)).as("c"), min("start").as("mn"))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+        pairs.groupBy("doc_id")
+          .agg(
+            sum("c").as("n_windows"),
+            sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L))).as("dup_windows"),
+            count(when(col("nd") >= 2, true)).as("dup_ngrams"),
+            min(when(col("nd") >= 2, col("mn"))).as("first_dup_start"))
+          .orderBy("doc_id")
       }))
 }

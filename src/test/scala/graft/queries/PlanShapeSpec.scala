@@ -120,6 +120,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).length <= 5, "emb_kmeans grew a shuffle")
   }
 
+  test("substring-span dedup: no self-join, window stays hash-partitioned, bounded shuffles") {
+    val p = plan("dd_substring_spans")
+    // the (hash,doc) pair agg + hash-frequency window + doc rollup + output
+    // sort; the oracle's w JOIN d corpus rescan must NOT appear
+    assert(shuffles(p).length <= 4, "dd_substring_spans grew a shuffle")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "span dedup regressed to the self-join form")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "doc-frequency window lost its hash partitioning")
+  }
+
   test("semdedup: pairwise cosine stays inside the cluster join, no global window") {
     val p = plan("dd_semdedup")
     assert(collectAll(p) {

@@ -98,6 +98,89 @@ object SamplingQueries {
       }),
 
     Q(
+      "s_temperature_mix",
+      """Temperature-flattened domain mixing (the multilingual-LM sampling
+        |rule, p_s ∝ n_s^α with α = 0.5): per-source token masses are
+        |flattened so rare domains are upweighted, a 25%-of-corpus token
+        |budget is apportioned by the flattened distribution, and each
+        |source's sampling rate is realized as the same deterministic
+        |md5-prefix membership test s_weighted_mix uses (threshold =
+        |rate·16⁸ as an 8-hex-char cut).
+        |
+        |Determinism across engines: sqrt masses round to 6 dp and sum as
+        |DECIMAL(27,6) (exact — no float summation-order drift in the
+        |normalizer), every derived ratio rounds to 6 dp, and the global
+        |sums are windows over the POST-AGGREGATED source frame (source-
+        |cardinality-sized, like t_vocab_topk's vocab window). The corpus
+        |itself is scanned twice (once for masses, once for membership)
+        |and never shuffles — rates ride a broadcast join.""".stripMargin,
+      Some(
+        """WITH toks AS (
+          |  SELECT source, doc_id,
+          |         len(string_split(lower(trim(text)), ' ')) AS n
+          |  FROM documents WHERE text IS NOT NULL),
+          |per AS (
+          |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+          |  FROM toks GROUP BY source),
+          |norm AS (
+          |  SELECT source, n_tokens,
+          |         CAST(SUM(CAST(round(sqrt(n_tokens), 6) AS DECIMAL(27,6)))
+          |              OVER () AS DOUBLE) AS xs,
+          |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot
+          |  FROM per),
+          |rates AS (
+          |  SELECT source, n_tokens,
+          |         round(CAST(n_tokens AS DOUBLE) / tot, 6) AS p_raw,
+          |         round(round(sqrt(n_tokens), 6) / xs, 6) AS p_temp,
+          |         round(LEAST(1.0, round(round(sqrt(n_tokens), 6) / xs, 6)
+          |                          * 0.25 * tot / n_tokens), 6) AS rate
+          |  FROM norm),
+          |thr AS (
+          |  SELECT *, CASE WHEN rate >= 1.0 THEN 'zzzzzzzz'
+          |                 ELSE printf('%08x', CAST(FLOOR(rate * 4294967296) AS BIGINT))
+          |            END AS t
+          |  FROM rates)
+          |SELECT th.source, th.n_tokens, th.p_raw, th.p_temp, th.rate,
+          |       COUNT(*) AS n_total,
+          |       COUNT(CASE WHEN substr(md5(d.source || ':' || d.doc_id::VARCHAR
+          |                                  || ':temp-seed-3'), 1, 8) < th.t
+          |                  THEN 1 END) AS n_kept
+          |FROM documents d JOIN thr th ON d.source = th.source
+          |WHERE d.text IS NOT NULL
+          |GROUP BY th.source, th.n_tokens, th.p_raw, th.p_temp, th.rate
+          |ORDER BY th.source""".stripMargin),
+      (s, dir) => {
+        val wAll = Window.partitionBy()
+        val per = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .groupBy("source")
+          .agg(sum(size(Text.tokens(col("text")))).as("n_tokens"))
+        val x = round(sqrt(col("n_tokens").cast("double")), 6)
+        val rates = per
+          .withColumn("xs", sum(x.cast("decimal(27,6)")).over(wAll).cast("double"))
+          .withColumn("tot", sum(col("n_tokens")).over(wAll))
+          .withColumn("p_raw", round(col("n_tokens").cast("double") / col("tot"), 6))
+          .withColumn("p_temp", round(x / col("xs"), 6))
+          .withColumn("rate", round(least(lit(1.0),
+            col("p_temp") * lit(0.25) * col("tot") / col("n_tokens")), 6))
+          .withColumn("t", when(col("rate") >= 1.0, lit("zzzzzzzz"))
+            .otherwise(lower(lpad(
+              hex(floor(col("rate") * lit(4294967296L)).cast("long")), 8, "0"))))
+          .select("source", "n_tokens", "p_raw", "p_temp", "rate", "t")
+        val member = substring(
+          md5(concat(col("source"), lit(":"), col("doc_id").cast("string"),
+            lit(":temp-seed-3"))), 1, 8) < col("t")
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .join(broadcast(rates), Seq("source"))
+          .groupBy("source", "n_tokens", "p_raw", "p_temp", "rate")
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when(member, true)).as("n_kept"))
+          .orderBy("source")
+      }),
+
+    Q(
       "s_pack_sequences",
       """Sequence packing (concat-and-chunk): documents are laid out in
         |(source, doc_id) order, token prefix sums assign each document a

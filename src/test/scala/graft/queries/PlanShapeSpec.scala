@@ -169,6 +169,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(plan("s_weighted_mix")).nonEmpty, "weights dim lost its broadcast")
   }
 
+  test("temperature mix: rates broadcast, normalizer window is post-agg source-sized") {
+    val p = plan("s_temperature_mix")
+    // source-mass agg + one-row normalizer window exchange + membership
+    // agg + output sort; the corpus side itself never shuffles
+    assert(shuffles(p).length <= 4, "s_temperature_mix grew a shuffle")
+    assert(bcasts(p).nonEmpty, "rate table lost its broadcast")
+  }
+
   test("sequence packing: one shuffle for the source window, one agg, one sort") {
     assert(shuffles(plan("s_pack_sequences")).length <= 3)
     // and the packing window is PARTITIONED (no single-partition window)

@@ -70,6 +70,69 @@ object TextQueries {
       }),
 
     Q(
+      "t_quality_score",
+      """Model-based quality scoring (the linear-classifier filtering step
+        |of CCNet/GPT-3-style pipelines, with fixed interpretable weights
+        |instead of learned ones): four row-local features — stopword
+        |ratio, alphabetic-token ratio, capped average word length, capped
+        |length — combine linearly and squash through the ALGEBRAIC
+        |sigmoid x/(1+|x|). exp() is deliberately absent: libm exp differs
+        |across engines in the last ulp, while +,×,÷,abs are
+        |correctly-rounded IEEE everywhere, so this scorer is
+        |hash-reproducible bit-for-bit. Every feature and the score round
+        |to 6 dp before use. Zero shuffle: one scan, one output sort.""".stripMargin,
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id,
+          |         len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+          |         round(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+          |                              t -> t IN ('the', 'a', 'of', 'in'))) AS DOUBLE)
+          |               / len(string_split(lower(trim(text)), ' ')), 6) AS stop_ratio,
+          |         round(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+          |                              t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+          |               / len(string_split(lower(trim(text)), ' ')), 6) AS alpha_ratio,
+          |         round(LEAST(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          |                     / len(string_split(lower(trim(text)), ' ')) / 10.0, 1.0), 6) AS wlen_r,
+          |         round(LEAST(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)
+          |                     / 100.0, 1.0), 6) AS len_r
+          |  FROM documents
+          |  WHERE text IS NOT NULL),
+          |sc AS (
+          |  SELECT doc_id, n_tokens, stop_ratio, alpha_ratio,
+          |         round(-2.0 + 2.0 * stop_ratio + 1.5 * alpha_ratio
+          |               + 1.0 * wlen_r + 1.5 * len_r, 6) AS score
+          |  FROM f)
+          |SELECT doc_id, n_tokens, stop_ratio, alpha_ratio, score,
+          |       round(0.5 * (1.0 + score / (1.0 + abs(score))), 6) AS prob,
+          |       (round(0.5 * (1.0 + score / (1.0 + abs(score))), 6) >= 0.5) AS keep
+          |FROM sc
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val toks = Text.tokens(col("text"))
+        val n = size(toks)
+        val stopR = round(
+          Text.markerHits(col("text"), Seq("the", "a", "of", "in")).cast("double") / n, 6)
+        val alphaR = round(
+          size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") / n, 6)
+        val wlenR = round(least(
+          length(regexp_replace(col("text"), " ", "")).cast("double") / n / lit(10.0),
+          lit(1.0)), 6)
+        val lenR = round(least(n.cast("double") / lit(100.0), lit(1.0)), 6)
+        val score = round(lit(-2.0) + lit(2.0) * stopR + lit(1.5) * alphaR
+          + lit(1.0) * wlenR + lit(1.5) * lenR, 6)
+        val prob = round(lit(0.5) * (lit(1.0) + score / (lit(1.0) + abs(score))), 6)
+        Tables.documents(s, dir).filter(col("text").isNotNull).select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          stopR.as("stop_ratio"),
+          alphaR.as("alpha_ratio"),
+          score.as("score"),
+          prob.as("prob"),
+          (prob >= 0.5).as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
       "t_langid_markers",
       """Language-ID by marker-profile scoring: count marker hits per
         |profile, predict the argmax (ties resolve in profile order en, de,

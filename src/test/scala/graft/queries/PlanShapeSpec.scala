@@ -56,7 +56,7 @@ class PlanShapeSpec extends SparkSpec {
       "mm_media_stats", "f19_sanitize", "t_repetition_quality",
       "f20_cache_key", "s_chunk_overlap", "mm_frame_manifest",
       "t_pii_scrub", "mm_decode_stats", "mm_video_frames",
-      "mm_resize_stats").foreach { q =>
+      "mm_resize_stats", "t_quality_score").foreach { q =>
       withClue(q) { assert(shuffles(plan(q)).length <= 1, s"$q grew a shuffle") }
     }
   }

@@ -117,5 +117,49 @@ object ClusterQueries {
             col("max_prior_cos").isNull || col("max_prior_cos") < SemDedupTau)
           .select("vec_id", "cluster", "max_prior_cos", "keep")
           .orderBy("vec_id")
+      }),
+
+    Q(
+      "ann_ivf_kmeans",
+      """IVF search over a k-means-REFINED coarse quantizer: the index
+        |build is the emb_kmeans fixpoint (two Lloyd passes instead of
+        |ann_ivf_cells' raw first-8-vectors quantizer — tighter cells,
+        |better recall at the same probe cost), and the search restricts
+        |each probe to its own cell exactly as in ann_ivf_cells. Probes
+        |10..19, top-3 per cell by round-6 cosine, ties to the smaller
+        |candidate id. The composition is the point: index construction
+        |and search are the same two oracle-checked operators chained.""".stripMargin,
+      Some(
+        s"""$kmeansCtes,
+           |probes AS (
+           |  SELECT vec_id AS probe_id, cluster, v AS pv FROM a2
+           |  WHERE vec_id >= 10 AND vec_id < 20),
+           |scored AS (
+           |  SELECT probe_id, a.vec_id AS cand_id, probes.cluster AS cluster,
+           |         ${duckCos("pv", "a.v")} AS cos
+           |  FROM probes JOIN a2 a
+           |    ON probes.cluster = a.cluster AND a.vec_id <> probe_id)
+           |SELECT probe_id, cand_id, cluster, cos, rn FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                               ORDER BY cos DESC, cand_id) AS rn
+           |  FROM scored)
+           |WHERE rn <= 3
+           |ORDER BY probe_id, rn""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val a2 = EmbeddingKMeans.fit(Tables.embeddings(s, dir), K, iters = 2)
+        val probes = a2.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").as("probe_id"), col("cluster"),
+            col("v").as("pv"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("cand_id"))
+        a2.select(col("vec_id").as("cand_id"), col("cluster"), col("v").as("cv"))
+          .join(broadcast(probes), Seq("cluster"))
+          .filter(col("cand_id") =!= col("probe_id"))
+          .withColumn("cos", Vectors.cosine(col("pv"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("probe_id", "cand_id", "cluster", "cos", "rn")
+          .orderBy("probe_id", "rn")
       }))
 }

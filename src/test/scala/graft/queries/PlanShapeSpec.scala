@@ -142,6 +142,11 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "dd_semdedup grew a window")
   }
 
+  test("ivf-kmeans search broadcasts the probe set") {
+    assert(bcasts(plan("ann_ivf_kmeans")).nonEmpty,
+      "ann_ivf_kmeans lost its probe broadcast")
+  }
+
   test("top-k latest plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("w5_topk_latest").toString
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -103,16 +103,19 @@ object ClusterQueries {
            |FROM a2 LEFT JOIN p ON a2.vec_id = p.vec_id
            |ORDER BY a2.vec_id""".stripMargin),
       (s, dir) => {
+        // the <= self-join keeps the diagonal pair, so EVERY vector owns a
+        // group and the oracle's join-back is a conditional max instead —
+        // one fewer recompute of the (exchange-free, thus non-reusable)
+        // k-means subtree
         val a2 = EmbeddingKMeans.fit(Tables.embeddings(s, dir), K, iters = 2)
         val x = a2.select(col("vec_id"), col("cluster"), col("v"))
         val y = a2.select(col("vec_id").as("y_id"), col("cluster"),
           col("v").as("yv"))
-        val p = x.join(y, Seq("cluster"))
-          .filter(col("y_id") < col("vec_id"))
-          .select(col("vec_id"), Vectors.cosine(col("v"), col("yv")).as("cos"))
-          .groupBy("vec_id").agg(max("cos").as("max_prior_cos"))
-        a2.select("vec_id", "cluster")
-          .join(p, Seq("vec_id"), "left")
+        x.join(y, Seq("cluster"))
+          .filter(col("y_id") <= col("vec_id"))
+          .groupBy("vec_id", "cluster")
+          .agg(max(when(col("y_id") < col("vec_id"),
+            Vectors.cosine(col("v"), col("yv")))).as("max_prior_cos"))
           .withColumn("keep",
             col("max_prior_cos").isNull || col("max_prior_cos") < SemDedupTau)
           .select("vec_id", "cluster", "max_prior_cos", "keep")

@@ -171,6 +171,37 @@ object ScaleStress {
     PipelineRun(nDocs, nReps, nPairs, sec, bad == 0L)
   }
 
+  case class SemRun(k: Int, n: Long, pairs: Long, dups: Long, seconds: Double)
+
+  /** The "k is the scale knob" claim of dd_semdedup made measurable: the
+    * same n synthetic embeddings clustered at two different k, then the
+    * ACTUAL within-cluster pairwise max-cosine aggregate timed. The
+    * pairwise work is Σ_c |c|·(|c|−1)/2 ≈ n²/(2k); growing k must shrink
+    * both the pair count and the wall time roughly ∝ 1/k — that is what
+    * lets SemDeDup hold per-cluster cost constant by scaling k with the
+    * corpus. Vectors are deterministic id-hash points in [0,1)⁸ (no RNG:
+    * retries and engines reproduce them bit-for-bit). */
+  def semdedupStress(spark: SparkSession, n: Int, k: Int): SemRun = {
+    import graft.ops.EmbeddingKMeans
+    val emb = spark.range(0, n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), d =>
+        (pmod(col("id") * (d * 31 + 7) + d * 13, lit(997)) / 997.0)
+          .cast("float")).as("embedding"))
+    val t0 = System.nanoTime()
+    val a = EmbeddingKMeans.fit(emb, k, iters = 2).persist()
+    val x = a.select(col("vec_id"), col("cluster"), col("v"))
+    val y = a.select(col("vec_id").as("y_id"), col("cluster"), col("v").as("yv"))
+    val dups = x.join(y, Seq("cluster")).filter(col("y_id") < col("vec_id"))
+      .groupBy("vec_id")
+      .agg(max(graft.functions.Vectors.cosine(col("v"), col("yv"))).as("m"))
+      .filter(col("m") >= 0.9).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val pairs = a.groupBy("cluster").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).first().getLong(0)
+    a.unpersist()
+    SemRun(k, n, pairs, dups, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val scale = args.headOption.map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -188,6 +219,9 @@ object ScaleStress {
     println(s"""{"op":"lsh_hot_band","uncapped_sample_pairs":$uncapped,"capped_pairs":$capped}""")
     val pr = pipelineStress(spark, k = 10000 * scale, singles = 500)
     println(s"""{"op":"dedup_pipeline","docs":${pr.docs},"reps":${pr.reps},"confirmed_pairs":${pr.confirmedPairs},"sec":${pr.seconds},"correct":${pr.correct}}""")
+    val s8 = semdedupStress(spark, n = 20000 * scale, k = 8)
+    val s64 = semdedupStress(spark, n = 20000 * scale, k = 64)
+    println(s"""{"op":"semdedup_k_knob","n":${s8.n},"pairs_k8":${s8.pairs},"sec_k8":${s8.seconds},"pairs_k64":${s64.pairs},"sec_k64":${s64.seconds},"pair_ratio":${s8.pairs.toDouble / math.max(s64.pairs, 1L)}}""")
     spark.stop()
   }
 }

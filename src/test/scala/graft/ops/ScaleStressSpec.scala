@@ -68,6 +68,19 @@ class ScaleStressSpec extends SparkSpec {
       s"vocabulary-disjoint reps produced ${r.confirmedPairs} pairs")
   }
 
+  test("semdedup's k knob: growing k shrinks within-cluster pairwise work ~ 1/k") {
+    // the dd_semdedup docs claim per-cluster cost stays constant because k
+    // scales with the corpus (SemDeDup's own recipe). Measure it: same
+    // 8000 deterministic vectors, k=8 vs k=64 — the pairwise pair count
+    // must drop by ~k-ratio (8x), allowing slack for uneven clusters.
+    val s8 = ScaleStress.semdedupStress(spark, n = 8000, k = 8)
+    val s64 = ScaleStress.semdedupStress(spark, n = 8000, k = 64)
+    assert(s8.pairs > 0 && s64.pairs > 0)
+    val ratio = s8.pairs.toDouble / s64.pairs
+    assert(ratio >= 3.0,
+      s"k=8 -> k=64 only cut pairwise work ${ratio}x (pairs ${s8.pairs} -> ${s64.pairs})")
+  }
+
   test("LSH hot band: uncapped pairing is quadratic; the cap keeps it collision-sized") {
     val (uncappedSample, capped) = ScaleStress.hotBandStress(spark, m = 3000, cap = 100)
     // 40-doc sample of the hot band alone: 40*39/2 pairs + the 3 real

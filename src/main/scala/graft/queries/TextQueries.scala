@@ -133,6 +133,92 @@ object TextQueries {
       }),
 
     Q(
+      "t_lm_fluency",
+      """LM-based fluency scoring (the CCNet perplexity-filter shape): a
+        |bigram model is trained ON THE CORPUS ITSELF — p(tok|prev) =
+        |c(prev,tok)/c(prev) — and each document reports its bigram
+        |count, mean and min transition probability, and a keep verdict.
+        |Log-perplexity is deliberately replaced by the mean probability:
+        |log()/exp() differ across engines in the last ulp. Probabilities
+        |live as INTEGER micro-units (round-half-up of c_bt·10⁶/c_p,
+        |computed as FLOOR((2a+b)/2b) on exactly-representable ints — a
+        |round(x, 6) on a tie-able double diverges between Spark's
+        |shortest-decimal HALF_UP and DuckDB's binary-value rounding), so
+        |sums are exact in any partition order and the final /10⁶ is one
+        |correctly-rounded IEEE division — bit-identical both engines.
+        |
+        |Scale shape: bigrams explode at the scan; the model table is
+        |bigram-cardinality with map-side partial counts; context totals
+        |derive from the bigram counts (no second corpus scan for the
+        |denominator); scoring is one shuffle join on the bigram key. At
+        |100 TB the model gets a rare-bigram floor before the join — same
+        |plan, smaller build side.""".stripMargin,
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |  FROM documents
+          |  WHERE text IS NOT NULL
+          |    AND len(string_split(lower(trim(text)), ' ')) >= 2),
+          |bi AS (
+          |  SELECT doc_id, toks[i+1] AS prev, toks[i+2] AS tok
+          |  FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i)),
+          |cnt AS (SELECT prev, tok, COUNT(*) AS c_bt FROM bi GROUP BY prev, tok),
+          |pc AS (SELECT prev, CAST(SUM(c_bt) AS BIGINT) AS c_p FROM cnt GROUP BY prev),
+          |model AS (
+          |  SELECT cnt.prev, cnt.tok,
+          |         CAST(FLOOR(CAST(2000000 * c_bt + c_p AS DOUBLE)
+          |                    / (2 * c_p)) AS BIGINT) AS p_micro
+          |  FROM cnt JOIN pc ON cnt.prev = pc.prev),
+          |scored AS (
+          |  SELECT bi.doc_id,
+          |         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          |         CAST(SUM(p_micro) AS BIGINT) AS s_micro,
+          |         CAST(MIN(p_micro) AS BIGINT) AS min_micro
+          |  FROM bi JOIN model ON bi.prev = model.prev AND bi.tok = model.tok
+          |  GROUP BY bi.doc_id)
+          |SELECT doc_id, n_bigrams,
+          |       CAST(FLOOR(CAST(2 * s_micro + n_bigrams AS DOUBLE)
+          |                  / (2 * n_bigrams)) AS BIGINT) / 1000000.0 AS mean_p,
+          |       min_micro / 1000000.0 AS min_p,
+          |       (CAST(FLOOR(CAST(2 * s_micro + n_bigrams AS DOUBLE)
+          |                   / (2 * n_bigrams)) AS BIGINT) >= 10000) AS keep
+          |FROM scored
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .filter(col("text").isNotNull && size(col("toks")) >= 2)
+          .select(col("doc_id"), col("toks"))
+        val bi = t.select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("toks")) - 2), i =>
+              struct(element_at(col("toks"), i + 1).as("prev"),
+                element_at(col("toks"), i + 2).as("tok")))).as("b"))
+          .select(col("doc_id"), col("b.prev").as("prev"), col("b.tok").as("tok"))
+        val cnt = bi.groupBy("prev", "tok").agg(count(lit(1)).as("c_bt"))
+        // context totals fold out of the bigram counts — the corpus is
+        // never rescanned for the denominator
+        val pc = cnt.groupBy("prev").agg(sum("c_bt").as("c_p"))
+        val model = cnt.join(pc, Seq("prev"))
+          .select(col("prev"), col("tok"),
+            floor((lit(2000000L) * col("c_bt") + col("c_p"))
+              / (lit(2) * col("c_p"))).cast("long").as("p_micro"))
+        val meanMicro = floor((lit(2) * col("s_micro") + col("n_bigrams"))
+          / (lit(2) * col("n_bigrams"))).cast("long")
+        bi.join(model, Seq("prev", "tok"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum("p_micro").as("s_micro"),
+            min("p_micro").as("min_micro"))
+          .select(
+            col("doc_id"), col("n_bigrams"),
+            (meanMicro / lit(1000000.0)).as("mean_p"),
+            (col("min_micro") / lit(1000000.0)).as("min_p"),
+            (meanMicro >= 10000).as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
       "t_langid_markers",
       """Language-ID by marker-profile scoring: count marker hits per
         |profile, predict the argmax (ties resolve in profile order en, de,

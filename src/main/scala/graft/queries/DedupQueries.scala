@@ -180,6 +180,84 @@ object DedupQueries {
       }),
 
     Q(
+      "dd_containment",
+      """Containment similarity (asymmetric doc-in-doc detection, the
+        |measure used beside Jaccard for finding quotes/inclusions —
+        |near-containment catches a short article embedded in a longer
+        |page that symmetric Jaccard misses): same blocked distinct-
+        |shingle sets and row-local native intersect as dd_ngram_jaccard,
+        |but scoring |A∩B|/|A| and |A∩B|/|B| separately, keeping pairs
+        |where either direction ≥ 0.5. Containment ratios are INTEGER
+        |micro-units via half-up FLOOR((2a+b)/2b) — c/|A| can land on a
+        |non-representable 6-dp tie (|A| with 2^k·5 factors), where
+        |round() diverges between engines.""".stripMargin,
+      Some(
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, source, unnest(list_transform(
+          |    range(len(string_split(lower(trim(text)), ' ')) - 2),
+          |    i -> concat_ws(' ',
+          |           string_split(lower(trim(text)), ' ')[i+1],
+          |           string_split(lower(trim(text)), ' ')[i+2],
+          |           string_split(lower(trim(text)), ' ')[i+3]))) AS shingle
+          |  FROM documents
+          |  WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          |  FROM sh a JOIN sh b
+          |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |c AS (
+          |  SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
+          |         CAST(FLOOR(CAST(2000000 * n_inter + sa.n_sh AS DOUBLE)
+          |                    / (2 * sa.n_sh)) AS BIGINT) AS ca_micro,
+          |         CAST(FLOOR(CAST(2000000 * n_inter + sb.n_sh AS DOUBLE)
+          |                    / (2 * sb.n_sh)) AS BIGINT) AS cb_micro
+          |  FROM inter
+          |  JOIN sizes sa ON sa.doc_id = doc_a
+          |  JOIN sizes sb ON sb.doc_id = doc_b)
+          |SELECT doc_a, doc_b, n_a, n_b, n_inter,
+          |       ca_micro / 1000000.0 AS cont_a,
+          |       cb_micro / 1000000.0 AS cont_b
+          |FROM c
+          |WHERE GREATEST(ca_micro, cb_micro) >= 500000
+          |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) => {
+        // identical blocked-set/broadcast/native-intersect shape as
+        // dd_ngram_jaccard (see the scale rationale there); only the
+        // scoring differs
+        val sets = Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), col("source"),
+            array_sort(array_distinct(
+              transform(Text.shinglesOfTokens(col("toks"), 3), sh => xxhash64(sh)))).as("sh"))
+          .withColumn("n_sh", size(col("sh")))
+        val a = sets.select(col("source"), col("doc_id").as("doc_a"),
+          col("sh").as("sh_a"), col("n_sh").as("n_a"))
+        val b = sets.select(col("source"), col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"), col("n_sh").as("n_b"))
+        def contMicro(n: org.apache.spark.sql.Column) =
+          floor((lit(2000000L) * col("n_inter") + n) / (lit(2) * n)).cast("long")
+        a.join(broadcast(b), Seq("source")).filter(col("doc_a") < col("doc_b"))
+          .withColumn("n_inter", {
+            import org.apache.spark.sql.GraftColumnBridge
+            GraftColumnBridge.column(graft.plans.SortedIntersectCountExpression(
+              GraftColumnBridge.expression(col("sh_a")),
+              GraftColumnBridge.expression(col("sh_b"))))
+          })
+          .withColumn("ca_micro", contMicro(col("n_a")))
+          .withColumn("cb_micro", contMicro(col("n_b")))
+          .filter(greatest(col("ca_micro"), col("cb_micro")) >= 500000)
+          .select(col("doc_a"), col("doc_b"),
+            col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+            col("n_inter"),
+            (col("ca_micro") / lit(1000000.0)).as("cont_a"),
+            (col("cb_micro") / lit(1000000.0)).as("cont_b"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    Q(
       "dd_minhash_lsh",
       """MinHash + LSH banding: 8 unigram min-hashes (lexicographic min of
         |md5(seed|token) — md5 hex order == 128-bit numeric order, so no

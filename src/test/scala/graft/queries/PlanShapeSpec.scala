@@ -46,9 +46,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(plan("flagship_reconcile")).length <= 3)
   }
 
-  test("blocked jaccard never shuffles the pair fan-out") {
+  test("blocked jaccard/containment never shuffle the pair fan-out") {
     // broadcast pair join: shuffles only for the final ordered output
-    assert(shuffles(plan("dd_ngram_jaccard")).length <= 1)
+    Seq("dd_ngram_jaccard", "dd_containment").foreach { q =>
+      withClue(q) { assert(shuffles(plan(q)).length <= 1, s"$q grew a shuffle") }
+    }
   }
 
   test("scan-side operators have at most the output-sort shuffle") {

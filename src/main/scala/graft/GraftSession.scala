@@ -39,8 +39,12 @@ object GraftSession {
       // null-in-null-out — so no -1 ever reaches a result.
       .config("spark.sql.legacy.sizeOfNull", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read as long and convert in Tables.events.
+      // Some testdata generations wrote events.ts as TIMESTAMP(NANOS),
+      // which Spark's vectorized reader rejects; this flag reads that
+      // encoding as long nanos instead of crashing. Tables.events then
+      // branches on the SCANNED dtype (long nanos vs native timestamp) —
+      // the flag is harmless for the TIMESTAMP(MICROS) generation, which
+      // arrives as TIMESTAMP_NTZ untouched.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

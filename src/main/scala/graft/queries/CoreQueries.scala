@@ -105,13 +105,13 @@ object CoreQueries {
           |  AND value > 0
           |ORDER BY event_id""".stripMargin),
       (s, dir) =>
-        Tables.events(s, dir)
+        // the time bound goes through eventsSince, which places it on the
+        // RAW scanned column (long nanos or native timestamp, whichever
+        // this testdata generation carries) so it reaches the parquet scan
+        // as a PushedFilter and skips row groups
+        Tables.eventsSince(s, dir, 1705276800000000000L)
           .filter(
             col("event_type").isin("purchase", "error") &&
-              // bound on the RAW nanos column: pushes to the parquet scan
-              // (row-group skipping); the equivalent bound on the converted
-              // `ts` cannot cross the conversion expression
-              col("ts_ns") >= lit(1705276800000000000L) &&
               col("value") > 0)
           .select(
             col("event_id"), col("user_id"), col("event_type"),

@@ -47,6 +47,38 @@ object ScaleQueries {
       }),
 
     Q(
+      "skew_salted_lineitem",
+      """The salted-aggregation pattern again, on lineitem/l_returnflag (3
+        |hot keys over the whole table — the classic reducer-skew shape).
+        |Twin of skew_salted_agg on a second table so the technique's
+        |oracle evidence survives any single table's schema drift (the
+        |round-6 events regeneration killed every events-coupled query;
+        |the salting pattern itself is table-agnostic and should not die
+        |with its demo table).""".stripMargin,
+      Some(
+        """SELECT l_returnflag,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |       CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS max_qty
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val stage1 = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("salt"))
+          .agg(
+            count(lit(1)).as("pn"),
+            sum(dec(col("l_quantity"))).as("psum"),
+            max(dec(col("l_quantity"))).as("pmax"))
+        stage1.groupBy("l_returnflag")
+          .agg(
+            sum(col("pn")).as("n"),
+            d(sum(col("psum"))).as("sum_qty"),
+            d(max(col("pmax"))).as("max_qty"))
+          .orderBy("l_returnflag")
+      }),
+
+    Q(
       "ann_ivf_cells",
       """IVF-style ANN: a deterministic coarse quantizer (the first 8
         |vectors as centroids), every vector assigned to its nearest

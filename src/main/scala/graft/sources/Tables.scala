@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided Parquet tables (TESTDATA.md).
   *
@@ -29,19 +31,57 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as long
-    * nanoseconds, which we floor-truncate to a microsecond timestamp —
-    * byte-identical to DuckDB's CAST(ts_ns AS TIMESTAMP). The raw nanos
-    * stay exposed as `ts_ns`: predicates on the converted timestamp cannot
-    * push past the conversion expression, but a bound on `ts_ns` reaches
-    * the parquet scan and skips row groups — the difference between
-    * scanning a day and scanning a year at 100 TB. */
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (arrives as long nanoseconds
+    * under spark.sql.legacy.parquet.nanosAsLong=true) and parquet
+    * TIMESTAMP(MICROS) without a timezone (arrives as TIMESTAMP_NTZ). The
+    * reference is schema-on-read everywhere (schema_manager.py:177-223
+    * infers; bakery_helper.py:188-197 adapts to incoming columns), so the
+    * loader branches on the SCANNED dtype instead of assuming one shape —
+    * a drift in the upstream writer must never kill every downstream query.
+    *
+    * Both branches expose the same canonical pair:
+    *  - `ts`    TimestampType (UTC session) — micros precision, identical
+    *    to DuckDB's reading of the same file in both encodings;
+    *  - `ts_ns` LongType epoch-nanoseconds — kept for consumers that key
+    *    or arithmetic on the raw long.
+    * Event-time BOUNDS should go through [[eventsSince]], which places the
+    * predicate on the raw scanned column so it reaches the parquet scan
+    * as a PushedFilter (row-group skipping — the difference between
+    * scanning a day and scanning a year at 100 TB). */
   def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    decorateEvents(t(s, d, "events"))
+
+  /** events with `ts >= boundNs` applied to the RAW scanned column, before
+    * any conversion — pushes down on every physical encoding. `boundNs` is
+    * epoch-nanoseconds (micros-aligned for the MICROS encoding). */
+  def eventsSince(s: SparkSession, d: String, boundNs: Long): DataFrame = {
+    val raw = t(s, d, "events")
+    decorateEvents(raw.filter(col("ts") >= rawTsLiteral(raw.schema("ts").dataType, boundNs)))
+  }
+
+  private def rawTsLiteral(dt: DataType, boundNs: Long): Column = dt match {
+    case LongType => lit(boundNs) // nanos-as-long encoding
+    case TimestampNTZType =>
+      lit(java.time.LocalDateTime.ofEpochSecond(
+        boundNs / 1000000000L, (boundNs % 1000000000L).toInt, java.time.ZoneOffset.UTC))
+    case _ => lit(java.time.Instant.ofEpochSecond(
+      boundNs / 1000000000L, boundNs % 1000000000L))
+  }
+
+  private def decorateEvents(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType => // TIMESTAMP(NANOS) read as long: floor-truncate to micros
+      raw.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType | TimestampType => // native micros timestamp
+      raw.withColumn("ts", col("ts").cast(TimestampType)) // NTZ->UTC instant, exact
+        .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts arrived as unsupported dtype $other — expected LongType " +
+          "(nanos-as-long), TimestampType, or TimestampNTZType; testdata " +
+          "schema drifted further than the loader knows how to adapt")
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -161,6 +161,16 @@ class PlanShapeSpec extends SparkSpec {
       "pagination must not plan any window (the old global row_number shape)")
   }
 
+  test("event-time lower bound reaches the parquet scan on the current encoding") {
+    // eventsSince places the bound on the RAW scanned `ts` column (long
+    // nanos or native timestamp, whichever this testdata generation
+    // carries), so it must appear as a pushed GreaterThanOrEqual — the
+    // row-group-skipping path that matters at 100 TB
+    val p = plan("p5_p6_event_filter").toString
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      s"event-time bound no longer pushes to the events scan:\n$p")
+  }
+
   test("keyset pagination pushes the continuation predicate into the scan") {
     val p = plan("w_keyset_page").toString
     assert(p.contains("TakeOrderedAndProject"), p)

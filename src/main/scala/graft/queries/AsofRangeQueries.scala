@@ -64,6 +64,57 @@ object AsofRangeQueries {
       }),
 
     Q(
+      "j_asof_tolerance",
+      """As-of join WITH TOLERANCE (pandas merge_asof(tolerance=...)
+        |semantics): a purchase is attributed to its latest strictly-earlier
+        |view only if that view is at most 10 minutes old — staler matches
+        |return NULL, exactly like an unmatched row. Same union-scan
+        |composition as j_asof_attribution (one user-key shuffle, linear
+        |scan per user, no pairwise blowup); the tolerance is a row-local
+        |post-condition on the carried match, so the scale shape is
+        |unchanged. Oracle: DuckDB's native ASOF LEFT JOIN with the
+        |tolerance applied as a CASE over the matched gap.""".stripMargin,
+      Some(
+        """WITH views AS (
+          |  SELECT user_id, ts, MAX(event_id) AS v_id
+          |  FROM events WHERE event_type = 'view'
+          |  GROUP BY user_id, ts),
+          |purchases AS (
+          |  SELECT user_id, ts, event_id, value
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT p.event_id, p.user_id,
+          |       CASE WHEN date_diff('second', v.ts, p.ts) <= 600
+          |            THEN v.v_id END AS attributed_view,
+          |       CASE WHEN date_diff('second', v.ts, p.ts) <= 600
+          |            THEN date_diff('second', v.ts, p.ts) END AS gap_seconds
+          |FROM purchases p ASOF LEFT JOIN views v
+          |  ON p.user_id = v.user_id AND v.ts < p.ts
+          |ORDER BY p.event_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("v_id"))
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            struct(col("ts").as("v_ts"), col("v_id")).as("view_info"),
+            lit(null).cast("long").as("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            lit(null).cast("struct<v_ts:timestamp,v_id:bigint>").as("view_info"),
+            col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gap = unix_timestamp(col("ts")) - unix_timestamp(col("last_view.v_ts"))
+        views.unionByName(purchases)
+          .withColumn("last_view", last(col("view_info"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 0)
+          .select(
+            col("event_id"), col("user_id"),
+            when(gap <= 600, col("last_view.v_id")).as("attributed_view"),
+            when(gap <= 600, gap).as("gap_seconds"))
+          .orderBy("event_id")
+      }),
+
+    Q(
       "j_range_bin_join",
       """Range (interval) self-join via time binning: pairs of same-user
         |events at most 1 hour apart. A naive theta join is a nested-loop

@@ -9,7 +9,7 @@ object Catalog {
     CoreQueries.qs ++ ReportQueries.qs ++ LookupQueries.qs ++ AggWindowQueries.qs ++
       ScalarQueries.qs ++ TextQueries.qs ++ DedupQueries.qs ++ SimilarityQueries.qs ++
       NestedQueries.qs ++ MultimodalQueries.qs ++ ScaleQueries.qs ++ AsofRangeQueries.qs ++
-      SamplingQueries.qs ++ StateQueries.qs ++ ClusterQueries.qs
+      SamplingQueries.qs ++ StateQueries.qs ++ ClusterQueries.qs ++ CurationQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

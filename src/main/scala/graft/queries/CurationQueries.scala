@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Web-curation operators over the `documents` table — the stages between
+  * a raw crawl and the text-quality stack (TextQueries): markup stripping
+  * and script-mix detection. Like the other curation queries on the
+  * synthetic (plain-ASCII, digit-free) corpus, each query first augments
+  * the document with the artifact it detects, built as a closed-form
+  * function of doc_id on BOTH engine and oracle sides (the
+  * t_pii_scrub/mm_decode_stats pattern), so the detection logic runs for
+  * real and the oracle proves its output byte-for-byte. All per-row
+  * expression work at the scan: zero shuffle except the output sort.
+  */
+object CurationQueries {
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "t_html_strip",
+      """HTML/markup stripping — the first stage of a crawl-to-corpus
+        |pipeline: drop <script> blocks wholesale (their CONTENT is not
+        |text), flatten remaining tags to spaces, collapse whitespace.
+        |Each document is wrapped in closed-form markup (div/h1/p/a, plus a
+        |script block on every third doc), then stripped with the same
+        |Java/RE2-common-subset regexes on both sides; the oracle proves
+        |tag/script counts and the cleaned text byte-for-byte. Scan-side
+        |row-local: zero shuffle at any corpus size.""".stripMargin,
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         '<div class="c' || CAST(doc_id % 7 AS VARCHAR) || '"><h1>T'
+          |           || CAST(doc_id % 13 AS VARCHAR) || '</h1><p>' || text || '</p>'
+          |           || CASE WHEN doc_id % 3 = 0
+          |                   THEN '<script>var x = ' || CAST(doc_id % 9 AS VARCHAR) || ';</script>'
+          |                   ELSE '' END
+          |           || '<a href="/d/' || CAST(doc_id AS VARCHAR) || '">more</a></div>' AS t
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(t, '<[^>]+>')) AS BIGINT) AS n_tags,
+          |       CAST(len(regexp_extract_all(t, '<script>[^<]*</script>')) AS BIGINT) AS n_scripts,
+          |       trim(regexp_replace(regexp_replace(regexp_replace(t,
+          |         '<script>[^<]*</script>', '', 'g'),
+          |         '<[^>]+>', ' ', 'g'),
+          |         ' +', ' ', 'g')) AS stripped
+          |FROM aug
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val scriptRe = "<script>[^<]*</script>"
+        val tagRe = "<[^>]+>"
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("t", concat(
+            lit("<div class=\"c"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit("\"><h1>T"), pmod(col("doc_id"), lit(13)).cast("string"),
+            lit("</h1><p>"), col("text"), lit("</p>"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit("<script>var x = "),
+                pmod(col("doc_id"), lit(9)).cast("string"), lit(";</script>")))
+              .otherwise(lit("")),
+            lit("<a href=\"/d/"), col("doc_id").cast("string"),
+            lit("\">more</a></div>")))
+          .select(
+            col("doc_id"),
+            regexp_count(col("t"), lit(tagRe)).cast("long").as("n_tags"),
+            regexp_count(col("t"), lit(scriptRe)).cast("long").as("n_scripts"),
+            trim(regexp_replace(regexp_replace(regexp_replace(col("t"),
+              lit(scriptRe), lit("")),
+              lit(tagRe), lit(" ")),
+              lit(" +"), lit(" "))).as("stripped"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
+      "t_script_mix",
+      """Unicode script-mix detection — the language-routing signal a
+        |multilingual pretraining pipeline computes before language-ID
+        |proper: per-script character counts (Latin, Cyrillic, CJK, Greek)
+        |and the dominant non-Latin script. Docs get a closed-form
+        |multilingual suffix keyed on doc_id % 4 (Cyrillic / CJK / Greek /
+        |none), counts use \x{....} codepoint-class regexes (the syntax
+        |Java and RE2 share), and the non-Latin share is integer
+        |parts-per-million (bigint floor division — no float ties by
+        |construction). Scan-side row-local.""".stripMargin,
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         text || CASE doc_id % 4
+          |           WHEN 0 THEN ' привет мир'
+          |           WHEN 1 THEN ' 你好世界'
+          |           WHEN 2 THEN ' γεια σου'
+          |           ELSE '' END AS t
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS n_latin,
+          |       CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+          |       CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+          |       CAST(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+          |       CASE
+          |         WHEN len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]'))
+          |            + len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]'))
+          |            + len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) = 0 THEN 'none'
+          |         WHEN len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) >=
+          |              len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]'))
+          |          AND len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) >=
+          |              len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) THEN 'cyrillic'
+          |         WHEN len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) >=
+          |              len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) THEN 'cjk'
+          |         ELSE 'greek' END AS dominant_nonlatin,
+          |       (CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]'))
+          |           + len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]'))
+          |           + len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) AS BIGINT) * 1000000)
+          |         // (CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT)
+          |            + len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]'))
+          |            + len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]'))
+          |            + len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]'))) AS nonlatin_ppm
+          |FROM aug
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val cyrRe = "[\\x{0400}-\\x{04FF}]"
+        val cjkRe = "[\\x{4E00}-\\x{9FFF}]"
+        val greekRe = "[\\x{0370}-\\x{03FF}]"
+        // counts are materialized into named columns once — the dominant
+        // CASE and the ppm division reuse them (no common-subexpression
+        // elimination inside expression trees to rely on)
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("t", concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit(" привет мир"))
+              .when(pmod(col("doc_id"), lit(4)) === 1, lit(" 你好世界"))
+              .when(pmod(col("doc_id"), lit(4)) === 2, lit(" γεια σου"))
+              .otherwise(lit(""))))
+          .withColumn("n_latin", regexp_count(col("t"), lit("[A-Za-z]")).cast("long"))
+          .withColumn("n_cyrillic", regexp_count(col("t"), lit(cyrRe)).cast("long"))
+          .withColumn("n_cjk", regexp_count(col("t"), lit(cjkRe)).cast("long"))
+          .withColumn("n_greek", regexp_count(col("t"), lit(greekRe)).cast("long"))
+          .withColumn("n_nonlatin", col("n_cyrillic") + col("n_cjk") + col("n_greek"))
+          .select(
+            col("doc_id"), col("n_latin"), col("n_cyrillic"), col("n_cjk"), col("n_greek"),
+            when(col("n_nonlatin") === 0, lit("none"))
+              .when(col("n_cyrillic") >= col("n_cjk") &&
+                col("n_cyrillic") >= col("n_greek"), lit("cyrillic"))
+              .when(col("n_cjk") >= col("n_greek"), lit("cjk"))
+              .otherwise(lit("greek")).as("dominant_nonlatin"),
+            expr("(n_nonlatin * 1000000) div (n_latin + n_nonlatin)").as("nonlatin_ppm"))
+          .orderBy("doc_id")
+      }))
+}

@@ -58,7 +58,8 @@ class PlanShapeSpec extends SparkSpec {
       "mm_media_stats", "f19_sanitize", "t_repetition_quality",
       "f20_cache_key", "s_chunk_overlap", "mm_frame_manifest",
       "t_pii_scrub", "mm_decode_stats", "mm_video_frames",
-      "mm_resize_stats", "t_quality_score").foreach { q =>
+      "mm_resize_stats", "t_quality_score", "t_html_strip",
+      "t_script_mix").foreach { q =>
       withClue(q) { assert(shuffles(plan(q)).length <= 1, s"$q grew a shuffle") }
     }
   }
@@ -159,6 +160,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Window"),
       "pagination must not plan any window (the old global row_number shape)")
+  }
+
+  test("asof joins: one user-key shuffle serves the window, no pairwise blowup") {
+    Seq("j_asof_attribution", "j_asof_tolerance").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        // the union-scan form: user-key exchange for the window + the
+        // output sort; a join operator appearing here would mean the
+        // composition regressed to a pairwise probe
+        assert(shuffles(p).length <= 3, s"$q grew a shuffle")
+        val windows = collectAll(p) {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+          s"$q carried-view window lost its user partitioning")
+      }
+    }
   }
 
   test("event-time lower bound reaches the parquet scan on the current encoding") {

@@ -1,6 +1,8 @@
 package graft.queries
 
+import graft.functions.Text
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Web-curation operators over the `documents` table — the stages between
@@ -70,6 +72,115 @@ object CurationQueries {
               lit(" +"), lit(" "))).as("stripped"))
           .orderBy("doc_id")
       }),
+
+    Q(
+      "t_oov_rate",
+      """Out-of-vocabulary rate per document against a corpus-trained
+        |vocabulary — the coverage check a tokenizer-training run makes
+        |before freezing its vocab: the top-20 tokens by global frequency
+        |(ties by token text, the t_vocab_topk ranking) become the
+        |vocabulary, aggregated to ONE sorted-array row and broadcast; each
+        |doc then counts its tokens outside that set row-locally. OOV share
+        |is integer parts-per-million (bigint floor division — no float
+        |ties). The corpus never shuffles for the scoring pass: the
+        |frequency agg carries vocab cardinality, the vocab travels as one
+        |broadcast row.""".stripMargin,
+      Some(
+        """WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+          |             FROM documents),
+          |cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+          |vocab AS (SELECT list(token) AS vlist FROM (
+          |  SELECT token FROM cnt ORDER BY n DESC, token LIMIT 20)),
+          |docs AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |         FROM documents WHERE text IS NOT NULL)
+          |SELECT doc_id,
+          |       CAST(len(toks) AS BIGINT) AS n_tokens,
+          |       CAST(len(list_filter(toks, t -> NOT list_contains(vlist, t))) AS BIGINT)
+          |         AS n_oov,
+          |       (CAST(len(list_filter(toks, t -> NOT list_contains(vlist, t))) AS BIGINT)
+          |          * 1000000) // CAST(len(toks) AS BIGINT) AS oov_ppm
+          |FROM docs, vocab
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        val cnt = docs.select(explode(Text.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        // rank window runs over vocab-sized aggregated data (bounded,
+        // fits one partition — the t_vocab_topk argument)
+        val wv = Window.orderBy(col("n").desc, col("token"))
+        val vocab = cnt.withColumn("rk", row_number().over(wv))
+          .filter(col("rk") <= 20)
+          .agg(sort_array(collect_list(col("token"))).as("vlist"))
+        // oov is materialized ONCE into a named column (HOF lambdas get
+        // no common-subexpression elimination)
+        docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("n_oov",
+            size(filter(col("toks"), t => !array_contains(col("vlist"), t))).cast("long"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
+      "dd_url_dedup",
+      """URL-canonicalization dedup — the crawl-frontier stage that
+        |collapses scheme/host case variants, tracking parameters, fragments
+        |and trailing slashes onto one canonical URL before content is ever
+        |fetched. Each doc gets a closed-form raw URL (case variant on
+        |doc_id%3, trailing slash on %2, utm query on %4, fragment on %5;
+        |the canonical target repeats every 160 ids so real duplicate
+        |groups form); canonicalization is lowercase + strip-[?#]-suffix +
+        |strip-trailing-slash (whole-URL lowercase is a documented
+        |simplification — real pipelines fold only the host). The dedup
+        |itself is the exact-groups shape: hash groupBy on the derived key,
+        |min-id keeper — key-cardinality-sized shuffle at any corpus
+        |size.""".stripMargin,
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site'
+          |              ELSE 'https://www.site' END
+          |           || CAST(doc_id % 40 AS VARCHAR) || '.example.com/Page/'
+          |           || CAST(doc_id % 160 AS VARCHAR)
+          |           || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+          |           || CASE WHEN doc_id % 4 = 0
+          |                   THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+          |                   ELSE '' END
+          |           || CASE WHEN doc_id % 5 = 0
+          |                   THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+          |                   ELSE '' END AS url
+          |  FROM documents),
+          |canon AS (
+          |  SELECT doc_id,
+          |         regexp_replace(regexp_replace(lower(url), '[?#].*$', ''),
+          |                        '/$', '') AS curl
+          |  FROM aug)
+          |SELECT curl, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+          |FROM canon GROUP BY curl
+          |ORDER BY curl""".stripMargin),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("url", concat(
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("HTTPS://WWW.Site"))
+              .otherwise(lit("https://www.site")),
+            pmod(col("doc_id"), lit(40)).cast("string"), lit(".example.com/Page/"),
+            pmod(col("doc_id"), lit(160)).cast("string"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit("#sec"), pmod(col("doc_id"), lit(7)).cast("string")))
+              .otherwise(lit(""))))
+          .withColumn("curl",
+            regexp_replace(regexp_replace(lower(col("url")),
+              lit("[?#].*$"), lit("")), lit("/$"), lit("")))
+          .groupBy("curl")
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+          .orderBy("curl"),
+    ),
 
     Q(
       "t_script_mix",

@@ -490,5 +490,48 @@ object SamplingQueries {
         decided.unionByName(straddled)
           .select("doc_id", "n_tokens", "bucket", "selected")
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "s_stratified_split",
+      """Stratified train/val/test split with EXACT per-stratum proportions
+        |— what an eval-set assembly needs where the hash split
+        |(s_hash_split) only hits its fractions in expectation: within each
+        |source, docs order by id and the first floor(80%) are train, the
+        |next floor(90%)-floor(80%) are val, the rest test. One shuffle on
+        |the stratum key serves the rank window and the count; the output
+        |aggregates to (source, bucket) counts with id-range endpoints so
+        |the oracle hash proves the exact assignment boundaries, not just
+        |the sizes.""".stripMargin,
+      Some(
+        """WITH ranked AS (
+          |  SELECT doc_id, source,
+          |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+          |         COUNT(*) OVER (PARTITION BY source) AS n
+          |  FROM documents),
+          |tagged AS (
+          |  SELECT doc_id, source,
+          |         CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+          |              WHEN rn <= (n * 9) // 10 THEN 'val'
+          |              ELSE 'test' END AS bucket
+          |  FROM ranked)
+          |SELECT source, bucket, COUNT(*) AS n_docs,
+          |       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+          |FROM tagged GROUP BY source, bucket
+          |ORDER BY source, bucket""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        val tagged = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+          .withColumn("bucket",
+            when(col("rn") <= expr("(n * 8) div 10"), lit("train"))
+              .when(col("rn") <= expr("(n * 9) div 10"), lit("val"))
+              .otherwise(lit("test")))
+        tagged.groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+          .orderBy("source", "bucket")
       }))
 }

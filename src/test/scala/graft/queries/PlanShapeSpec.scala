@@ -162,6 +162,42 @@ class PlanShapeSpec extends SparkSpec {
       "pagination must not plan any window (the old global row_number shape)")
   }
 
+  test("url dedup is the exact-groups shape: one agg shuffle + output sort") {
+    assert(shuffles(plan("dd_url_dedup")).length <= 2, "dd_url_dedup grew a shuffle")
+  }
+
+  test("oov rate: vocab broadcast as one row, corpus never shuffles for scoring") {
+    val p = plan("t_oov_rate")
+    // token-frequency agg + vocab rank/collapse + output sort; the per-doc
+    // scoring joins the one-row vocab by broadcast nested loop
+    assert(shuffles(p).length <= 4, "t_oov_rate grew a shuffle")
+    val bnl = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, "vocab no longer broadcast")
+  }
+
+  test("stratified split: one stratum shuffle serves both windows, bounded total") {
+    val p = plan("s_stratified_split")
+    // source-key window exchange + (source,bucket) agg + output sort
+    assert(shuffles(p).length <= 3, "s_stratified_split grew a shuffle")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "stratum windows must stay partitioned by source")
+  }
+
+  test("avg-pool: two hash-agg exchanges (docs-by-dims then docs), no window") {
+    val p = plan("emb_avg_pool")
+    // (doc,pos) partial->final agg + doc-level reassembly agg + output
+    // sort; map-side combine keeps the first shuffle output-sized
+    assert(shuffles(p).length <= 3, "emb_avg_pool grew a shuffle")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "emb_avg_pool must not plan a window")
+  }
+
   test("asof joins: one user-key shuffle serves the window, no pairwise blowup") {
     Seq("j_asof_attribution", "j_asof_tolerance").foreach { q =>
       withClue(q) {

@@ -76,6 +76,45 @@ class TestdataSchemaSpec extends SparkSpec {
         s"the matching loader in graft.sources.Tables:\n  " + drifts.mkString("\n  "))
   }
 
+  test("events loader adapts to BOTH encodings and agrees between them") {
+    // the current testdata is all native-micros, so the nanos-as-long
+    // branch would otherwise be dead code until the NEXT drift; this
+    // fixture writes the same rows in both physical shapes and proves the
+    // loader canonicalizes them identically (including the eventsSince
+    // pushdown bound on each raw column type)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-encodings").toFile
+    try {
+      val rowsNs = Seq(
+        (1L, 1705276800000000000L, 10L, "view", 1.5, "{}"),
+        (2L, 1705276800123456000L, 10L, "purchase", 2.5, "{}"),
+        (3L, 1705190400000000000L, 11L, "view", 0.5, "{}")) // day before the bound
+      rowsNs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/nanos/events.parquet")
+      rowsNs.map { case (id, ns, u, et, v, p) =>
+        (id, java.time.LocalDateTime.ofEpochSecond(
+          ns / 1000000000L, (ns % 1000000000L).toInt, java.time.ZoneOffset.UTC), u, et, v, p)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/micros/events.parquet")
+
+      val fromNanos = Tables.events(spark, s"${dir.getAbsolutePath}/nanos")
+        .select("event_id", "ts", "ts_ns").orderBy("event_id").collect().toSeq
+      val fromMicros = Tables.events(spark, s"${dir.getAbsolutePath}/micros")
+        .select("event_id", "ts", "ts_ns").orderBy("event_id").collect().toSeq
+      assert(fromNanos === fromMicros,
+        "the two physical encodings must canonicalize to identical rows")
+
+      val bound = 1705276800000000000L
+      val sinceNanos = Tables.eventsSince(spark, s"${dir.getAbsolutePath}/nanos", bound)
+        .select("event_id").orderBy("event_id").collect().map(_.getLong(0)).toSeq
+      val sinceMicros = Tables.eventsSince(spark, s"${dir.getAbsolutePath}/micros", bound)
+        .select("event_id").orderBy("event_id").collect().map(_.getLong(0)).toSeq
+      assert(sinceNanos === Seq(1L, 2L) && sinceMicros === Seq(1L, 2L),
+        s"eventsSince bound must keep exactly ids 1,2 on both encodings " +
+          s"(nanos=$sinceNanos micros=$sinceMicros)")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("Tables.events canonicalizes ts on every accepted encoding") {
     val df = Tables.events(spark, sfSmoke)
     assert(df.schema("ts").dataType === TimestampType,

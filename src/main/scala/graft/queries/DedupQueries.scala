@@ -490,6 +490,126 @@ object DedupQueries {
           .orderBy("doc_a", "doc_b")),
 
     Q(
+      "dd_minhash_est",
+      """MinHash sketch CALIBRATION — the tuning pass a dedup deployment
+        |runs before trusting its sketch: for every LSH candidate pair
+        |(3-shingle signatures, same generator as dd_lsh_confirm), the
+        |signature-agreement estimate of Jaccard (matching positions / 8)
+        |side-by-side with the exact Jaccard, and the absolute error. All
+        |three are integer parts-per-million (n_match*125000 is exact;
+        |exact Jaccard is bigint floor division) so the compare has no
+        |float ties. Scale shape: signatures and sets are row-local,
+        |candidates are collision-sized and broadcast through both joins —
+        |the corpus is scanned, never shuffled.""".stripMargin,
+      Some {
+        val mins = (0 until nSeeds)
+          .map(i => s"list_min(list_transform(toks, h -> md5('$i|' || h))) AS h$i")
+          .mkString(",\n         ")
+        val b0 = (0 until bandSize).map(i => s"h$i").mkString(" || ")
+        val b1 = (bandSize until nSeeds).map(i => s"h$i").mkString(" || ")
+        val matches = (0 until nSeeds)
+          .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+           |  FROM documents),
+           |tk AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(
+           |           list_transform(range(len(ws) - 2),
+           |             i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]),
+           |           s -> md5(s))) AS toks
+           |  FROM w WHERE len(ws) >= 3),
+           |sig AS (
+           |  SELECT doc_id,
+           |         $mins
+           |  FROM tk),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band_id, md5($b0) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band_id, md5($b1) AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+           |   AND x.doc_id < y.doc_id),
+           |cmp AS (
+           |  SELECT c.doc_a, c.doc_b, $matches AS n_match
+           |  FROM cand c
+           |  JOIN sig sa ON sa.doc_id = c.doc_a
+           |  JOIN sig sb ON sb.doc_id = c.doc_b),
+           |ex AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |         CAST(len(list_filter(ta.toks, t -> list_contains(tb.toks, t))) AS BIGINT) AS n_inter,
+           |         CAST(len(ta.toks) AS BIGINT) AS n_a, CAST(len(tb.toks) AS BIGINT) AS n_b
+           |  FROM cand c
+           |  JOIN tk ta ON ta.doc_id = c.doc_a
+           |  JOIN tk tb ON tb.doc_id = c.doc_b)
+           |SELECT cmp.doc_a, cmp.doc_b,
+           |       CAST(n_match AS BIGINT) AS n_match,
+           |       CAST(n_match AS BIGINT) * 125000 AS est_ppm,
+           |       (n_inter * 1000000) // (n_a + n_b - n_inter) AS jacc_ppm,
+           |       abs(CAST(n_match AS BIGINT) * 125000
+           |           - (n_inter * 1000000) // (n_a + n_b - n_inter)) AS err_ppm
+           |FROM cmp JOIN ex ON cmp.doc_a = ex.doc_a AND cmp.doc_b = ex.doc_b
+           |ORDER BY cmp.doc_a, cmp.doc_b""".stripMargin
+      },
+      (s, dir) => {
+        import org.apache.spark.sql.GraftColumnBridge
+        def minHash(seed: Int) =
+          array_min(transform(col("toks"), h => md5(concat(lit(s"$seed|"), h)))).as(s"h$seed")
+        val base = Tables.documents(s, dir)
+          .withColumn("ws", Text.tokens(col("text")))
+          .filter(size(col("ws")) >= 3)
+          .withColumn("toks", array_distinct(
+            transform(Text.shinglesOfTokens(col("ws"), 3), sh => md5(sh))))
+          .select("doc_id", "toks")
+          .persist()
+        val sig = base.select(col("doc_id") +: (0 until nSeeds).map(minHash): _*)
+          .withColumn("sig", array((0 until nSeeds).map(i => col(s"h$i")): _*))
+        val band0 = md5(concat((0 until bandSize).map(i => col(s"h$i")): _*))
+        val band1 = md5(concat((bandSize until nSeeds).map(i => col(s"h$i")): _*))
+        val bands = sig.select(col("doc_id"), lit(0).as("band_id"), band0.as("band_key"))
+          .unionAll(sig.select(col("doc_id"), lit(1).as("band_id"), band1.as("band_key")))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+        val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        val sets = base.select(col("doc_id"),
+          array_sort(transform(col("toks"), t => xxhash64(t))).as("th"))
+          .withColumn("n", size(col("th")).cast("long"))
+        val ta = sets.select(col("doc_id").as("doc_a"), col("th").as("th_a"), col("n").as("n_a"))
+        val tb = sets.select(col("doc_id").as("doc_b"), col("th").as("th_b"), col("n").as("n_b"))
+        // candidate-derived side stays the broadcast build through all
+        // four joins (the NearDup double-hint pattern)
+        val paired = broadcast(broadcast(broadcast(broadcast(cand)
+          .join(sa, "doc_a")).join(sb, "doc_b"))
+          .join(ta, "doc_a")).join(tb, "doc_b")
+          .withColumn("n_match",
+            size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+              b => b)).cast("long"))
+          .withColumn("n_inter", GraftColumnBridge.column(
+            graft.plans.SortedIntersectCountExpression(
+              GraftColumnBridge.expression(col("th_a")),
+              GraftColumnBridge.expression(col("th_b")))).cast("long"))
+        val out = paired
+          .withColumn("est_ppm", col("n_match") * 125000L)
+          .withColumn("jacc_ppm",
+            expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
+          .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_ppm"),
+            col("jacc_ppm"), abs(col("est_ppm") - col("jacc_ppm")).as("err_ppm"))
+          .orderBy("doc_a", "doc_b")
+          .localCheckpoint(true)
+        base.unpersist()
+        out
+      }),
+
+    Q(
       "dd_pipeline_keepers",
       """The WHOLE dedup pipeline oracle-checked end-to-end
         |(graft.pipelines.DedupPipeline): exact-duplicate star edges

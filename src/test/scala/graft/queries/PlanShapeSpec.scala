@@ -166,6 +166,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(plan("dd_url_dedup")).length <= 2, "dd_url_dedup grew a shuffle")
   }
 
+  // dd_minhash_est (like dd_lsh_confirm, whose generator it shares) is
+  // eagerly localCheckpoint'd to release its corpus-sized shingle cache,
+  // so its executedPlan is an RDD scan — the broadcast-through-joins shape
+  // is the NearDup pattern, asserted indirectly via dd_contamination and
+  // documented in PLANS.md.
+
   test("oov rate: vocab broadcast as one row, corpus never shuffles for scoring") {
     val p = plan("t_oov_rate")
     // token-frequency agg + vocab rank/collapse + output sort; the per-doc

@@ -107,6 +107,41 @@ object DedupQueries {
           .orderBy("norm_key")),
 
     Q(
+      "dd_soft_weights",
+      """SOFT dedup — down-weight duplicates instead of dropping them (the
+        |suppression-free alternative: every duplicate group's total
+        |sampling mass stays 1, so a document repeated n times trains with
+        |weight 1/n instead of either full weight or zero). Per doc: its
+        |normalized-key group size, the integer-ppm sampling weight
+        |1000000 div size (no float ties), and whether it is the group's
+        |keeper under hard dedup — the comparison column a pipeline uses
+        |to choose between the two policies. One hash exchange on the
+        |content key serves both window aggregates; no join, no second
+        |corpus scan.""".stripMargin,
+      Some(
+        """WITH keyed AS (
+          |  SELECT doc_id,
+          |         md5(array_to_string(list_sort(list_distinct(
+          |           string_split(lower(trim(text)), ' '))), ' ')) AS norm_key
+          |  FROM documents)
+          |SELECT doc_id, norm_key,
+          |       COUNT(*) OVER (PARTITION BY norm_key) AS group_size,
+          |       1000000 // COUNT(*) OVER (PARTITION BY norm_key) AS weight_ppm,
+          |       (doc_id = MIN(doc_id) OVER (PARTITION BY norm_key)) AS is_keeper
+          |FROM keyed
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("norm_key")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), Text.normalizedKey(col("text")).as("norm_key"))
+          .withColumn("group_size", count(lit(1)).over(w))
+          .select(col("doc_id"), col("norm_key"), col("group_size"),
+            expr("1000000 div group_size").as("weight_ppm"),
+            (col("doc_id") === min(col("doc_id")).over(w)).as("is_keeper"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
       "dd_ngram_jaccard",
       """N-gram Jaccard near-dup with blocking: 3-word shingles, candidate
         |pairs restricted to the same `source` (the blocking key that bounds

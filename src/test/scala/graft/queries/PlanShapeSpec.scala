@@ -166,6 +166,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(plan("dd_url_dedup")).length <= 2, "dd_url_dedup grew a shuffle")
   }
 
+  test("soft dedup: one content-key exchange serves both windows, no join") {
+    val p = plan("dd_soft_weights")
+    assert(shuffles(p).length <= 2, "dd_soft_weights grew a shuffle")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "dd_soft_weights regressed to a groupBy+join-back form")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "group-size window must stay partitioned by content key")
+  }
+
   // dd_minhash_est (like dd_lsh_confirm, whose generator it shares) is
   // eagerly localCheckpoint'd to release its corpus-sized shingle cache,
   // so its executedPlan is an RDD scan — the broadcast-through-joins shape

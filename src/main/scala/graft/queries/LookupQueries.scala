@@ -161,5 +161,58 @@ object LookupQueries {
             d(coalesce(dec(col("c_acctbal")), lit(0).cast(Num.Money))).as("acctbal"),
             col("c_custkey").isNull.as("to_create"))
           .orderBy("custkey")
+      }),
+
+    Q(
+      "j_fuzzy_match",
+      """Fuzzy-key matching — the natural extension of the reference's
+        |trim/fold batch lookup (J7): entity names matched by bounded edit
+        |distance instead of exact equality, the dirty-master-data join a
+        |reconciliation system eventually needs. The probe side is the
+        |RESIDUE (custkey % 17 == 0 plays the ~6% of keys that failed
+        |exact matching) — real pipelines fuzzy-probe the unmatched
+        |leftovers, never all-pairs the master table — and candidate pairs
+        |form only within the nation blocking key. The metric is Spark's
+        |codegen'd banded levenshtein(l, r, threshold) (early exit beyond
+        |the bound — the scale lever; the oracle computes the full
+        |distance and filters, proving the band is semantics-neutral). Per
+        |probe: fuzzy neighbor count and the nearest neighbor, tie-broken
+        |by id via an exact integer pack (dist·10^12 + id) so both engines
+        |pick the same neighbor with no float anywhere.""".stripMargin,
+      Some(
+        """WITH pairs AS (
+          |  SELECT a.c_custkey AS custkey, b.c_custkey AS b_id,
+          |         levenshtein(a.c_name, b.c_name) AS dist
+          |  FROM customer a JOIN customer b
+          |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+          |  WHERE a.c_custkey % 17 = 0
+          |    AND levenshtein(a.c_name, b.c_name) <= 2)
+          |SELECT custkey, COUNT(*) AS n_fuzzy,
+          |       MIN(dist * 1000000000000 + b_id) // 1000000000000 AS nn_dist,
+          |       MIN(dist * 1000000000000 + b_id) % 1000000000000 AS nn_id
+          |FROM pairs GROUP BY custkey
+          |ORDER BY custkey""".stripMargin),
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
+        val probes = c.filter(pmod(col("c_custkey"), lit(17)) === 0)
+          .select(col("c_custkey").as("custkey"), col("c_name").as("a_name"),
+            col("c_nationkey").as("nk"))
+        val cands = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"),
+          col("c_nationkey").as("b_nk"))
+        val packed = col("dist") * lit(1000000000000L) + col("b_id")
+        // the residue-sized probe side broadcasts; the master table is
+        // scanned once and never shuffled for the match
+        cands.join(broadcast(probes),
+          col("nk") === col("b_nk") && col("custkey") =!= col("b_id"))
+          .withColumn("dist",
+            levenshtein(col("a_name"), col("b_name"), 2).cast("long"))
+          .filter(col("dist") >= 0) // banded form returns -1 beyond the bound
+          .groupBy("custkey")
+          .agg(count(lit(1)).as("n_fuzzy"),
+            min(packed).as("__p"))
+          .select(col("custkey"), col("n_fuzzy"),
+            expr("__p div 1000000000000").as("nn_dist"),
+            expr("__p % 1000000000000").as("nn_id"))
+          .orderBy("custkey")
       }))
 }

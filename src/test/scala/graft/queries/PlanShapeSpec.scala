@@ -166,6 +166,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(plan("dd_url_dedup")).length <= 2, "dd_url_dedup grew a shuffle")
   }
 
+  test("fuzzy match: residue probes broadcast, master table never shuffles") {
+    val p = plan("j_fuzzy_match")
+    assert(bcasts(p).nonEmpty, "j_fuzzy_match lost its probe broadcast")
+    // probe-key agg + output sort only
+    assert(shuffles(p).length <= 2, "j_fuzzy_match grew a shuffle")
+  }
+
   test("soft dedup: one content-key exchange serves both windows, no join") {
     val p = plan("dd_soft_weights")
     assert(shuffles(p).length <= 2, "dd_soft_weights grew a shuffle")

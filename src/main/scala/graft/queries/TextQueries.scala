@@ -219,6 +219,110 @@ object TextQueries {
       }),
 
     Q(
+      "t_perplexity_buckets",
+      """CCNet's head/middle/tail corpus split on the t_lm_fluency score,
+        |in the shape that survives 100 TB: NOT a global ntile (a
+        |single-partition window over the corpus) but the two-pass
+        |cutoff pattern — aggregate the score HISTOGRAM (bounded by
+        |distinct micro-values, not docs), find the value cutoffs whose
+        |cumulative count first reaches ceil(n/3) and ceil(2n/3) via a
+        |window over that value-sized frame, broadcast the one-row cutoff
+        |pair, and assign buckets row-locally. Ties share a value, so the
+        |split is value-based exactly like CCNet's perplexity thresholds
+        |(head can exceed n/3 when scores tie — deterministic on both
+        |engines). All arithmetic is the integer micro-unit discipline of
+        |t_lm_fluency.""".stripMargin,
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |  FROM documents
+          |  WHERE text IS NOT NULL
+          |    AND len(string_split(lower(trim(text)), ' ')) >= 2),
+          |bi AS (
+          |  SELECT doc_id, toks[i+1] AS prev, toks[i+2] AS tok
+          |  FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i)),
+          |cnt AS (SELECT prev, tok, COUNT(*) AS c_bt FROM bi GROUP BY prev, tok),
+          |pc AS (SELECT prev, CAST(SUM(c_bt) AS BIGINT) AS c_p FROM cnt GROUP BY prev),
+          |model AS (
+          |  SELECT cnt.prev, cnt.tok,
+          |         CAST(FLOOR(CAST(2000000 * c_bt + c_p AS DOUBLE)
+          |                    / (2 * c_p)) AS BIGINT) AS p_micro
+          |  FROM cnt JOIN pc ON cnt.prev = pc.prev),
+          |scored AS (
+          |  SELECT bi.doc_id,
+          |         CAST(FLOOR(CAST(2 * SUM(p_micro) + COUNT(*) AS DOUBLE)
+          |                    / (2 * COUNT(*))) AS BIGINT) AS mean_micro
+          |  FROM bi JOIN model ON bi.prev = model.prev AND bi.tok = model.tok
+          |  GROUP BY bi.doc_id),
+          |hist AS (SELECT mean_micro, COUNT(*) AS c FROM scored GROUP BY mean_micro),
+          |cum AS (
+          |  SELECT mean_micro,
+          |         SUM(c) OVER (ORDER BY mean_micro DESC
+          |                      ROWS UNBOUNDED PRECEDING) AS cum,
+          |         SUM(c) OVER () AS total
+          |  FROM hist),
+          |cuts AS (
+          |  SELECT MAX(CASE WHEN cum >= (total + 2) // 3 THEN mean_micro END) AS c1,
+          |         MAX(CASE WHEN cum >= (2 * total + 2) // 3 THEN mean_micro END) AS c2
+          |  FROM cum)
+          |SELECT doc_id, mean_micro / 1000000.0 AS mean_p,
+          |       CASE WHEN mean_micro >= c1 THEN 'head'
+          |            WHEN mean_micro >= c2 THEN 'middle'
+          |            ELSE 'tail' END AS bucket
+          |FROM scored, cuts
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .filter(col("text").isNotNull && size(col("toks")) >= 2)
+          .select(col("doc_id"), col("toks"))
+        val bi = t.select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("toks")) - 2), i =>
+              struct(element_at(col("toks"), i + 1).as("prev"),
+                element_at(col("toks"), i + 2).as("tok")))).as("b"))
+          .select(col("doc_id"), col("b.prev").as("prev"), col("b.tok").as("tok"))
+        val cnt = bi.groupBy("prev", "tok").agg(count(lit(1)).as("c_bt"))
+        val pc = cnt.groupBy("prev").agg(sum("c_bt").as("c_p"))
+        val model = cnt.join(pc, Seq("prev"))
+          .select(col("prev"), col("tok"),
+            floor((lit(2000000L) * col("c_bt") + col("c_p"))
+              / (lit(2) * col("c_p"))).cast("long").as("p_micro"))
+        val scored = bi.join(model, Seq("prev", "tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("s_micro"))
+          .select(col("doc_id"),
+            floor((lit(2) * col("s_micro") + col("n_bigrams"))
+              / (lit(2) * col("n_bigrams"))).cast("long").as("mean_micro"))
+        // cutoff pass: histogram over distinct micro-values (value-sized,
+        // never doc-sized), cumulative window over that frame, collapsed
+        // to ONE (c1, c2) row — broadcast below so assignment is row-local
+        val wCum = Window.orderBy(col("mean_micro").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(col("mean_micro").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val cuts = scored.groupBy("mean_micro").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wCum))
+          .withColumn("total", sum("c").over(wAll))
+          .agg(
+            max(when(col("cum") >= expr("(total + 2) div 3"),
+              col("mean_micro"))).as("c1"),
+            max(when(col("cum") >= expr("(2 * total + 2) div 3"),
+              col("mean_micro"))).as("c2"))
+          // materialize the ONE-ROW cutoff table now (s_token_budget
+          // pattern): without this the final plan carries the whole
+          // scoring lineage twice — once under the cutoff branch, once
+          // under the assignment branch
+          .localCheckpoint(true)
+        scored.crossJoin(broadcast(cuts))
+          .select(col("doc_id"),
+            (col("mean_micro") / lit(1000000.0)).as("mean_p"),
+            when(col("mean_micro") >= col("c1"), lit("head"))
+              .when(col("mean_micro") >= col("c2"), lit("middle"))
+              .otherwise(lit("tail")).as("bucket"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
       "t_langid_markers",
       """Language-ID by marker-profile scoring: count marker hits per
         |profile, predict the argmax (ties resolve in profile order en, de,

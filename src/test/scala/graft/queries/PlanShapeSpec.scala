@@ -166,6 +166,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(plan("dd_url_dedup")).length <= 2, "dd_url_dedup grew a shuffle")
   }
 
+  test("perplexity buckets: cutoffs broadcast as one row, no doc-sized window") {
+    val p = plan("t_perplexity_buckets")
+    // the (c1, c2) cutoff row joins the scored corpus by broadcast nested
+    // loop; the only global windows run over the VALUE histogram frame
+    // (bounded by distinct micro-values), never over docs
+    val bnl = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, "cutoff row no longer broadcast")
+    // the checkpointed cutoff row keeps the final plan to ONE scoring
+    // lineage: bigram agg pair + context agg + model join + doc agg + sort
+    assert(shuffles(p).length <= 6, "t_perplexity_buckets grew a shuffle")
+  }
+
   test("fuzzy match: residue probes broadcast, master table never shuffles") {
     val p = plan("j_fuzzy_match")
     assert(bcasts(p).nonEmpty, "j_fuzzy_match lost its probe broadcast")

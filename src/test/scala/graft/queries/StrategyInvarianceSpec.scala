@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Two invariance claims the scale docs make, proven by running the SAME
+  * call sites under changed physical conditions and comparing results.
+  *
+  * 1. Broadcast fallback: the dimension/done-set joins (j1, j5) are
+  *    documented as "broadcast today; when the build side outgrows the
+  *    threshold the same query flips to a shuffled join — call sites
+  *    unchanged". With autoBroadcastJoinThreshold=-1 the planner must
+  *    pick a non-broadcast join AND produce identical rows.
+  *
+  * 2. Partition invariance: the deterministic corpus-assembly operators
+  *    (hash split, epoch shuffle, pack) advertise bit-identical output
+  *    under any partitioning (the reason they hash ids instead of using
+  *    rand()). Running with shuffle.partitions=5 vs the suite default
+  *    must produce identical rows.
+  */
+class StrategyInvarianceSpec extends SparkSpec {
+
+  private def rows(name: String): Seq[String] =
+    Catalog.byName(name).build(spark, sfSmoke)
+      .collect().map(_.toString).toSeq
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val self = p.collect(pf)
+    val nested = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+    }.flatten
+    self ++ nested
+  }
+
+  private def withConf[A](key: String, value: String)(f: => A): A = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("broadcast-disabled twin plans a shuffled join and matches row-for-row") {
+    // j5's done-set is the build side DOCUMENTED as outgrowing broadcast
+    // (dispatch history only grows); it carries no hint, so the planner
+    // must flip it to a shuffled anti join when the threshold disappears.
+    // j1 is deliberately NOT here: its `broadcast(part)` hint pins the
+    // strategy for a genuinely bounded dimension — a hint the threshold
+    // cannot (and should not) unpin.
+    Seq("j5_anti_dispatched").foreach { q =>
+      withClue(q) {
+        val withBcast = rows(q)
+        withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+          val df = Catalog.byName(q).build(spark, sfSmoke)
+          val p = df.queryExecution.executedPlan
+          val bhj = collectAll(p) {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+          }
+          assert(bhj.isEmpty,
+            s"$q still broadcasts with the threshold disabled — fallback untested")
+          val joins = collectAll(p) {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }
+          assert(joins.nonEmpty, s"$q lost its join under fallback")
+          assert(df.collect().map(_.toString).toSeq === withBcast,
+            s"$q changes rows when the join strategy flips")
+        }
+      }
+    }
+  }
+
+  test("deterministic sampling/packing is partition-count invariant") {
+    Seq("s_hash_split", "s_epoch_shuffle", "s_pack_sequences",
+      "dd_exact_groups").foreach { q =>
+      withClue(q) {
+        val default = rows(q)
+        val narrow = withConf("spark.sql.shuffle.partitions", "5") { rows(q) }
+        assert(narrow === default,
+          s"$q output depends on the shuffle partition count")
+      }
+    }
+  }
+}

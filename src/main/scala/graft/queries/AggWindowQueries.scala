@@ -379,6 +379,41 @@ object AggWindowQueries {
       }),
 
     Q(
+      "w_topk_per_window",
+      """Top-k per TIME window — the leaderboard/trending shape (hourly
+        |top-3 users by spend): time-bucketed pre-aggregation first (the
+        |shuffle carries (hour, user) group cardinality, not events), then
+        |a rank window partitioned by hour with the row_number<=3 filter
+        |that Spark rewrites to WindowGroupLimit — each partition pre-trims
+        |to 3 rows per hour BEFORE the window exchange, so the rank shuffle
+        |is k-per-window-sized at any event volume. Ranking orders by the
+        |decimal-exact total (ties by user id), deterministic on both
+        |engines.""".stripMargin,
+      Some(
+        """WITH hourly AS (
+          |  SELECT date_trunc('hour', ts) AS hour_start, user_id,
+          |         COUNT(*) AS n,
+          |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+          |  FROM events GROUP BY 1, 2)
+          |SELECT hour_start, user_id, n, total_value, rnk FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start
+          |                               ORDER BY total_value DESC, user_id) AS rnk
+          |  FROM hourly)
+          |WHERE rnk <= 3
+          |ORDER BY hour_start, rnk""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("hour_start")
+          .orderBy(col("total_value").desc, col("user_id"))
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("user_id"))
+          .agg(count(lit(1)).as("n"), d(sum(dec(col("value")))).as("total_value"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("hour_start", "user_id", "n", "total_value", "rnk")
+          .orderBy("hour_start", "rnk")
+      }),
+
+    Q(
       "w_keyset_page",
       """W4's scale path: KEYSET pagination (continue after the last seen
         |key) instead of OFFSET. The predicate pushes to the parquet scan

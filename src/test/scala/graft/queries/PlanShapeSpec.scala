@@ -150,6 +150,19 @@ class PlanShapeSpec extends SparkSpec {
       "ann_ivf_kmeans lost its probe broadcast")
   }
 
+  test("top-k per time window rides the group-limit rewrite") {
+    val p = plan("w_topk_per_window")
+    assert(p.toString.contains("WindowGroupLimit"),
+      "w_topk_per_window lost the rank-pushdown rewrite")
+    // (hour,user) agg pair + hour rank exchange + output sort
+    assert(shuffles(p).length <= 3, "w_topk_per_window grew a shuffle")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "rank window must stay partitioned by hour")
+  }
+
   test("top-k latest plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("w5_topk_latest").toString
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -164,6 +164,44 @@ object LookupQueries {
       }),
 
     Q(
+      "j_star_schema",
+      """The classic star/snowflake report (TPC-H Q5 family): fact revenue
+        |rolled up the supplier → nation → region dimension hierarchy. The
+        |100 TB shape: the snowflake COLLAPSES first — supplier ⋈ nation ⋈
+        |region compose into one denormalized dimension (dim-sized work),
+        |which broadcasts; the fact table then streams through a single
+        |broadcast hash join and pre-aggregates map-side, so the only
+        |fact-sized shuffle carries (region, nation) group cardinality.
+        |Joining the fact to each dimension separately would broadcast
+        |three times and re-scan; collapsing is strictly better and
+        |Catalyst cannot derive it when the hierarchy spans sources —
+        |it is a modeling decision, made here. Revenue sums
+        |DECIMAL-exact.""".stripMargin,
+      Some(
+        """SELECT r_name, n_name,
+          |       COUNT(*) AS n_items,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name
+          |ORDER BY r_name, n_name""".stripMargin),
+      (s, dir) => {
+        // collapse the snowflake: dim-sized joins, ONE broadcast build
+        val dim = Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("n_name"), col("r_name"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_items"),
+            d(sum(dec(col("l_extendedprice")))).as("gross"))
+          .orderBy("r_name", "n_name")
+      }),
+
+    Q(
       "j_fuzzy_match",
       """Fuzzy-key matching — the natural extension of the reference's
         |trim/fold batch lookup (J7): entity names matched by bounded edit

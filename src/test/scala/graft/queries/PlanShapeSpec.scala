@@ -193,6 +193,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).length <= 6, "t_perplexity_buckets grew a shuffle")
   }
 
+  test("star schema: snowflake collapses into ONE broadcast, fact shuffles only for the rollup") {
+    val p = plan("j_star_schema")
+    assert(bcasts(p).nonEmpty, "j_star_schema lost its dimension broadcast")
+    // dim-side composition may exchange dim-sized frames; the FACT side
+    // must reach its partial aggregate without any exchange, so the total
+    // is the rollup agg pair + output sort at most
+    assert(shuffles(p).length <= 2, "j_star_schema fact side grew a shuffle")
+  }
+
   test("fuzzy match: residue probes broadcast, master table never shuffles") {
     val p = plan("j_fuzzy_match")
     assert(bcasts(p).nonEmpty, "j_fuzzy_match lost its probe broadcast")

@@ -338,6 +338,58 @@ object AggWindowQueries {
           .orderBy("source")),
 
     Q(
+      "a_outlier_mad",
+      """Robust outlier detection per group — median absolute deviation,
+        |the data-quality gate that survives the skewed value
+        |distributions a mean/stddev z-score drowns in: per event type,
+        |the exact median, the MAD, and how many events sit beyond the
+        |standard 3σ-equivalent fence (4.4478 = 3 × 1.4826 as ONE
+        |constant, so both engines multiply identically). Three passes in
+        |the percentile-audit discipline of a_percentiles_exact: median
+        |agg (key-sized, broadcast back), deviation scan, MAD agg
+        |(broadcast back), fence count — every join build side is
+        |group-cardinality-sized, the events table only streams. No
+        |rounding anywhere: both engines interpolate quantiles with the
+        |same formula over the same doubles, so the compare is exact.""".stripMargin,
+      Some(
+        """WITH med AS (
+          |  SELECT event_type, quantile_cont(value, 0.5) AS med
+          |  FROM events GROUP BY event_type),
+          |dev AS (
+          |  SELECT e.event_type, abs(e.value - m.med) AS adev
+          |  FROM events e JOIN med m USING (event_type)),
+          |mad AS (
+          |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          |  FROM dev GROUP BY event_type)
+          |SELECT d.event_type,
+          |       MAX(me.med) AS med,
+          |       MAX(m.mad) AS mad,
+          |       CAST(SUM(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_outliers,
+          |       COUNT(*) AS n_total
+          |FROM dev d JOIN mad m USING (event_type) JOIN med me USING (event_type)
+          |GROUP BY d.event_type
+          |ORDER BY d.event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_type", "value")
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(
+            max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(when(col("adev") > lit(4.4478) * col("mad"), 1).otherwise(0))
+              .cast("long").as("n_outliers"),
+            count(lit(1)).as("n_total"))
+          .orderBy("event_type")
+      }),
+
+    Q(
       "w_rank_suite",
       """The ranking-function family in one partitioned window pass: rank
         |(gaps on ties), dense_rank, percent_rank, ntile(4), and lead —

@@ -193,6 +193,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).length <= 6, "t_perplexity_buckets grew a shuffle")
   }
 
+  test("MAD outliers: medians broadcast back, events only stream") {
+    val p = plan("a_outlier_mad")
+    // two key-sized broadcast joins (median, MAD) back onto the stream
+    assert(bcasts(p).length >= 2, "a_outlier_mad lost a stats broadcast")
+    // median agg (appears under BOTH the MAD branch and the fence branch —
+    // the deviation scan is recomputed per pass, which is the three-pass
+    // algorithm's nature) + MAD agg + fence agg + output sort
+    assert(shuffles(p).length <= 5, "a_outlier_mad grew a shuffle")
+  }
+
   test("star schema: snowflake collapses into ONE broadcast, fact shuffles only for the rollup") {
     val p = plan("j_star_schema")
     assert(bcasts(p).nonEmpty, "j_star_schema lost its dimension broadcast")

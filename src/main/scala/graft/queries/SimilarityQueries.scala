@@ -194,43 +194,50 @@ object SimilarityQueries {
         |order-independent arithmetic as the k-means recenter: coordinates
         |sum in exact DECIMAL(27,9) on the (doc, pos) key (map-side partial
         |agg collapses the shuffle to docs×dims rows — output-sized, the
-        |100 TB-correct shape), mean divides in double and rounds to 6 dp;
-        |the pooled L2 norm is a round-6 sequential fold. The oracle
-        |recomputes the whole pooling element-wise — a hash match proves
-        |the vectors, not just their counts.""".stripMargin,
+        |100 TB-correct shape), mean divides in double and rounds to 6 dp.
+        |The catalog output is LONG FORM — one scalar row per (doc, pos)
+        |coordinate, with the doc-level chunk count and pooled L2 norm
+        |repeated per row via a doc-partitioned window (output-sized work)
+        |— because the oracle harness compares scalar columns; the
+        |equivalent array-valued vector is covered by AvgPoolSpec. The norm
+        |sums m² in exact DECIMAL so it is reduction-order independent
+        |across engines. The oracle recomputes the whole pooling
+        |element-wise — a hash match proves the vectors, not just their
+        |counts.""".stripMargin,
       Some(
         """WITH b AS (SELECT vec_id, vec_id // 4 AS doc_id, embedding::DOUBLE[] AS v
           |           FROM embeddings),
           |m AS (
-          |  SELECT doc_id, idx,
+          |  SELECT doc_id, idx AS pos,
           |         round(CAST(SUM(CAST(v[idx] AS DECIMAL(27,9))) AS DOUBLE)
           |               / COUNT(*), 6) AS m,
           |         COUNT(*) AS cnt
           |  FROM b, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS idx)
           |  GROUP BY doc_id, idx)
-          |SELECT doc_id, n_chunks, pooled,
-          |       round(sqrt(list_sum(list_transform(pooled, x -> x * x))), 6) AS norm
-          |FROM (SELECT doc_id, MAX(cnt) AS n_chunks, list(m ORDER BY idx) AS pooled
-          |      FROM m GROUP BY doc_id)
-          |ORDER BY doc_id""".stripMargin),
+          |SELECT doc_id, CAST(pos AS INTEGER) AS pos, m,
+          |       MAX(cnt) OVER (PARTITION BY doc_id) AS n_chunks,
+          |       round(sqrt(CAST(SUM(CAST(m AS DECIMAL(16,6))
+          |                           * CAST(m AS DECIMAL(16,6)))
+          |                         OVER (PARTITION BY doc_id) AS DOUBLE)), 6) AS norm
+          |FROM m
+          |ORDER BY doc_id, pos""".stripMargin),
       (s, dir) => {
         val b = Tables.embeddings(s, dir).select(
           expr("vec_id div 4").as("doc_id"),
           Vectors.toDouble(col("embedding")).as("v"))
+        val dw = Window.partitionBy("doc_id")
         b.select(col("doc_id"), posexplode(col("v")))
           .groupBy("doc_id", "pos")
           .agg(
             round(sum(col("col").cast("decimal(27,9)")).cast("double")
               / count(lit(1)), 6).as("m"),
             count(lit(1)).as("cnt"))
-          .groupBy("doc_id")
-          .agg(
-            max(col("cnt")).as("n_chunks"),
-            transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-              e => e.getField("m")).as("pooled"))
-          .select(col("doc_id"), col("n_chunks"), col("pooled"),
-            round(sqrt(aggregate(col("pooled"), lit(0.0), (a, x) => a + x * x)), 6)
-              .as("norm"))
-          .orderBy("doc_id")
+          .withColumn("md", col("m").cast("decimal(16,6)"))
+          .withColumn("n_chunks", max(col("cnt")).over(dw))
+          .withColumn("norm",
+            round(sqrt(sum(col("md") * col("md")).over(dw).cast("double")), 6))
+          .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+            col("m"), col("n_chunks"), col("norm"))
+          .orderBy("doc_id", "pos")
       }))
 }

@@ -33,4 +33,21 @@ class CatalogSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every catalog query's final schema is scalar-only (driver-sortable)") {
+    // The driver's oracle harness sorts/hashes results with pandas, which
+    // cannot sort array/map/struct columns (round-7's one red row,
+    // emb_avg_pool, failed exactly this way). Catalog queries must emit
+    // long-form rows or a deterministic string rendering instead; keep
+    // array-valued variants under ScalaTest specs.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    Catalog.all.foreach { q =>
+      val bad = q.build(spark, sfSmoke).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(bad.isEmpty, s"query ${q.name} emits non-scalar columns: ${bad.mkString(",")}")
+    }
+  }
 }

@@ -260,14 +260,18 @@ class PlanShapeSpec extends SparkSpec {
       "stratum windows must stay partitioned by source")
   }
 
-  test("avg-pool: two hash-agg exchanges (docs-by-dims then docs), no window") {
+  test("avg-pool: (doc,pos) agg exchange + doc-partitioned stats window, bounded") {
     val p = plan("emb_avg_pool")
-    // (doc,pos) partial->final agg + doc-level reassembly agg + output
-    // sort; map-side combine keeps the first shuffle output-sized
+    // (doc,pos) partial->final agg + doc-level window exchange for
+    // n_chunks/norm + output sort; map-side combine keeps the first
+    // shuffle output-sized and the window operates on docs×dims rows
+    // (already output-sized), never the raw chunk rows
     assert(shuffles(p).length <= 3, "emb_avg_pool grew a shuffle")
-    assert(collectAll(p) {
+    val windows = collectAll(p) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.isEmpty, "emb_avg_pool must not plan a window")
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "emb_avg_pool doc-stats window must stay partitioned by doc_id")
   }
 
   test("asof joins: one user-key shuffle serves the window, no pairwise blowup") {

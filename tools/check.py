@@ -47,6 +47,17 @@ def main():
             n_noracle += 1
             continue
         try:
+            # The driver sorts with pandas, which cannot sort array/map/
+            # struct columns ("unhashable type: numpy.ndarray" — round 7's
+            # emb_avg_pool). Replicate that limitation here so a non-scalar
+            # catalog schema fails locally before it reaches the driver.
+            nonscalar = [c for c, t in zip(spark_rel.columns, spark_rel.types)
+                         if "[]" in str(t) or str(t).startswith(("STRUCT", "MAP"))]
+            if nonscalar:
+                print(f"  FAIL {name}: non-scalar output columns {nonscalar} "
+                      f"(driver's pandas sort would throw)")
+                n_fail += 1
+                continue
             duck_rel = con.sql(oracle[name])
             s_cols = sorted(spark_rel.columns)
             d_cols = sorted(duck_rel.columns)

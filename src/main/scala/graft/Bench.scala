@@ -89,36 +89,87 @@ object Bench {
     // estimate (a sample can only be slowed by interference, never sped
     // up). Returns the inner JSON object. A failed query must NOT appear
     // as a (small, plausible) timing — that would read as an improvement
-    // in the curve; it is listed in `failed` instead.
+    // in the curve.
+    //
+    // Failure bookkeeping (round-7 verdict #2/#3 + advice): a query with
+    // zero successful runs is retried ONCE against a FRESH replica dir
+    // before being recorded — round 7's 3-query failure block was one
+    // sustained environmental event, and a retry separates a transient
+    // from a reproducible red. What survives lands in the JSON as
+    // `"failed":[{"name":…,"err":"Class: message"}]` so the artifact is
+    // diagnosable without stderr; queries that only succeeded on SOME
+    // runs stay visible in `"partial":{name:[n_ok,n_runs]}`, and
+    // retry-rescued queries are listed in `"retried"` so a min timing
+    // can't silently paper over flakiness.
     def scaledPass(copies: Int, qset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                    label: String): String = {
       val scaleRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
-      // per-run unique dir under tmpdir (cwd-independent, and two
-      // concurrent benches can't clobber each other's replica mid-read);
-      // deleted after the pass — a replica shouldn't squat on /tmp
-      val scaledDir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-bench-scaled-${java.util.UUID.randomUUID()}").getAbsolutePath
-      try {
-        ScaledData.generate(spark, sfDir, scaledDir, copies)
-        val scaled = qset.map { case (name, fn) =>
+      def escJson(s: String): String = s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      // one (name, samples, lastErr) per query; errors keep class+message
+      def runSet(dir: String,
+                 qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                 tag: String): Seq[(String, Seq[Double], Option[String])] =
+        qs.map { case (name, fn) =>
+          var lastErr: Option[String] = None
           val samples = (1 to scaleRuns).flatMap { i =>
-            System.err.println(s"[bench] $label(${copies}x) $name ($i/$scaleRuns)")
+            System.err.println(s"[bench] $tag(${copies}x) $name ($i/$scaleRuns)")
             val t0 = System.nanoTime()
             try {
-              fn(spark, scaledDir).write.format("noop").mode("overwrite").save()
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
               Some((System.nanoTime() - t0) / 1e9)
             } catch { case e: Throwable =>
-              System.err.println(s"[bench] $label $name failed: $e"); None }
+              lastErr = Some(
+                s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+              System.err.println(s"[bench] $tag $name failed: $e"); None }
           }
-          (name, samples.minOption.getOrElse(0.0), samples.nonEmpty)
+          (name, samples, lastErr)
         }
-        val good = scaled.filter(_._3)
-        val sqs = good.map { case (k, s, _) => s"\"" + k + "\":" + s }.mkString("{", ",", "}")
-        val failed = scaled.filterNot(_._3)
-          .map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
-        s"""{"copies":$copies,"value":${good.map(_._2).sum},"queries":$sqs,"failed":$failed}"""
+      // per-run unique dirs under tmpdir (cwd-independent, and two
+      // concurrent benches can't clobber each other's replica mid-read);
+      // deleted after the pass — a replica shouldn't squat on /tmp
+      def freshDir(): String = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-bench-scaled-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val scaledDir = freshDir()
+      val retryDir = freshDir()
+      try {
+        ScaledData.generate(spark, sfDir, scaledDir, copies)
+        val first = runSet(scaledDir, qset, label)
+        val failedNames = first.filter(_._2.isEmpty).map(_._1).toSet
+        val (scaled, rescued) =
+          if (failedNames.isEmpty) (first, Seq.empty[String])
+          else {
+            ScaledData.generate(spark, sfDir, retryDir, copies)
+            val retry = runSet(retryDir,
+              qset.filter(q => failedNames.contains(q._1)), s"$label-retry")
+              .map(r => r._1 -> r).toMap
+            val merged = first.map { r =>
+              if (failedNames.contains(r._1)) retry.getOrElse(r._1, r) else r
+            }
+            (merged, merged.filter(r => failedNames.contains(r._1) && r._2.nonEmpty).map(_._1))
+          }
+        val good = scaled.filter(_._2.nonEmpty)
+        val sqs = good.map { case (k, ss, _) => s"\"" + k + "\":" + ss.min }
+          .mkString("{", ",", "}")
+        val failed = scaled.filter(_._2.isEmpty)
+          .map { case (k, _, err) =>
+            s"""{"name":"$k","err":"${escJson(err.getOrElse("unknown"))}"}""" }
+          .mkString("[", ",", "]")
+        val partial = good.filter(_._2.length < scaleRuns)
+          .map { case (k, ss, _) => s"\"" + k + s"\":[${ss.length},$scaleRuns]" }
+          .mkString("{", ",", "}")
+        val retriedJson = rescued.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s"""{"copies":$copies,"value":${good.map(_._2.min).sum},"queries":$sqs,"failed":$failed,"partial":$partial,"retried":$retriedJson}"""
       } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir)); ()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(retryDir)); ()
       }
     }
 

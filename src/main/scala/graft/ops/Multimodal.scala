@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   * extractor is partition-local: no shuffle, scales with input splits.
   */
 object Multimodal {
+  /** ImageIO's default `useCache=true` backs every explicitly-created
+    * Image{Input,Output}Stream with a TEMP DISK FILE. At bench scale
+    * (thousands of assets × multiple runs) that is thousands of temp-file
+    * create/delete cycles per pass and — on the read path, where the
+    * stream additionally outlived the asset before round 8 — unbounded
+    * cache files held until GC: exactly the slow-building disk/FD
+    * pressure profile of round 7's scaled-bench failure block. Media
+    * blobs here are KBs, so the in-memory cache is strictly better; this
+    * is called once per partition before any codec work. (ImageIO.read /
+    * AudioSystem paths manage their own streams and are unaffected
+    * either way.) */
+  private def useMemoryCachedImageIO(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, kind: String, blob: Array[Byte],
                       width: Int, sample_rate: Int, n_frames: Int)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
@@ -84,6 +98,7 @@ object Multimodal {
   def synthesizePngs2x(documents: DataFrame): Dataset[PngAsset] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      useMemoryCachedImageIO()
       ids.map { id =>
         val w = 2 * (2 + (id % 4).toInt)
         val h = 2 * (2 + (id % 3).toInt)
@@ -121,6 +136,7 @@ object Multimodal {
   def resizeImageStats(media: Dataset[PngAsset]): Dataset[ResizedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      useMemoryCachedImageIO()
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
         require(img != null, s"undecodable image blob for media_id=${r.media_id}")
@@ -165,6 +181,7 @@ object Multimodal {
   def synthesizeGifs(documents: DataFrame): Dataset[GifAsset] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      useMemoryCachedImageIO()
       val gray = Array.tabulate[Byte](256)(_.toByte)
       val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
       ids.map { id =>
@@ -207,28 +224,44 @@ object Multimodal {
     * long format downstream vision encoders consume. flatMap = generator
     * shape; row count multiplies by frames-per-asset, so run AFTER
     * filtering, never before. Undecodable blobs fail the task loudly,
-    * like the image and audio paths. */
+    * like the image and audio paths.
+    *
+    * Peak-memory shape (round-8 hardening): frames decode ONE AT A TIME
+    * — `reader.read(f)` holds a single BufferedImage, reduced to its
+    * scalar stat row before the next frame decodes — so per-task footprint
+    * is one frame + the asset's stat rows, never an asset's (or batch's)
+    * full frame set. The per-asset ImageInputStream is memory-cached
+    * (no temp file) and closed in `finally` before the next asset, so
+    * in-flight decode state is bounded by exactly one open asset per
+    * task regardless of corpus size. */
   def decodeGifFrames(media: Dataset[GifAsset]): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      useMemoryCachedImageIO()
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.flatMap { r =>
-        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.blob)))
-        val n = reader.getNumImages(true)
-        require(n > 0, s"undecodable video blob for media_id=${r.media_id}")
-        (0 until n).map { f =>
-          val img = reader.read(f)
-          var sum = 0L; var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              sum += (img.getRGB(x, y) & 0xff)
-              x += 1
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.blob))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          require(n > 0, s"undecodable video blob for media_id=${r.media_id}")
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            var sum = 0L; var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) & 0xff)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            DecodedFrame(r.media_id, f, img.getWidth, img.getHeight, sum)
           }
-          DecodedFrame(r.media_id, f, img.getWidth, img.getHeight, sum)
+        } finally {
+          reader.setInput(null)
+          iis.close()
         }
       }
     }
@@ -248,6 +281,7 @@ object Multimodal {
   def synthesizePngs(documents: DataFrame): Dataset[PngAsset] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      useMemoryCachedImageIO()
       ids.map { id =>
         val w = 1 + (id % 8).toInt
         val h = 1 + (id % 5).toInt
@@ -280,6 +314,7 @@ object Multimodal {
   def decodeImageStats(media: Dataset[PngAsset]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      useMemoryCachedImageIO()
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
         require(img != null, s"undecodable image blob for media_id=${r.media_id}")

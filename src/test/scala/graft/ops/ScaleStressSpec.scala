@@ -81,6 +81,30 @@ class ScaleStressSpec extends SparkSpec {
       s"k=8 -> k=64 only cut pairwise work ${ratio}x (pairs ${s8.pairs} -> ${s64.pairs})")
   }
 
+  test("video decode leaves no ImageIO disk-cache files (bounded in-flight state)") {
+    // Round-8 hardening after the round-7 scaled-bench failure block:
+    // ImageIO's default useCache=true backs every codec stream with a
+    // temp file in java.io.tmpdir ("imageio*.tmp"), so a scaled decode
+    // pass used to churn thousands of temp files and hold the read-path
+    // ones until GC. The decode stages now pin the in-memory cache and
+    // close per-asset streams; peak per-task state is one open asset +
+    // one decoded frame. Falsifiable observable: a full synthesize+decode
+    // sweep must create ZERO imageio cache files.
+    import org.apache.spark.sql.functions._
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def cacheFiles(): Set[String] =
+      Option(tmp.list()).getOrElse(Array.empty)
+        .filter(n => n.startsWith("imageio") && n.endsWith(".tmp")).toSet
+    val before = cacheFiles()
+    val docs = spark.range(0, 400).select(col("id").as("doc_id"))
+    val frames = Multimodal.decodeGifFrames(Multimodal.synthesizeGifs(docs))
+    assert(frames.count() > 0)
+    val pngs = Multimodal.decodeImageStats(Multimodal.synthesizePngs(docs))
+    assert(pngs.count() === 400)
+    val leaked = cacheFiles() -- before
+    assert(leaked.isEmpty, s"codec pass left ImageIO cache files: $leaked")
+  }
+
   test("LSH hot band: uncapped pairing is quadratic; the cap keeps it collision-sized") {
     val (uncappedSample, capped) = ScaleStress.hotBandStress(spark, m = 3000, cap = 100)
     // 40-doc sample of the hot band alone: 40*39/2 pairs + the 3 real

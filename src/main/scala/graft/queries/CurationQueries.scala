@@ -183,6 +183,158 @@ object CurationQueries {
     ),
 
     Q(
+      "corpus_pipeline_keepers",
+      """The crawl-curation pipeline COMPOSED end-to-end as one query —
+        |the oracle row proving the stage composition the way
+        |dd_pipeline_keepers does for dedup: (1) URL-canonicalization dedup
+        |(dd_url_dedup's closed-form URLs; min-id keeper per canonical URL
+        |via a key-partitioned window), (2) HTML strip (t_html_strip's
+        |markup + regexes), (3) script-mix gate (t_script_mix's
+        |multilingual suffix; keep docs ≤ 20000 ppm non-Latin), (4) quality
+        |gate over the STRIPPED text (≥15 tokens, type-token ratio ≥ 25%
+        |as integer ppm — no float ties), (5) per-source token budget (≤300
+        |cumulative tokens per source in doc_id order — the s_token_budget
+        |idea with the scale-correct per-group running sum instead of a
+        |global one). Scale shape: stages 1-4 are scan-side expressions
+        |plus one curl-keyed window; stage 5 is one source-keyed window;
+        |nothing global except the output sort.""".stripMargin,
+      Some(
+        """WITH d AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+          |u AS (
+          |  SELECT doc_id, source, text,
+          |         regexp_replace(regexp_replace(lower(
+          |           CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site'
+          |                ELSE 'https://www.site' END
+          |           || CAST(doc_id % 40 AS VARCHAR) || '.example.com/Page/'
+          |           || CAST(doc_id % 160 AS VARCHAR)
+          |           || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+          |           || CASE WHEN doc_id % 4 = 0
+          |                   THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+          |                   ELSE '' END
+          |           || CASE WHEN doc_id % 5 = 0
+          |                   THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+          |                   ELSE '' END),
+          |           '[?#].*$', ''), '/$', '') AS curl
+          |  FROM d),
+          |k1 AS (
+          |  SELECT doc_id, source, text FROM (
+          |    SELECT *, MIN(doc_id) OVER (PARTITION BY curl) AS keeper FROM u)
+          |  WHERE doc_id = keeper),
+          |s AS (
+          |  SELECT doc_id, source,
+          |         trim(regexp_replace(regexp_replace(regexp_replace(
+          |           '<div class="c' || CAST(doc_id % 7 AS VARCHAR) || '"><h1>T'
+          |             || CAST(doc_id % 13 AS VARCHAR) || '</h1><p>' || text || '</p>'
+          |             || CASE WHEN doc_id % 3 = 0
+          |                     THEN '<script>var x = ' || CAST(doc_id % 9 AS VARCHAR) || ';</script>'
+          |                     ELSE '' END
+          |             || '<a href="/d/' || CAST(doc_id AS VARCHAR) || '">more</a></div>',
+          |           '<script>[^<]*</script>', '', 'g'),
+          |           '<[^>]+>', ' ', 'g'),
+          |           ' +', ' ', 'g')) AS stripped
+          |  FROM k1),
+          |g AS (
+          |  SELECT doc_id, source, stripped,
+          |         CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS n_latin,
+          |         CAST(len(regexp_extract_all(t,
+          |           '[\x{0400}-\x{04FF}\x{4E00}-\x{9FFF}\x{0370}-\x{03FF}]')) AS BIGINT)
+          |           AS n_nonlatin
+          |  FROM (SELECT *, stripped || CASE doc_id % 4
+          |          WHEN 0 THEN ' привет мир'
+          |          WHEN 1 THEN ' 你好世界'
+          |          WHEN 2 THEN ' γεια σου'
+          |          ELSE '' END AS t FROM s)),
+          |g2 AS (
+          |  SELECT doc_id, source, stripped,
+          |         (n_nonlatin * 1000000) // (n_latin + n_nonlatin) AS nonlatin_ppm
+          |  FROM g
+          |  WHERE (n_nonlatin * 1000000) // (n_latin + n_nonlatin) <= 20000),
+          |q AS (
+          |  SELECT doc_id, source, nonlatin_ppm,
+          |         CAST(len(string_split(lower(trim(stripped)), ' ')) AS BIGINT) AS n_tokens,
+          |         (CAST(len(list_distinct(string_split(lower(trim(stripped)), ' '))) AS BIGINT)
+          |            * 1000000)
+          |           // CAST(len(string_split(lower(trim(stripped)), ' ')) AS BIGINT) AS ttr_ppm
+          |  FROM g2),
+          |qf AS (SELECT * FROM q WHERE n_tokens >= 15 AND ttr_ppm >= 250000),
+          |b AS (
+          |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |              AS cum_tokens
+          |  FROM qf)
+          |SELECT doc_id, source, n_tokens, ttr_ppm, nonlatin_ppm, cum_tokens
+          |FROM b WHERE cum_tokens <= 300
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val scriptRe = "<script>[^<]*</script>"
+        val tagRe = "<[^>]+>"
+        val nonLatinRe = "[\\x{0400}-\\x{04FF}\\x{4E00}-\\x{9FFF}\\x{0370}-\\x{03FF}]"
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        // stage 1: URL canonical dedup, min-id keeper per canonical URL
+        val urlRaw = concat(
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("HTTPS://WWW.Site"))
+            .otherwise(lit("https://www.site")),
+          pmod(col("doc_id"), lit(40)).cast("string"), lit(".example.com/Page/"),
+          pmod(col("doc_id"), lit(160)).cast("string"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("#sec"), pmod(col("doc_id"), lit(7)).cast("string")))
+            .otherwise(lit("")))
+        val kw = Window.partitionBy("curl")
+        val k1 = docs
+          .withColumn("curl",
+            regexp_replace(regexp_replace(lower(urlRaw),
+              lit("[?#].*$"), lit("")), lit("/$"), lit("")))
+          .withColumn("keeper", min(col("doc_id")).over(kw))
+          .filter(col("doc_id") === col("keeper"))
+        // stage 2: markup wrap + strip
+        val marked = concat(
+          lit("<div class=\"c"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("\"><h1>T"), pmod(col("doc_id"), lit(13)).cast("string"),
+          lit("</h1><p>"), col("text"), lit("</p>"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("<script>var x = "),
+              pmod(col("doc_id"), lit(9)).cast("string"), lit(";</script>")))
+            .otherwise(lit("")),
+          lit("<a href=\"/d/"), col("doc_id").cast("string"),
+          lit("\">more</a></div>"))
+        val s2 = k1.withColumn("stripped",
+          trim(regexp_replace(regexp_replace(regexp_replace(marked,
+            lit(scriptRe), lit("")), lit(tagRe), lit(" ")), lit(" +"), lit(" "))))
+        // stage 3: script-mix gate over stripped + multilingual suffix
+        val g2 = s2
+          .withColumn("t", concat(col("stripped"),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit(" привет мир"))
+              .when(pmod(col("doc_id"), lit(4)) === 1, lit(" 你好世界"))
+              .when(pmod(col("doc_id"), lit(4)) === 2, lit(" γεια σου"))
+              .otherwise(lit(""))))
+          .withColumn("n_latin", regexp_count(col("t"), lit("[A-Za-z]")).cast("long"))
+          .withColumn("n_nonlatin", regexp_count(col("t"), lit(nonLatinRe)).cast("long"))
+          .withColumn("nonlatin_ppm",
+            expr("(n_nonlatin * 1000000) div (n_latin + n_nonlatin)"))
+          .filter(col("nonlatin_ppm") <= 20000)
+        // stage 4: quality gate on the STRIPPED text (tokens materialized
+        // once — HOF lambdas get no common-subexpression elimination)
+        val q = g2
+          .withColumn("toks", Text.tokens(col("stripped")))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("ttr_ppm", expr(
+            "(cast(size(array_distinct(toks)) as bigint) * 1000000) div n_tokens"))
+          .filter(col("n_tokens") >= 15 && col("ttr_ppm") >= 250000)
+        // stage 5: per-source token budget — group-local running sum
+        val bw = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        q.withColumn("cum_tokens", sum(col("n_tokens")).over(bw))
+          .filter(col("cum_tokens") <= 300)
+          .select("doc_id", "source", "n_tokens", "ttr_ppm", "nonlatin_ppm",
+            "cum_tokens")
+          .orderBy("doc_id")
+      }),
+
+    Q(
       "t_script_mix",
       """Unicode script-mix detection — the language-routing signal a
         |multilingual pretraining pipeline computes before language-ID

@@ -274,6 +274,20 @@ class PlanShapeSpec extends SparkSpec {
       "emb_avg_pool doc-stats window must stay partitioned by doc_id")
   }
 
+  test("corpus pipeline: two key windows (curl, source) + output sort, nothing global") {
+    val p = plan("corpus_pipeline_keepers")
+    // URL-dedup keeper window (curl exchange) + per-source budget window
+    // (source exchange) + output sort; stages 2-4 are scan-side
+    // expressions riding those exchanges — a global window or extra join
+    // here would mean a stage regressed
+    assert(shuffles(p).length <= 3, "corpus_pipeline_keepers grew a shuffle")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "corpus pipeline windows must stay key-partitioned (curl / source)")
+  }
+
   test("asof joins: one user-key shuffle serves the window, no pairwise blowup") {
     Seq("j_asof_attribution", "j_asof_tolerance").foreach { q =>
       withClue(q) {

@@ -9,7 +9,8 @@ object Catalog {
     CoreQueries.qs ++ ReportQueries.qs ++ LookupQueries.qs ++ AggWindowQueries.qs ++
       ScalarQueries.qs ++ TextQueries.qs ++ DedupQueries.qs ++ SimilarityQueries.qs ++
       NestedQueries.qs ++ MultimodalQueries.qs ++ ScaleQueries.qs ++ AsofRangeQueries.qs ++
-      SamplingQueries.qs ++ StateQueries.qs ++ ClusterQueries.qs ++ CurationQueries.qs
+      SamplingQueries.qs ++ StateQueries.qs ++ ClusterQueries.qs ++ CurationQueries.qs ++
+      StreamingQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -225,6 +225,9 @@ object LookupQueries {
           |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
           |  WHERE a.c_custkey % 17 = 0
           |    AND levenshtein(a.c_name, b.c_name) <= 2)
+          |-- pack invariant: b_id (c_custkey) must stay < 10^12 or the
+          |-- dist/id unpack mis-splits — the Spark side raises on
+          |-- violation, so a mis-pack can never reach this compare
           |SELECT custkey, COUNT(*) AS n_fuzzy,
           |       MIN(dist * 1000000000000 + b_id) // 1000000000000 AS nn_dist,
           |       MIN(dist * 1000000000000 + b_id) % 1000000000000 AS nn_id
@@ -237,7 +240,14 @@ object LookupQueries {
             col("c_nationkey").as("nk"))
         val cands = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"),
           col("c_nationkey").as("b_nk"))
-        val packed = col("dist") * lit(1000000000000L) + col("b_id")
+        // pack invariant, asserted not assumed: ids >= 10^12 would bleed
+        // into the dist digits and silently pick the wrong neighbor — an
+        // id-space change must fail THIS query loudly instead
+        val packed = when(col("b_id") < 1000000000000L,
+          col("dist") * lit(1000000000000L) + col("b_id"))
+          .otherwise(raise_error(concat(
+            lit("j_fuzzy_match pack overflow: b_id "), col("b_id").cast("string"),
+            lit(" >= 10^12 breaks the dist*10^12+id encoding"))))
         // the residue-sized probe side broadcasts; the master table is
         // scanned once and never shuffled for the match
         cands.join(broadcast(probes),

@@ -74,6 +74,16 @@ object Tables {
       raw.withColumn("ts_ns", col("ts"))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     case TimestampNTZType | TimestampType => // native micros timestamp
+      // The NTZ->TimestampType cast interprets the wall time in the
+      // SESSION zone, so it is the exact identity on epoch micros ONLY
+      // under spark.sql.session.timeZone=UTC (which GraftSession and the
+      // sbt test JVM both pin). Guarded rather than assumed: an entry
+      // point that built its own session in another zone would otherwise
+      // silently shift every event timestamp and ts_ns.
+      require(raw.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+        "events loader requires spark.sql.session.timeZone=UTC (the " +
+          "NTZ->timestamp cast is zone-sensitive); build the session via " +
+          "GraftSession")
       raw.withColumn("ts", col("ts").cast(TimestampType)) // NTZ->UTC instant, exact
         .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     case other =>

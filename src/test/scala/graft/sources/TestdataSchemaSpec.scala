@@ -81,7 +81,14 @@ class TestdataSchemaSpec extends SparkSpec {
     // branch would otherwise be dead code until the NEXT drift; this
     // fixture writes the same rows in both physical shapes and proves the
     // loader canonicalizes them identically (including the eventsSince
-    // pushdown bound on each raw column type)
+    // pushdown bound on each raw column type).
+    // KNOWN APPROXIMATION: Spark cannot WRITE parquet TIMESTAMP(NANOS),
+    // so the "nanos" fixture is a plain INT64 ts column — it exercises
+    // decorateEvents' LongType branch (the post-scan canonicalization and
+    // the long-literal pushdown), but NOT the nanosAsLong scan flag
+    // itself. If the driver regenerates real TIMESTAMP(NANOS) testdata,
+    // that scan path gets its first true coverage from the drift test
+    // above plus the full oracle sweep, not from this fixture.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events-encodings").toFile
     try {

@@ -1,23 +1,32 @@
 package graft.queries
 
 import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import java.io.File
 
 /** Oracle-checked STREAMING execution — §2.9 semantics proven through the
-  * driver's DuckDB gate, not only through ScalaTest. The catalog query
-  * runs a real Structured Streaming job (file source → watermark →
-  * event-time tumbling agg → append-mode memory sink) over a
-  * deterministic replay of the events table, so the one behavior batch
-  * twins can never exhibit — LATE ROWS DROPPED BY THE WATERMARK — lands
-  * as a green hash-compared row.
+  * driver's DuckDB gate, not only through ScalaTest. Each catalog query
+  * runs a real Structured Streaming job (file-source replay → watermark →
+  * stateful operator → append-mode memory sink) over a deterministic
+  * replay of the events table:
+  *
+  *  - `w_watermark_late_drop` replays OUT of event-time order (batch =
+  *    event_id % 4) so the watermark provably drops late rows — the one
+  *    behavior batch twins can never exhibit;
+  *  - `j_stream_confirm_replay` replays IN event-time order (batch =
+  *    absolute 8-day epoch of ts) through a watermarked stream-stream
+  *    event-time range join, proving the streaming join emits exactly
+  *    the batch join's answer when data arrives in order — state
+  *    eviction never cuts a pair that can still match.
   *
   * Determinism contract (what makes an oracle possible at all):
-  *  - replay order: micro-batch b = event_id % 4, one parquet file per
-  *    batch, file mtimes strictly increasing, maxFilesPerTrigger=1 — the
-  *    file source admits exactly one file per micro-batch in mtime order;
+  *  - replay order: one parquet file per micro-batch, written
+  *    EXECUTOR-side (no driver data path), admitted one per trigger in
+  *    strictly-increasing mtime order (maxFilesPerTrigger=1 +
+  *    AvailableNow);
   *  - watermark algebra: Spark tracks max event time in integer
   *    MILLISECONDS (micros floored) and runs the TWO-watermark model
   *    (SPARK-40925, verified against the offset log here): in micro-batch
@@ -32,15 +41,71 @@ import java.io.File
   *    - delay. The oracle reproduces exactly this integer arithmetic; no
   *    floats, no ties.
   *
-  * Scale shape: batch files are written executor-side (no driver data
-  * path); the streaming agg is the same windows×types-sized state as the
-  * production pipeline; only the emitted window counts (result-sized)
-  * land in the memory sink.
+  * Scale shape: the streaming agg/join carries the same bounded state as
+  * the production pipeline (windows×types; in-flight join rows inside the
+  * eviction horizon); only the result-sized append output lands in the
+  * memory sink.
   */
 object StreamingQueries {
 
   private val ReplayBatches = 4
   private val DelayMs = 1801000L // 1801 s: deliberately not a round half hour
+
+  /** Write `df` as one parquet file per distinct value of `batchCol`
+    * (ascending), into `streamDir` with strictly increasing mtimes — the
+    * deterministic replay feed for a file-source stream. Data moves
+    * executor-side (repartition by batch id → one part file per batch);
+    * the driver only renames. */
+  private def writeReplayBatches(df: DataFrame, batchCol: Column,
+                                 streamDir: File, tmp: File): Unit = {
+    val stage = new File(tmp, s"stage-${streamDir.getName}")
+    df.withColumn("replay_b", batchCol.cast("long"))
+      .repartition(col("replay_b"))
+      .write.partitionBy("replay_b").mode("overwrite")
+      .parquet(stage.getAbsolutePath)
+    val batchDirs = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("replay_b="))
+      .sortBy(f => f.getName.stripPrefix("replay_b=").toLong)
+    require(batchDirs.nonEmpty, s"no replay batches under $stage")
+    batchDirs.zipWithIndex.foreach { case (d, i) =>
+      val parts = d.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"replay batch ${d.getName} has ${parts.length} part files (hash " +
+          "repartition by batch id must land each batch in one task)")
+      val target = new File(streamDir, f"batch-$i%03d.parquet")
+      java.nio.file.Files.move(parts(0).toPath, target.toPath)
+      target.setLastModified(1600000000000L + i * 60000L); ()
+    }
+  }
+
+  /** Run `build(stream)` over a file-source replay of `feed` (schema =
+    * feed's schema minus the batch column), append mode into a fresh
+    * memory sink; returns the sink table. */
+  private def runReplay(s: SparkSession, tmp: File, sinkName: String,
+                        feeds: Seq[(DataFrame, Column, String)],
+                        build: Seq[DataFrame] => DataFrame): DataFrame = {
+    val streams = feeds.map { case (feed, batchCol, name) =>
+      val streamDir = new File(tmp, name)
+      streamDir.mkdirs()
+      writeReplayBatches(feed, batchCol, streamDir, tmp)
+      s.readStream
+        .schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.getAbsolutePath)
+    }
+    s.catalog.dropTempView(sinkName)
+    val q = build(streams)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", new File(tmp, s"ckpt-$sinkName").getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+  }
 
   val qs: Seq[Q] = Seq(
     Q(
@@ -82,48 +147,76 @@ object StreamingQueries {
            |ORDER BY window_start""".stripMargin),
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-wmark").toFile
-        val streamDir = new File(tmp, "in")
-        streamDir.mkdirs()
         try {
           val ev = Tables.events(s, dir)
             .filter(col("ts").isNotNull)
             .select(col("event_id"), col("ts"))
-          // one parquet file per replay batch, written executor-side;
-          // strictly increasing mtimes fix the admission order
-          (0 until ReplayBatches).foreach { b =>
-            val stage = new File(tmp, s"stage$b")
-            ev.filter(pmod(col("event_id"), lit(ReplayBatches)) === b)
-              .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-            val part = stage.listFiles()
-              .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-              .getOrElse(sys.error(s"no part file for replay batch $b"))
-            val target = new File(streamDir, f"batch-$b%03d.parquet")
-            java.nio.file.Files.move(part.toPath, target.toPath)
-            target.setLastModified(1600000000000L + b * 60000L)
-          }
-          val sinkName = "w_watermark_late_drop_sink"
-          s.catalog.dropTempView(sinkName)
-          val q = s.readStream
-            .schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(streamDir.getAbsolutePath)
-            .withWatermark("ts", s"${DelayMs / 1000} seconds")
-            .groupBy(window(col("ts"), "1 hour"))
-            .agg(count(lit(1)).as("n_events"))
-            .writeStream
-            .format("memory")
-            .queryName(sinkName)
-            .outputMode("append")
-            .option("checkpointLocation", new File(tmp, "ckpt").getAbsolutePath)
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          s.table(sinkName)
+          runReplay(s, tmp, "w_watermark_late_drop_sink",
+            Seq((ev, pmod(col("event_id"), lit(ReplayBatches)), "in")),
+            { case Seq(stream) =>
+              stream
+                .withWatermark("ts", s"${DelayMs / 1000} seconds")
+                .groupBy(window(col("ts"), "1 hour"))
+                .agg(count(lit(1)).as("n_events"))
+            })
             .select(
               col("window.start").as("window_start"),
               col("window.end").as("window_end"),
               col("n_events"))
             .orderBy("window_start")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+        }
+      }),
+
+    Q(
+      "j_stream_confirm_replay",
+      """Stream-stream event-time range join, oracle-checked end to end —
+        |the streaming form of the reference's post-then-poll confirmation
+        |loop: purchases (dispatch side) join the views (confirmation
+        |side) that arrive for the same user within 1 day. Both sides
+        |replay IN event-time order (batch = absolute 8-day epoch of ts,
+        |one file per side per micro-batch) under a 2-day watermark, so
+        |no input row is late and state eviction only ever discards rows
+        |whose match window the watermark has fully passed — the
+        |append-mode streaming output is therefore EXACTLY the batch
+        |join's answer, which is what the oracle states. The green row
+        |proves the watermarked join plumbing loses nothing when it
+        |shouldn't (the late-drop twin proves the opposite case).""".stripMargin,
+      Some(
+        """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+          |       a.ts, b.ts AS cts
+          |FROM events a JOIN events b ON a.user_id = b.user_id
+          |WHERE a.event_type = 'purchase' AND b.event_type = 'view'
+          |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
+          |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ssjoin").toFile
+        try {
+          val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+          // absolute 8-day epoch: in-order chunks on any time span the
+          // testdata generator picks (no calendar assumptions)
+          val epoch8d = unix_micros(col("ts")) / lit(8L * 86400L * 1000000L)
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("a_id"), col("user_id"), col("ts"))
+          val views = ev.filter(col("event_type") === "view")
+            .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+              col("ts").as("cts"))
+          runReplay(s, tmp, "j_stream_confirm_sink",
+            Seq(
+              (purchases, epoch8d, "dispatch"),
+              (views, unix_micros(col("cts")) / lit(8L * 86400L * 1000000L), "confirm")),
+            { case Seq(a, b) =>
+              a.withWatermark("ts", "2 days")
+                .join(
+                  b.withWatermark("cts", "2 days"),
+                  col("user_id") === col("b_user") &&
+                    col("cts") >= col("ts") &&
+                    col("cts") <= col("ts") + expr("INTERVAL 1 DAY"),
+                  "inner")
+            })
+            .select(col("a_id"), col("b_id"), col("user_id"), col("ts"), col("cts"))
+            .orderBy("a_id", "b_id")
         } finally {
           org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
         }

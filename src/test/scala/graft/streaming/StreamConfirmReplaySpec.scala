@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.Catalog
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** j_stream_confirm_replay claims the watermarked stream-stream range
+  * join, fed in event-time order, emits EXACTLY the batch join's answer.
+  * The DuckDB oracle proves it against SQL; this spec proves it against
+  * Spark's own batch join (engine-internal equivalence) and that the
+  * replay is deterministic.
+  */
+class StreamConfirmReplaySpec extends SparkSpec {
+
+  test("streaming range join over in-order replay equals Spark's batch join") {
+    val streaming = Catalog.byName("j_stream_confirm_replay")
+      .build(spark, sfSmoke).collect().toSeq
+    val ev = Tables.events(spark, sfSmoke).filter(col("ts").isNotNull)
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_id"), col("user_id"), col("ts"))
+    val b = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("cts"))
+    val batch = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("cts") >= col("ts") &&
+        col("cts") <= col("ts") + expr("INTERVAL 1 DAY"))
+      .select("a_id", "b_id", "user_id", "ts", "cts")
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(streaming.nonEmpty)
+    assert(streaming === batch,
+      "watermarked stream-stream join dropped or invented pairs vs batch")
+  }
+
+  test("deterministic replay: two runs emit identical pair sets") {
+    def run() = Catalog.byName("j_stream_confirm_replay")
+      .build(spark, sfSmoke).collect().toSeq
+    assert(run() === run())
+  }
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.functions.Vectors
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximation operators with EXACT deterministic oracles —
+  * the dd_minhash_est pattern extended to the two classic distributed
+  * sketches a 100 TB engine leans on:
+  *
+  *  - KMV (k-minimum-values) distinct-count estimation: the sketch is a
+  *    bounded-heap aggregate (k smallest hash values per group), so the
+  *    shuffle carries k values per group instead of every distinct key —
+  *    the cardinality sketch that merges by min-union. The estimator
+  *    (k-1)/frac(kth) is computed in exact integer arithmetic on the
+  *    48-bit hash prefix, side by side with the exact distinct count, so
+  *    the oracle proves BOTH the sketch mechanics and its calibration.
+  *  - Bloom-filter pre-filtered semi-join: a 1008-bit two-hash Bloom
+  *    bitset of a small key set (16 packed 63-bit BIGINT blocks) is built by
+  *    aggregation, broadcast as ONE row, and probed row-locally by the
+  *    fact scan BEFORE any shuffle — the membership pre-filter that cuts
+  *    shuffle volume at scale (Spark's own runtime-filter idea, made
+  *    explicit and oracle-checkable). False positives are then resolved
+  *    by the exact semi-join, and the query reports both counts, so the
+  *    hash compare pins the filter's exact selectivity.
+  *
+  * Hashing is md5-hex-prefix arithmetic (no strtol in DuckDB 1.0: the
+  * oracle rebuilds the 48-bit integer from hex digits via strpos; Spark
+  * uses conv()). All derived quantities are integers — no float ties.
+  */
+object SketchQueries {
+
+  private val KmvK = 256
+  /** (KmvK-1) * 2^48 — the estimator numerator, exact in BIGINT. */
+  private val KmvNum = 255L * (1L << 48)
+
+  /** DuckDB: 48-bit integer from the first 12 hex chars of md5(expr). */
+  private def duckHash48(expr: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 13),
+       |  i -> (strpos('0123456789abcdef',
+       |          substr(md5($expr), CAST(i AS INTEGER), 1)) - 1)
+       |       * power(16, 12 - i))) AS BIGINT)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "a_kmv_distinct",
+      """KMV distinct-count estimation per lineitem return flag: hash each
+        |distinct order key to a 48-bit value (md5 prefix), keep the k=256
+        |smallest per flag with the bounded-heap top-k AGGREGATE (shuffle
+        |carries 256 values per flag, never the key set), and estimate
+        |distinct = (k-1)*2^48 / kth_smallest in exact integer division.
+        |The exact distinct count rides the same pass, so the output
+        |calibrates the sketch (error in integer ppm). Groups with fewer
+        |than k hashes fall back to the exact count — the KMV sketch IS
+        |exact below k.""".stripMargin,
+      Some(
+        s"""WITH dk AS (SELECT DISTINCT l_returnflag AS flag, l_orderkey FROM lineitem),
+           |hv AS (SELECT DISTINCT flag,
+           |         ${duckHash48("CAST(l_orderkey AS VARCHAR)")} AS v
+           |       FROM dk),
+           |ex AS (SELECT flag, COUNT(*) AS n_exact FROM dk GROUP BY flag),
+           |nv AS (SELECT flag, COUNT(*) AS n_hashes FROM hv GROUP BY flag),
+           |kth AS (SELECT flag, v AS kth_v FROM (
+           |  SELECT flag, v, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v) AS rn
+           |  FROM hv) WHERE rn = $KmvK)
+           |SELECT ex.flag, ex.n_exact, nv.n_hashes, kth.kth_v,
+           |       COALESCE($KmvNum // kth.kth_v, ex.n_exact) AS est_distinct,
+           |       ABS(COALESCE($KmvNum // kth.kth_v, ex.n_exact) - ex.n_exact)
+           |         * 1000000 // ex.n_exact AS err_ppm
+           |FROM ex JOIN nv USING (flag) LEFT JOIN kth ON ex.flag = kth.flag
+           |ORDER BY ex.flag""".stripMargin),
+      (s, dir) => {
+        val dk = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"), col("l_orderkey"))
+          .distinct()
+        val hv = dk
+          .withColumn("v",
+            expr("conv(substring(md5(cast(l_orderkey as string)), 1, 12), 16, 10)")
+              .cast("long"))
+          .select("flag", "v").distinct()
+        val ex = dk.groupBy("flag").agg(count(lit(1)).as("n_exact"))
+        // bounded-heap k-smallest: score = -v (exact below 2^53), id = v
+        val kth = hv.groupBy("flag")
+          .agg(Vectors.topKByScore(-col("v").cast("double"), col("v"), KmvK).as("top"),
+            count(lit(1)).as("n_hashes"))
+          .select(col("flag"), col("n_hashes"),
+            element_at(col("top"), KmvK).getField("id").as("kth_v"))
+        ex.join(kth, "flag")
+          .withColumn("est_distinct",
+            coalesce(expr(s"$KmvNum div kth_v"), col("n_exact")))
+          .select(col("flag"), col("n_exact"), col("n_hashes"), col("kth_v"),
+            col("est_distinct"),
+            expr("abs(est_distinct - n_exact) * 1000000 div n_exact").as("err_ppm"))
+          .orderBy("flag")
+      }),
+
+    Q(
+      "j_bloom_prefilter",
+      """Bloom-filter pre-filtered semi-join: the supplier keys of one
+        |nation (nationkey 7) pack into a 1008-bit two-hash Bloom bitset
+        |(16 packed 63-bit BIGINT blocks — the sign bit stays clear so the
+        |shift arithmetic is identical and overflow-free on both engines),
+        |built by bit_or aggregation and broadcast as one
+        |row; the lineitem scan probes it ROW-LOCALLY (two md5-derived bit
+        |positions, shift-and-mask on the packed blocks) before anything
+        |shuffles — the explicit form of a runtime bloom filter. The query
+        |reports, per return flag, total rows, bloom passes, exact
+        |members, and false positives; the oracle recomputes the exact
+        |same bitset and probe, so the hash compare pins the filter's
+        |selectivity bit for bit.""".stripMargin,
+      Some {
+        val h1 = duckHash48("CAST(s_suppkey AS VARCHAR)")
+        val p1 = duckHash48("CAST(l_suppkey AS VARCHAR)")
+        s"""WITH keys AS (
+           |  SELECT s_suppkey, $h1 % 1008 AS pos1,
+           |         ${duckHash48("'b' || CAST(s_suppkey AS VARCHAR)")} % 1008 AS pos2
+           |  FROM supplier WHERE s_nationkey = 7),
+           |bits AS (
+           |  SELECT pos // 63 AS block, BIT_OR(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS mask
+           |  FROM (SELECT pos1 AS pos FROM keys UNION ALL SELECT pos2 FROM keys)
+           |  GROUP BY 1),
+           |blocks AS (
+           |  SELECT list(COALESCE(bits.mask, 0) ORDER BY r.j) AS m
+           |  FROM (SELECT unnest(range(0, 16)) AS j) r
+           |  LEFT JOIN bits ON bits.block = r.j),
+           |probe AS (
+           |  SELECT l_returnflag AS flag, l_suppkey,
+           |         $p1 % 1008 AS q1,
+           |         ${duckHash48("'b' || CAST(l_suppkey AS VARCHAR)")} % 1008 AS q2
+           |  FROM lineitem),
+           |hit AS (
+           |  SELECT flag, l_suppkey,
+           |         ((m[CAST(q1 // 63 AS INTEGER) + 1] >> CAST(q1 % 63 AS INTEGER)) & 1) = 1
+           |         AND ((m[CAST(q2 // 63 AS INTEGER) + 1] >> CAST(q2 % 63 AS INTEGER)) & 1) = 1
+           |           AS bloom_pass,
+           |         l_suppkey IN (SELECT s_suppkey FROM keys) AS exact_member
+           |  FROM probe, blocks)
+           |SELECT flag,
+           |       COUNT(*) AS n_rows,
+           |       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           |       CAST(SUM(CASE WHEN exact_member THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           |       CAST(SUM(CASE WHEN bloom_pass AND NOT exact_member THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_false_pos
+           |FROM hit
+           |GROUP BY flag
+           |ORDER BY flag""".stripMargin
+      },
+      (s, dir) => {
+        def hash48(sqlExpr: String) =
+          expr(s"cast(conv(substring(md5($sqlExpr), 1, 12), 16, 10) as bigint)")
+        val keys = Tables.supplier(s, dir)
+          .filter(col("s_nationkey") === 7)
+          .select(col("s_suppkey"),
+            (hash48("cast(s_suppkey as string)") % 1008).as("pos1"),
+            (hash48("concat('b', cast(s_suppkey as string))") % 1008).as("pos2"))
+        // 16 packed 64-bit blocks built by ONE bit_or aggregation over the
+        // (tiny) key set, then collapsed to a single broadcastable row
+        val positions = keys.select(col("pos1").as("pos"))
+          .unionAll(keys.select(col("pos2").as("pos")))
+        val blocks = positions
+          .groupBy(expr("cast(pos div 63 as int)").as("block"))
+          .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 63 as int)))")
+            .as("mask"))
+        val maskRow = blocks
+          .groupBy()
+          .agg(map_from_arrays(collect_list(col("block")), collect_list(col("mask")))
+            .as("mm"))
+          .select(array((0 until 16).map(j =>
+            coalesce(element_at(col("mm"), j), lit(0L))): _*).as("m"))
+        val memberSet = keys.select(col("s_suppkey"))
+        val probe = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"), col("l_suppkey"))
+          .withColumn("q1", hash48("cast(l_suppkey as string)") % 1008)
+          .withColumn("q2", hash48("concat('b', cast(l_suppkey as string))") % 1008)
+          .crossJoin(broadcast(maskRow))
+          .withColumn("bloom_pass",
+            expr("shiftright(element_at(m, cast(q1 div 63 as int) + 1), cast(q1 % 63 as int)) & 1") === 1 &&
+              expr("shiftright(element_at(m, cast(q2 div 63 as int) + 1), cast(q2 % 63 as int)) & 1") === 1)
+          .join(broadcast(memberSet.withColumn("exact_hit", lit(true))),
+            col("l_suppkey") === col("s_suppkey"), "left")
+          .withColumn("exact_member", coalesce(col("exact_hit"), lit(false)))
+        probe.groupBy("flag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+            sum(when(col("exact_member"), 1L).otherwise(0L)).as("n_exact"),
+            sum(when(col("bloom_pass") && !col("exact_member"), 1L).otherwise(0L))
+              .as("n_false_pos"))
+          .orderBy("flag")
+      }))
+}

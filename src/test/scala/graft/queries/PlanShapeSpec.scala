@@ -274,6 +274,33 @@ class PlanShapeSpec extends SparkSpec {
       "emb_avg_pool doc-stats window must stay partitioned by doc_id")
   }
 
+  test("kmv sketch: bounded-heap aggregate, no per-group window over the hash set") {
+    val p = plan("a_kmv_distinct")
+    // the k-smallest selection must ride the TopKByScore
+    // TypedImperativeAggregate (ObjectHashAggregate), NOT a row_number
+    // window — the window form would sort every distinct hash per group
+    assert(collectAll(p) {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }.nonEmpty, "kmv lost its bounded-heap aggregate")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "kmv must not plan a window")
+  }
+
+  test("bloom prefilter: mask and member set broadcast, fact shuffles only to aggregate") {
+    val p = plan("j_bloom_prefilter")
+    // one-row mask rides a BroadcastNestedLoopJoin, the exact member set
+    // a BroadcastHashJoin — the lineitem scan itself never shuffles
+    // before the 3-key final aggregate
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "bloom mask lost its broadcast")
+    assert(bcasts(p).nonEmpty, "exact member set lost its broadcast join")
+    // supplier-side mask build aggs + final flag agg + output sort; all
+    // but one exchange carry supplier-sized (tiny) data
+    assert(shuffles(p).length <= 6, "j_bloom_prefilter grew a shuffle")
+  }
+
   test("corpus pipeline: two key windows (curl, source) + output sort, nothing global") {
     val p = plan("corpus_pipeline_keepers")
     // URL-dedup keeper window (curl exchange) + per-source budget window

@@ -14,6 +14,60 @@ object AggWindowQueries {
 
   val qs: Seq[Q] = Seq(
     Q(
+      "w_funnel_conversion",
+      """Weekly funnel conversion — the view→purchase analysis a product
+        |pipeline runs over the event stream: per (user, week), the
+        |user's first view of that week and the first purchase AT OR
+        |AFTER it (any time); converted = purchase within 1 day. Scale
+        |shape: ONE user-key hash partitioning serves the (user, week)
+        |stage aggregation, the purchase-after join, and the follow-up
+        |min — the corpus shuffles once by user, then the weekly rollup
+        |is week-cardinality-sized. Conversion rate in integer ppm (no
+        |float ties).""".stripMargin,
+      Some(
+        """WITH u AS (
+          |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+          |         MIN(ts) AS first_view
+          |  FROM events WHERE event_type = 'view'
+          |  GROUP BY 1, 2),
+          |p AS (
+          |  SELECT u.user_id, u.week, MIN(e.ts) AS first_purch
+          |  FROM u JOIN events e
+          |    ON e.user_id = u.user_id AND e.event_type = 'purchase'
+          |       AND e.ts >= u.first_view
+          |  GROUP BY 1, 2)
+          |SELECT u.week AS cohort_week,
+          |       COUNT(*) AS n_viewers,
+          |       COUNT(CASE WHEN p.first_purch <= u.first_view + INTERVAL 1 DAY
+          |                  THEN 1 END) AS n_converted,
+          |       COUNT(CASE WHEN p.first_purch <= u.first_view + INTERVAL 1 DAY
+          |                  THEN 1 END) * 1000000 // COUNT(*) AS conv_ppm
+          |FROM u LEFT JOIN p ON u.user_id = p.user_id AND u.week = p.week
+          |GROUP BY u.week
+          |ORDER BY cohort_week""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val u = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .agg(min(col("ts")).as("first_view"))
+        val p = u.select(col("user_id"), col("week"), col("first_view"))
+          .join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts")),
+            col("user_id") === col("p_user") && col("ts") >= col("first_view"))
+          .groupBy(col("user_id"), col("week"))
+          .agg(min(col("ts")).as("first_purch"))
+        u.join(p, Seq("user_id", "week"), "left")
+          .groupBy(col("week").as("cohort_week"))
+          .agg(
+            count(lit(1)).as("n_viewers"),
+            count(when(col("first_purch") <= col("first_view") + expr("INTERVAL 1 DAY"),
+              1)).as("n_converted"))
+          .select(col("cohort_week"), col("n_viewers"), col("n_converted"),
+            expr("n_converted * 1000000 div n_viewers").as("conv_ppm"))
+          .orderBy("cohort_week")
+      }),
+
+    Q(
       "a4_a6_dispatch_summary",
       """A4 + A6: dispatch summary / UI stat-tile conditional counts
         |(bakery_ops_helper.py:222-227, LiveDataComparison.js:436-453), per

@@ -187,6 +187,52 @@ object SimilarityQueries {
       }),
 
     Q(
+      "emb_int8_quantize",
+      """Symmetric int8 embedding quantization — the storage/serving
+        |compression step an ANN index applies before sharding: per
+        |vector, scale = max |coordinate|, q_i = floor(v_i * 127 / scale).
+        |Row-local (zero shuffle at any corpus size); outputs are integer
+        |summaries of the quantized vector (sum / min / max) plus the
+        |scale in floor micro-units, so the hash compare proves the
+        |quantizer bit-for-bit while the final schema stays scalar-only.
+        |The float ops are the same IEEE doubles on both engines and
+        |floor has no tie, so no rounding divergence exists by
+        |construction.""".stripMargin,
+      Some(
+        """WITH b AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v,
+          |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+          |  FROM embeddings),
+          |q AS (
+          |  SELECT vec_id, s, len(v) AS n_dims,
+          |         list_transform(v, x -> CAST(floor(x * 127 / s) AS BIGINT)) AS qv
+          |  FROM b WHERE s > 0)
+          |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+          |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+          |       list_min(qv) AS q_min,
+          |       list_max(qv) AS q_max,
+          |       CAST(floor(s * 1000000) AS BIGINT) AS scale_ppm
+          |FROM q
+          |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val b = Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          Vectors.toDouble(col("embedding")).as("v"))
+          .withColumn("s", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("s") > 0)
+        b.withColumn("qv",
+            transform(col("v"), x => floor(x * lit(127) / col("s"))))
+          .select(
+            col("vec_id"),
+            size(col("v")).cast("long").as("n_dims"),
+            aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            array_min(col("qv")).as("q_min"),
+            array_max(col("qv")).as("q_max"),
+            floor(col("s") * 1000000).cast("long").as("scale_ppm"))
+          .orderBy("vec_id")
+      }),
+
+    Q(
       "emb_avg_pool",
       """Chunk→document embedding mean-pooling — how a pipeline that embeds
         |fixed-size text chunks produces one vector per document (4

@@ -274,6 +274,35 @@ class PlanShapeSpec extends SparkSpec {
       "emb_avg_pool doc-stats window must stay partitioned by doc_id")
   }
 
+  test("int8 quantization is scan-side: at most the output-sort shuffle") {
+    assert(shuffles(plan("emb_int8_quantize")).length <= 1,
+      "emb_int8_quantize grew a shuffle")
+  }
+
+  test("pagerank: node-count broadcast each iteration, no window, no cartesian blowup") {
+    val p = plan("g_pagerank")
+    val bnl = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, "pagerank node-count row lost its broadcast")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "pagerank must not plan a window")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "pagerank planned a cartesian product")
+  }
+
+  test("funnel: user-keyed stages only, week rollup bounded, no window") {
+    val p = plan("w_funnel_conversion")
+    // (user,week) agg + user-keyed purchase join + (user,week) re-agg +
+    // week rollup + output sort — all hash exchanges on user or week keys
+    assert(shuffles(p).length <= 7, "w_funnel_conversion grew a shuffle")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "funnel planned a cartesian product")
+  }
+
   test("kmv sketch: bounded-heap aggregate, no per-group window over the hash set") {
     val p = plan("a_kmv_distinct")
     // the k-smallest selection must ride the TopKByScore

@@ -68,6 +68,134 @@ object AggWindowQueries {
       }),
 
     Q(
+      "k_scd2_intervals",
+      """Slowly-changing-dimension (type 2) reconstruction from a change
+        |log — the warehouse operation that turns an event stream into
+        |validity intervals: per user, consecutive runs of the same event
+        |type collapse into one row with valid_from = first ts of the run
+        |and valid_to = the next run's start (NULL while current). The
+        |run-length composition is the sessionize pattern: lag() marks
+        |run starts, a running sum numbers runs, one group-by emits the
+        |interval — ALL of it on a single user_id hash partitioning, so
+        |the corpus shuffles once at any scale (plus the output sort).""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_type, ts, event_id FROM events),
+          |flagged AS (
+          |  SELECT user_id, event_type, ts,
+          |         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+          |              THEN 1 ELSE 0 END AS new_run,
+          |         event_id
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |runs AS (
+          |  SELECT user_id, event_type, ts,
+          |         SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS run_id
+          |  FROM flagged),
+          |iv AS (
+          |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+          |         MIN(event_type) AS status,
+          |         MIN(ts) AS valid_from,
+          |         COUNT(*) AS n_events
+          |  FROM runs GROUP BY user_id, run_id)
+          |SELECT user_id, run_id, status, valid_from,
+          |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+          |         AS valid_to,
+          |       n_events
+          |FROM iv
+          |ORDER BY user_id, run_id""".stripMargin),
+      (s, dir) => {
+        val uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val runs = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("new_run",
+            when(lag(col("event_type"), 1).over(uw).isNull
+              || lag(col("event_type"), 1).over(uw) =!= col("event_type"), 1)
+              .otherwise(0))
+          // first row: LAG NULL IS DISTINCT FROM type -> 1, mirrored above
+          .withColumn("run_id",
+            sum(col("new_run")).over(uw.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        val iv = runs.groupBy("user_id", "run_id")
+          .agg(
+            min(col("event_type")).as("status"),
+            min(col("ts")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+        val rw = Window.partitionBy("user_id").orderBy("run_id")
+        iv.select(col("user_id"), col("run_id").cast("long").as("run_id"),
+            col("status"), col("valid_from"),
+            lead(col("valid_from"), 1).over(rw).as("valid_to"),
+            col("n_events"))
+          .orderBy("user_id", "run_id")
+      }),
+
+    Q(
+      "a_gap_interpolate",
+      """Time-series gap repair by linear interpolation — the cleaning
+        |step a sensor/metrics pipeline applies before aggregation: every
+        |7th reading (event_id % 7 = 0) plays a missing value, and each
+        |gap fills linearly between its surviving event-time neighbors in
+        |EXACT integer arithmetic: v = prev + floor((next-prev) *
+        |(ts-prev_ts) / (next_ts-prev_ts)) with values in FLOOR
+        |value-micros (floor: no rounding tie) and times in epoch
+        |MILLISECONDS (milli, not micro, keeps the cross product inside
+        |int64) — bigint throughout, so both engines land the identical
+        |filled series. The slope can be negative; both engines truncate
+        |integer division toward zero (Spark `div`, DuckDB `//` — checked
+        |on -7/2 = -3 both sides), so the plain quotient is already
+        |engine-identical. Edge gaps (no neighbor on one side) carry the
+        |surviving neighbor. One user_id hash partitioning serves both
+        |neighbor windows.""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS v_us,
+          |         (event_id % 7 = 0) AS missing
+          |  FROM events),
+          |nb AS (
+          |  SELECT user_id, event_id, ts_ms, v_us, missing,
+          |         LAG(CASE WHEN NOT missing THEN v_us END IGNORE NULLS) OVER w AS pv,
+          |         LAG(CASE WHEN NOT missing THEN ts_ms END IGNORE NULLS) OVER w AS pt,
+          |         LEAD(CASE WHEN NOT missing THEN v_us END IGNORE NULLS) OVER w AS nv,
+          |         LEAD(CASE WHEN NOT missing THEN ts_ms END IGNORE NULLS) OVER w AS nt
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+          |SELECT user_id, event_id, ts_ms, missing,
+          |       CASE
+          |         WHEN NOT missing THEN v_us
+          |         WHEN pv IS NOT NULL AND nv IS NOT NULL
+          |           THEN pv + (nv - pv) * (ts_ms - pt) // (nt - pt)
+          |         WHEN pv IS NOT NULL THEN pv
+          |         WHEN nv IS NOT NULL THEN nv
+          |         ELSE 0 END AS filled_us
+          |FROM nb
+          |ORDER BY user_id, ts_ms, event_id""".stripMargin),
+      (s, dir) => {
+        val uw = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts) div 1000").as("ts_ms"),
+            floor(col("value") * 1000000).cast("long").as("v_us"),
+            (pmod(col("event_id"), lit(7)) === 0).as("missing"))
+        e.withColumn("pv",
+            lag(when(!col("missing"), col("v_us")), 1, null, ignoreNulls = true).over(uw))
+          .withColumn("pt",
+            lag(when(!col("missing"), col("ts_ms")), 1, null, ignoreNulls = true).over(uw))
+          .withColumn("nv",
+            lead(when(!col("missing"), col("v_us")), 1, null, ignoreNulls = true).over(uw))
+          .withColumn("nt",
+            lead(when(!col("missing"), col("ts_ms")), 1, null, ignoreNulls = true).over(uw))
+          .select(col("user_id"), col("event_id"), col("ts_ms"), col("missing"),
+            when(!col("missing"), col("v_us"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                expr("pv + (nv - pv) * (ts_ms - pt) div (nt - pt)"))
+              .when(col("pv").isNotNull, col("pv"))
+              .when(col("nv").isNotNull, col("nv"))
+              .otherwise(lit(0L)).as("filled_us"))
+          .orderBy("user_id", "ts_ms", "event_id")
+      }),
+
+    Q(
       "a4_a6_dispatch_summary",
       """A4 + A6: dispatch summary / UI stat-tile conditional counts
         |(bakery_ops_helper.py:222-227, LiveDataComparison.js:436-453), per

@@ -10,7 +10,7 @@ object Catalog {
       ScalarQueries.qs ++ TextQueries.qs ++ DedupQueries.qs ++ SimilarityQueries.qs ++
       NestedQueries.qs ++ MultimodalQueries.qs ++ ScaleQueries.qs ++ AsofRangeQueries.qs ++
       SamplingQueries.qs ++ StateQueries.qs ++ ClusterQueries.qs ++ CurationQueries.qs ++
-      StreamingQueries.qs ++ SketchQueries.qs ++ GraphQueries.qs
+      StreamingQueries.qs ++ SketchQueries.qs ++ GraphQueries.qs ++ DataOpsQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

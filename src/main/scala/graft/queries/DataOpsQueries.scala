@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Lakehouse data-operations queries: multi-dimensional clustering and
+  * referential-integrity auditing — the maintenance surface around the
+  * operators (ClusteredWriteSpec proves 1-D clustering on real parquet
+  * footers; `k_zorder_cluster` is its 2-D companion; `audit_referential`
+  * is the nightly constraint sweep a lake without enforced foreign keys
+  * runs).
+  */
+object DataOpsQueries {
+
+  /** Bit-interleave (Morton/Z-order) of two 10-bit values as a SQL
+    * expression string; `divOp` is the engine's integer-division operator
+    * ("div" for Spark, "//" for DuckDB) — both truncate toward zero, and
+    * all operands here are non-negative, so the arithmetic is identical.
+    * Powers of two as multipliers keep it shift-free and portable. */
+  private def mortonSql(divOp: String, x: String, y: String): String =
+    (0 until 10).flatMap { i =>
+      Seq(
+        s"(($x $divOp ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"(($y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "k_zorder_cluster",
+      """Z-order (Morton) clustering over two dimensions — the
+        |multi-dimensional data-skipping layout: interleave the low 10
+        |bits of part key and supplier key into a 20-bit curve position,
+        |bucket the curve into 16 ranges, and report each bucket's row
+        |count and per-dimension min/max spans. The point the output
+        |makes inspectable: every bucket covers a NARROW range of BOTH
+        |dimensions simultaneously (spans ~1/4 of each axis, vs 1/16 of
+        |one axis and ALL of the other under single-column sorting) — the
+        |property that lets a scan skip row groups on either predicate.
+        |The curve position is pure integer arithmetic (div/mod by powers
+        |of two), bit-identical on both engines. Scan-side compute + one
+        |16-key aggregate.""".stripMargin,
+      Some {
+        val m = mortonSql("//", "px", "sy")
+        s"""WITH b AS (
+           |  SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sy
+           |  FROM lineitem),
+           |z AS (SELECT px, sy, ($m) // 65536 AS zbucket FROM b)
+           |SELECT zbucket,
+           |       COUNT(*) AS n_rows,
+           |       MIN(px) AS px_min, MAX(px) AS px_max,
+           |       MIN(sy) AS sy_min, MAX(sy) AS sy_max,
+           |       MAX(px) - MIN(px) AS px_span,
+           |       MAX(sy) - MIN(sy) AS sy_span
+           |FROM z
+           |GROUP BY zbucket
+           |ORDER BY zbucket""".stripMargin
+      },
+      (s, dir) => {
+        val m = mortonSql("div", "px", "sy")
+        Tables.lineitem(s, dir)
+          .select(
+            pmod(col("l_partkey"), lit(1024)).as("px"),
+            pmod(col("l_suppkey"), lit(1024)).as("sy"))
+          .withColumn("zbucket", expr(s"($m) div 65536"))
+          .groupBy("zbucket")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("px")).as("px_min"), max(col("px")).as("px_max"),
+            min(col("sy")).as("sy_min"), max(col("sy")).as("sy_max"),
+            (max(col("px")) - min(col("px"))).as("px_span"),
+            (max(col("sy")) - min(col("sy"))).as("sy_span"))
+          .orderBy("zbucket")
+      }),
+
+    Q(
+      "audit_referential",
+      """Referential-integrity audit — the nightly constraint sweep over a
+        |lake with no enforced foreign keys: for each declared reference
+        |(lineitem→orders, lineitem→part, lineitem→supplier,
+        |orders→customer, events.user_id→customer), count the rows whose
+        |key has no match. Each check is a broadcast anti-join probing the
+        |dimension's distinct keys, so the fact tables never shuffle; the
+        |five one-row summaries union into one report. The TPC-H-shaped
+        |references audit clean by construction; the events check carries
+        |real orphans (user ids outside the customer key space), so the
+        |query provably distinguishes the two outcomes.""".stripMargin,
+      Some(
+        """SELECT * FROM (
+          |  SELECT 'lineitem.orderkey->orders' AS check_name,
+          |         COUNT(*) AS n_rows,
+          |         COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans
+          |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  UNION ALL
+          |  SELECT 'lineitem.partkey->part',
+          |         COUNT(*), COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END)
+          |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+          |  UNION ALL
+          |  SELECT 'lineitem.suppkey->supplier',
+          |         COUNT(*), COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END)
+          |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  UNION ALL
+          |  SELECT 'orders.custkey->customer',
+          |         COUNT(*), COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+          |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          |  UNION ALL
+          |  SELECT 'events.user_id->customer',
+          |         COUNT(*), COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+          |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+          |ORDER BY check_name""".stripMargin),
+      (s, dir) => {
+        def check(name: String, fact: org.apache.spark.sql.DataFrame,
+                  factKey: String, dim: org.apache.spark.sql.DataFrame,
+                  dimKey: String) =
+          fact.select(col(factKey).as("k"))
+            .join(broadcast(dim.select(col(dimKey).as("dk")).distinct()),
+              col("k") === col("dk"), "left")
+            .agg(
+              count(lit(1)).as("n_rows"),
+              count(when(col("dk").isNull, 1)).as("n_orphans"))
+            .select(lit(name).as("check_name"), col("n_rows"), col("n_orphans"))
+        val li = Tables.lineitem(s, dir)
+        check("lineitem.orderkey->orders", li, "l_orderkey",
+            Tables.orders(s, dir), "o_orderkey")
+          .unionAll(check("lineitem.partkey->part", li, "l_partkey",
+            Tables.part(s, dir), "p_partkey"))
+          .unionAll(check("lineitem.suppkey->supplier", li, "l_suppkey",
+            Tables.supplier(s, dir), "s_suppkey"))
+          .unionAll(check("orders.custkey->customer", Tables.orders(s, dir),
+            "o_custkey", Tables.customer(s, dir), "c_custkey"))
+          .unionAll(check("events.user_id->customer", Tables.events(s, dir),
+            "user_id", Tables.customer(s, dir), "c_custkey"))
+          .orderBy("check_name")
+      }))
+}

@@ -279,6 +279,21 @@ class PlanShapeSpec extends SparkSpec {
       "emb_int8_quantize grew a shuffle")
   }
 
+  test("zorder clustering: scan-side curve position + one 16-key aggregate") {
+    assert(shuffles(plan("k_zorder_cluster")).length <= 2,
+      "k_zorder_cluster grew a shuffle")
+  }
+
+  test("referential audit: every dimension probes by broadcast, facts never shuffle") {
+    val p = plan("audit_referential")
+    assert(bcasts(p).length >= 5, "audit lost a dimension broadcast")
+    // 5 single-row summaries + output sort: the only exchanges are the
+    // global one-row aggregations and the final order
+    assert(collectAll(p) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }.isEmpty, "audit regressed to a shuffled join")
+  }
+
   test("pagerank: node-count broadcast each iteration, no window, no cartesian blowup") {
     val p = plan("g_pagerank")
     val bnl = collectAll(p) {

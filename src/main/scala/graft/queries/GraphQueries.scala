@@ -91,11 +91,19 @@ object GraphQueries {
           .select(col("o_custkey").as("c"),
             (lit(SupplierOffset) + col("l_suppkey")).as("s"))
           .distinct()
+        // materialize the graph ONCE (localCheckpoint): each iteration
+        // re-reads the edge list instead of re-deriving orders⋈lineitem
+        // →distinct — without this the 3-iteration plan pays the base
+        // join three times (the difference between 1× and 3× the scan at
+        // cluster scale; same eager-checkpoint discipline as
+        // dd_minhash_est)
         val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
           .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-        val nodes = edges.select(col("src").as("id")).distinct()
+          .localCheckpoint()
+        val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
         val nRow = nodes.agg(count(lit(1)).as("n"))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          .localCheckpoint()
         val base = expr(s"(15 * ($Mass div n)) div 100")
         var ranks = nodes.crossJoin(broadcast(nRow))
           .select(col("id"), expr(s"$Mass div n").as("r"))

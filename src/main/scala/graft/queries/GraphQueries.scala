@@ -29,6 +29,38 @@ object GraphQueries {
   private val SupplierOffset = 1000000L
   private val Mass = 1000000000000L // 10^12 micro-units of total rank
 
+  /** The reusable fixed-iteration PageRank core: `edges(src, dst)` →
+    * `(id, r)` final integer micro-unit ranks. Materializes the graph
+    * once (localCheckpoint) so each iteration re-reads rather than
+    * re-derives it; every arithmetic step is bigint floor division, so
+    * the result is engine/partitioning-independent. A hot destination
+    * (everyone links the hub) is safe at scale because the dst-inflow
+    * aggregation is algebraic — map-side partial agg collapses the hot
+    * key's contributions per task before the shuffle
+    * (ScaleStressSpec proves the closed form on a 2·10^5-spoke star). */
+  def pagerank(edgesIn: org.apache.spark.sql.DataFrame, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val base = expr(s"(15 * ($Mass div n)) div 100")
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("id"), expr(s"$Mass div n").as("r"))
+    (1 to iters).foreach { _ =>
+      val inflow = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("r div outdeg")).as("inflow"))
+      ranks = nodes.crossJoin(broadcast(nRow))
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (base + expr("(85 * coalesce(inflow, 0)) div 100")).as("r"))
+    }
+    ranks
+  }
+
   val qs: Seq[Q] = Seq(
     Q(
       "g_pagerank",
@@ -91,34 +123,9 @@ object GraphQueries {
           .select(col("o_custkey").as("c"),
             (lit(SupplierOffset) + col("l_suppkey")).as("s"))
           .distinct()
-        // materialize the graph ONCE (localCheckpoint): each iteration
-        // re-reads the edge list instead of re-deriving orders⋈lineitem
-        // →distinct — without this the 3-iteration plan pays the base
-        // join three times (the difference between 1× and 3× the scan at
-        // cluster scale; same eager-checkpoint discipline as
-        // dd_minhash_est)
         val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
           .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-          .localCheckpoint()
-        val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
-        val nRow = nodes.agg(count(lit(1)).as("n"))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-          .localCheckpoint()
-        val base = expr(s"(15 * ($Mass div n)) div 100")
-        var ranks = nodes.crossJoin(broadcast(nRow))
-          .select(col("id"), expr(s"$Mass div n").as("r"))
-        (1 to Iters).foreach { _ =>
-          val inflow = edges
-            .join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
-            .groupBy(col("dst").as("id"))
-            .agg(sum(expr("r div outdeg")).as("inflow"))
-          ranks = nodes.crossJoin(broadcast(nRow))
-            .join(inflow, Seq("id"), "left")
-            .select(col("id"),
-              (base + expr("(85 * coalesce(inflow, 0)) div 100")).as("r"))
-        }
-        ranks
+        pagerank(edges, Iters)
           .select(col("id"),
             when(col("id") >= SupplierOffset, lit("supplier"))
               .otherwise(lit("customer")).as("node_type"),

@@ -81,6 +81,37 @@ class ScaleStressSpec extends SparkSpec {
       s"k=8 -> k=64 only cut pairwise work ${ratio}x (pairs ${s8.pairs} -> ${s64.pairs})")
   }
 
+  test("pagerank hot-hub star: 2x10^5 spokes match the closed form exactly") {
+    // the adversarial pagerank shape: every spoke links the hub, so the
+    // dst-inflow aggregation has one key carrying 2*10^5 contributions.
+    // Partial (map-side) aggregation collapses them per task — the sum
+    // is algebraic — so the hot key never concentrates rows on one
+    // reducer. Correctness is pinned against a closed-form Long twin of
+    // the integer rank algebra (truncating division throughout).
+    import org.apache.spark.sql.functions._
+    val k = 200000L
+    val spokes = spark.range(1, k + 1)
+    val edges = spokes.select(col("id").as("src"), lit(0L).as("dst"))
+      .unionAll(spokes.select(lit(0L).as("src"), col("id").as("dst")))
+    val ranks = graft.queries.GraphQueries.pagerank(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mass = 1000000000000L
+    val n = k + 1
+    val base = (15L * (mass / n)) / 100L
+    var hub = mass / n
+    var spoke = mass / n
+    (1 to 3).foreach { _ =>
+      val hubIn = k * spoke // spokes have outdeg 1
+      val spokeIn = hub / k // hub outdeg = k
+      hub = base + (85L * hubIn) / 100L
+      spoke = base + (85L * spokeIn) / 100L
+    }
+    assert(ranks.size === n)
+    assert(ranks(0L) === hub, "hub rank diverged from the closed form")
+    assert(ranks(1L) === spoke && ranks(k) === spoke,
+      "spoke rank diverged from the closed form")
+  }
+
   test("video decode leaves no ImageIO disk-cache files (bounded in-flight state)") {
     // Round-8 hardening after the round-7 scaled-bench failure block:
     // ImageIO's default useCache=true backs every codec stream with a

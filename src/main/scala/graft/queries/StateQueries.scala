@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * the catalog covers the reference's full surface. The stateful store
   * itself lives in [[graft.state.SessionStore]] (spec-verified); these
   * queries pin the RELATIONAL semantics — TTL-gated latest-state reads and
-  * byte-stable request hashing — against the DuckDB oracle.
+  * byte-stable request hashing — against the DuckDB oracle. The third
+  * entry, `k_snapshot_diff`, is the CDC companion to the K4 upsert store:
+  * the changefeed between two snapshot states, derived in ONE pass.
   */
 object StateQueries {
 
@@ -102,5 +104,79 @@ object StateQueries {
               "size" -> lit(1000),
               "sort" -> lit("ts:1"))))
           .select("event_id", "base_url", "cache_key")
-          .orderBy("event_id")))
+          .orderBy("event_id")),
+
+    Q(
+      "k_snapshot_diff",
+      """CDC snapshot diff — the changefeed between two versions of a
+        |"latest purchase per active user" dimension (the K4 upsert
+        |store's table-diff twin, the shape behind lakehouse time-travel
+        |`table_changes(v1, v2)`). State at a cutoff = the latest purchase
+        |(deterministic (ts, event_id) order) within the 7-day activity
+        |window before it; diffing the 2024-01-15 and 2024-01-31 cutoffs
+        |yields per-user verdicts: added (newly active), removed (went
+        |inactive), changed/unchanged (value comparison). Values are
+        |floor-micro integers so both engines compare identical bigints.
+        |Scale shape: NO self-join of the two snapshots — one scan with
+        |the two windows' union pushed as a filter, then a single
+        |user-key aggregate computes both states at once via conditional
+        |struct-max (map-side combinable; the shuffle carries two structs
+        |per user, not events). At 100 TB this is one exchange on the
+        |user key vs the naive plan's two windows + full-outer join.""".stripMargin,
+      Some(
+        """WITH p AS (
+          |  SELECT user_id, event_id, ts,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS vmicro
+          |  FROM events
+          |  WHERE event_type = 'purchase'
+          |    AND ((ts > TIMESTAMP '2024-01-08 00:00:00'
+          |          AND ts <= TIMESTAMP '2024-01-15 00:00:00')
+          |      OR (ts > TIMESTAMP '2024-01-24 00:00:00'
+          |          AND ts <= TIMESTAMP '2024-01-31 00:00:00'))),
+          |s AS (
+          |  SELECT user_id,
+          |         max(CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
+          |                  THEN {'ts': ts, 'eid': event_id, 'v': vmicro} END) AS s1,
+          |         max(CASE WHEN ts >  TIMESTAMP '2024-01-15 00:00:00'
+          |                  THEN {'ts': ts, 'eid': event_id, 'v': vmicro} END) AS s2
+          |  FROM p GROUP BY user_id)
+          |SELECT user_id,
+          |       CASE WHEN s1 IS NULL THEN 'added'
+          |            WHEN s2 IS NULL THEN 'removed'
+          |            WHEN s1.v = s2.v THEN 'unchanged'
+          |            ELSE 'changed' END AS verdict,
+          |       s1.v AS v1_micro, s2.v AS v2_micro,
+          |       s1.eid AS e1_id, s2.eid AS e2_id
+          |FROM s
+          |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val t1 = "TIMESTAMP '2024-01-15 00:00:00'"
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase" &&
+            ((col("ts") > expr("TIMESTAMP '2024-01-08 00:00:00'") &&
+              col("ts") <= expr(t1)) ||
+             (col("ts") > expr("TIMESTAMP '2024-01-24 00:00:00'") &&
+              col("ts") <= expr("TIMESTAMP '2024-01-31 00:00:00'"))))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 1000000L).cast("long").as("vmicro"))
+        // conditional struct-max: (ts, event_id) is the deterministic
+        // latest-order; vmicro rides as the third field (never compared —
+        // (ts, event_id) is unique)
+        val snap = p.groupBy("user_id").agg(
+          max(when(col("ts") <= expr(t1),
+            struct(col("ts"), col("event_id").as("eid"), col("vmicro").as("v"))))
+            .as("s1"),
+          max(when(col("ts") > expr(t1),
+            struct(col("ts"), col("event_id").as("eid"), col("vmicro").as("v"))))
+            .as("s2"))
+        snap.select(
+            col("user_id"),
+            when(col("s1").isNull, lit("added"))
+              .when(col("s2").isNull, lit("removed"))
+              .when(col("s1.v") === col("s2.v"), lit("unchanged"))
+              .otherwise(lit("changed")).as("verdict"),
+            col("s1.v").as("v1_micro"), col("s2.v").as("v2_micro"),
+            col("s1.eid").as("e1_id"), col("s2.eid").as("e2_id"))
+          .orderBy("user_id")
+      }))
 }

@@ -440,4 +440,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "dedup-winner window must stay partitioned by content key")
   }
+
+  test("snapshot diff: single conditional-agg pass — no join, no window") {
+    val p = plan("k_snapshot_diff")
+    // one user-key agg exchange + the output range sort, and NOTHING else:
+    // the naive two-snapshots-full-outer-join plan is exactly what this
+    // query exists to avoid
+    assert(shuffles(p).length <= 2, "snapshot diff grew a shuffle")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "snapshot diff must not plan a join")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "snapshot diff must not plan a window")
+  }
 }

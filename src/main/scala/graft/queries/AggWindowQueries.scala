@@ -733,5 +733,45 @@ object AggWindowQueries {
             col("user_id"), col("event_id").as("last_event_id"),
             col("event_type").as("last_type"), col("value").as("last_value"))
           .orderBy("user_id")
+      }),
+
+    Q(
+      "w_rolling_distinct",
+      """Rolling 7-day DISTINCT user count per day — the DAU/WAU shape,
+        |and the one rolling aggregate a RANGE-frame window CANNOT
+        |express (COUNT(DISTINCT) is not frame-composable: a user active
+        |on 3 days in the window must count once). Shape that scales: the
+        |event stream first collapses to distinct (day, user) pairs with
+        |per-pair event counts (map-side combinable — the only
+        |event-sized shuffle), then each pair fans out row-locally to the
+        |<=7 trailing windows it feeds (fan-out is over the COLLAPSED
+        |frame, days x users, not events), and a (window-day, user)
+        |count-distinct plus event sum finishes on window-day
+        |cardinality. Windows whose anchor day falls after the last
+        |observed day are emitted too (their trailing range still
+        |intersects the data) — both engines generate the identical
+        |window set from the data itself.""".stripMargin,
+      Some(
+        """WITH du AS (
+          |  SELECT date_trunc('day', ts) AS day, user_id, COUNT(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |f AS (
+          |  SELECT du.day + i * INTERVAL 1 DAY AS wday, du.user_id, du.n
+          |  FROM du CROSS JOIN range(7) t(i))
+          |SELECT wday,
+          |       COUNT(DISTINCT user_id) AS u7,
+          |       CAST(SUM(n) AS BIGINT) AS e7
+          |FROM f GROUP BY wday ORDER BY wday""".stripMargin),
+      (s, dir) => {
+        val du = Tables.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        du.select(col("day"), col("user_id"), col("n"),
+            explode(sequence(lit(0), lit(6))).as("i"))
+          .select((col("day") + expr("make_interval(0,0,0,i)")).as("wday"),
+            col("user_id"), col("n"))
+          .groupBy("wday")
+          .agg(countDistinct(col("user_id")).as("u7"), sum(col("n")).as("e7"))
+          .orderBy("wday")
       }))
 }

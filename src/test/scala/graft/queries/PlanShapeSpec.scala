@@ -441,6 +441,19 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("rolling distinct: fan-out rides the collapsed (day,user) frame, no join/window") {
+    val p = plan("w_rolling_distinct")
+    // (day,user) pre-agg + the count-distinct's two-phase (wday,user)->wday
+    // exchanges + output sort; the generator fan-out itself is row-local
+    assert(shuffles(p).length <= 4, "rolling distinct grew a shuffle")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "rolling distinct must not plan a join")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "rolling distinct must not plan a window")
+  }
+
   test("snapshot diff: single conditional-agg pass — no join, no window") {
     val p = plan("k_snapshot_diff")
     // one user-key agg exchange + the output range sort, and NOTHING else:

@@ -441,6 +441,17 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("triangle count: degree table broadcasts, no window, no cartesian") {
+    val p = plan("g_triangle_count")
+    assert(bcasts(p).size >= 2, "triangle orientation lost its degree broadcasts")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "triangle count must not plan a window")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "triangle count planned a cartesian product")
+  }
+
   test("rolling distinct: fan-out rides the collapsed (day,user) frame, no join/window") {
     val p = plan("w_rolling_distinct")
     // (day,user) pre-agg + the count-distinct's two-phase (wday,user)->wday

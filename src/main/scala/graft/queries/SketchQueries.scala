@@ -187,5 +187,81 @@ object SketchQueries {
             sum(when(col("bloom_pass") && !col("exact_member"), 1L).otherwise(0L))
               .as("n_false_pos"))
           .orderBy("flag")
+      }),
+
+    Q(
+      "a_countmin_heavy",
+      """Count-min sketch heavy-hitter estimation, calibrated against the
+        |exact counts: a deterministic Zipf-like key stream (key =
+        |1024 div ((event_id % 1024) + 1), frequency ~ 1/k^2 — the top key
+        |carries half the stream) feeds a depth-4 x width-64 counter grid;
+        |each occurrence increments one md5-derived cell per row, and a
+        |key's estimate is the MIN over its 4 cells. The build is the
+        |textbook distributed CMS: per-task state is the CONSTANT d x w
+        |grid (map-side combine collapses occurrences into cells before
+        |the 256-cell shuffle) — no key-space-sized state anywhere, which
+        |is the whole point at 100 TB. The grid collapses to one
+        |broadcast row; probes (every distinct key with its exact count —
+        |the calibration side) estimate row-locally. overest = est -
+        |exact is provably >= 0 (CMS never underestimates) and the hash
+        |compare pins every cell and estimate bit-for-bit.""".stripMargin,
+      Some {
+        def h48(e: String) =
+          s"""CAST(list_sum(list_transform(range(1, 13),
+             |  i -> (strpos('0123456789abcdef',
+             |          substr(md5($e), CAST(i AS INTEGER), 1)) - 1)
+             |       * power(16, 12 - i))) AS BIGINT)""".stripMargin
+        s"""WITH stream AS (
+           |  SELECT 1024 // ((event_id % 1024) + 1) AS k FROM events),
+           |cells AS (
+           |  SELECT r,
+           |         ${h48("'r' || CAST(r AS VARCHAR) || '|' || CAST(k AS VARCHAR)")} % 64 AS pos,
+           |         CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM stream CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+           |m AS (
+           |  SELECT list(COALESCE(cells.c, 0) ORDER BY g.j) AS m
+           |  FROM (SELECT unnest(range(0, 256)) AS j) g
+           |  LEFT JOIN cells ON cells.r * 64 + cells.pos = g.j),
+           |ex AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_exact FROM stream GROUP BY k),
+           |probe AS (
+           |  SELECT k, n_exact,
+           |         LEAST(
+           |           m[CAST(${h48("'r0|' || CAST(k AS VARCHAR)")} % 64 AS INTEGER) + 1],
+           |           m[CAST(${h48("'r1|' || CAST(k AS VARCHAR)")} % 64 + 64 AS INTEGER) + 1],
+           |           m[CAST(${h48("'r2|' || CAST(k AS VARCHAR)")} % 64 + 128 AS INTEGER) + 1],
+           |           m[CAST(${h48("'r3|' || CAST(k AS VARCHAR)")} % 64 + 192 AS INTEGER) + 1])
+           |           AS est
+           |  FROM ex, m)
+           |SELECT k, n_exact, est,
+           |       est - n_exact AS overest,
+           |       (est - n_exact) * 1000000 // n_exact AS err_ppm
+           |FROM probe ORDER BY k""".stripMargin
+      },
+      (s, dir) => {
+        def hash48(e: String) =
+          expr(s"cast(conv(substring(md5($e), 1, 12), 16, 10) as bigint)")
+        val stream = Tables.events(s, dir)
+          .select(expr("1024 div ((event_id % 1024) + 1)").as("k"))
+        val cells = stream
+          .select(col("k"), explode(sequence(lit(0), lit(3))).as("r"))
+          .withColumn("pos",
+            hash48("concat('r', cast(r as string), '|', cast(k as string))") % 64)
+          .groupBy("r", "pos").agg(count(lit(1)).as("c"))
+        val mRow = cells.groupBy()
+          .agg(map_from_arrays(
+            collect_list((col("r") * 64 + col("pos")).cast("long")),
+            collect_list(col("c"))).as("mm"))
+          .select(array((0 until 256).map(j =>
+            coalesce(element_at(col("mm"), lit(j.toLong)), lit(0L))): _*).as("m"))
+        val ex = stream.groupBy("k").agg(count(lit(1)).as("n_exact"))
+        def cell(r: Int) = element_at(col("m"),
+          ((hash48(s"concat('r$r|', cast(k as string))") % 64) + r * 64)
+            .cast("int") + 1)
+        ex.crossJoin(broadcast(mRow))
+          .withColumn("est", least(cell(0), cell(1), cell(2), cell(3)))
+          .select(col("k"), col("n_exact"), col("est"),
+            (col("est") - col("n_exact")).as("overest"),
+            expr("(est - n_exact) * 1000000 div n_exact").as("err_ppm"))
+          .orderBy("k")
       }))
 }

@@ -441,6 +441,20 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("count-min: grid collapses to one broadcast row, probes never shuffle to estimate") {
+    val p = plan("a_countmin_heavy")
+    // the grid row rides a BroadcastNestedLoopJoin (no equi keys); no
+    // window anywhere; shuffles: cell agg + exact agg + the two one-row
+    // collapses + output sort
+    val bnl = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, "count-min grid row lost its broadcast")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "count-min must not plan a window")
+  }
+
   test("triangle count: equi wedge joins only — no window, no cartesian") {
     // the degree broadcasts sit UPSTREAM of the oriented-edge
     // localCheckpoint, so the final plan can't show them (documented in

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.Text
+import graft.functions.{Text, Vectors}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -690,5 +690,74 @@ object TextQueries {
               lit(phoneRe), lit("[PHONE]")),
               lit(ipRe), lit("[IP]")).as("redacted"))
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "t_keyword_search",
+      """Keyword search over an inverted index: build postings (token ->
+        |(doc, tf, doclen)) for the probe terms, weight by a LOG-FREE
+        |rational tf-idf (score = tf * 10^12 * (N - df + 1) div
+        |(doclen * N), pure bigint — libm log diverges across engines in
+        |the last ulp, so the idf factor is the rational surrogate
+        |(N - df + 1), monotone in rarity), and return the top-5 documents
+        |per term. Scale shape: the probe-term filter lands directly on
+        |the exploded token stream (postings for non-probe terms are
+        |never aggregated); df rides a count window over the SAME token
+        |partitioning the tf aggregate just created (no second shuffle,
+        |no join); the per-term top-5 uses the native bounded-heap
+        |aggregate, so the final shuffle carries 5 rows per term —
+        |row_number would shuffle every posting. Doc-count N is a one-row
+        |broadcast.""".stripMargin,
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |  FROM documents),
+          |nn AS (SELECT COUNT(*) AS n FROM d),
+          |post AS (
+          |  SELECT doc_id, len(toks) AS doclen, unnest(toks) AS token FROM d),
+          |tf AS (
+          |  SELECT token, doc_id, doclen, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM post
+          |  WHERE token IN ('spark', 'merge', 'stream', 'vector', 'window')
+          |  GROUP BY 1, 2, 3),
+          |sc AS (
+          |  SELECT token, doc_id, tf,
+          |         tf * 1000000000000 *
+          |           (nn.n - CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) + 1)
+          |           // (doclen * nn.n) AS score_micro
+          |  FROM tf, nn)
+          |SELECT token, rank, doc_id, score_micro FROM (
+          |  SELECT token, doc_id, score_micro,
+          |         CAST(row_number() OVER (PARTITION BY token
+          |           ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+          |  FROM sc) WHERE rank <= 5
+          |ORDER BY token, rank""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val probes = Seq("spark", "merge", "stream", "vector", "window")
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        val nn = d.agg(count(lit(1)).as("n"))
+        val tf = d
+          .select(col("doc_id"), size(col("toks")).cast("long").as("doclen"),
+            explode(col("toks")).as("token"))
+          .filter(col("token").isin(probes: _*))
+          .groupBy("token", "doc_id", "doclen")
+          .agg(count(lit(1)).as("tf"))
+        val sc = tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+          .crossJoin(broadcast(nn))
+          .withColumn("score_micro",
+            expr("tf * 1000000000000 * (n - df + 1) div (doclen * n)"))
+        // pack (score, doc) through the bounded-heap aggregate: score
+        // DESC, id ASC ties — identical to the oracle's row_number order
+        sc.groupBy("token")
+          .agg(Vectors.topKByScore(
+            col("score_micro").cast("double"), col("doc_id"), 5).as("top"))
+          .select(col("token"), posexplode(col("top")))
+          .select(col("token"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("doc_id"),
+            col("col.score").cast("long").as("score_micro"))
+          .orderBy("token", "rank")
       }))
 }

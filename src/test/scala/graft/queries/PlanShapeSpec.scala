@@ -441,6 +441,21 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("keyword search: bounded-heap top-k agg, token-partitioned df window, N broadcast") {
+    val p = plan("t_keyword_search")
+    assert(collectAll(p) {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }.nonEmpty, "keyword search lost its bounded-heap top-k aggregate")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "df window must stay partitioned by token")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "doc-count row lost its broadcast")
+  }
+
   test("count-min: grid collapses to one broadcast row, probes never shuffle to estimate") {
     val p = plan("a_countmin_heavy")
     // the grid row rides a BroadcastNestedLoopJoin (no equi keys); no

@@ -285,5 +285,52 @@ object SimilarityQueries {
           .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
             col("m"), col("n_chunks"), col("norm"))
           .orderBy("doc_id", "pos")
+      }),
+
+    Q(
+      "emb_random_proj",
+      """Random projection 64 -> 16 dims (Achlioptas/JL sign matrix) — the
+        |dimensionality-reduction pass that makes SemDeDup-style clustering
+        |and ANN affordable at corpus scale: out[i] = (sum_j s(i,j) *
+        |v[j]) / 4, with signs +-1 derived from md5('p<i>_<j>') parity (a
+        |DETERMINISTIC shared matrix — both engines derive the identical
+        |signs, no RNG state anywhere) and 1/sqrt(16) = 1/4 an exact
+        |binary scale. The fold runs j ascending in doubles on both
+        |engines (Spark aggregate() from 0.0, DuckDB list_reduce — IEEE
+        |addition is order-sensitive, identical order makes it exact).
+        |Scale shape: the 16-row sign matrix is built once and broadcast;
+        |projection is row-local at the scan — zero shuffle beyond the
+        |output sort. Output long-form (vec_id, dim, val): scalar-only
+        |schema per the catalog rule.""".stripMargin,
+      Some(
+        """WITH s AS (
+          |  SELECT i, list(CASE WHEN strpos('01234567',
+          |      substr(md5('p' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0
+          |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j) AS sv
+          |  FROM range(0, 16) t(i) CROSS JOIN range(1, 65) u(j)
+          |  GROUP BY i),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+          |SELECT e.vec_id, s.i AS dim,
+          |       list_reduce(list_transform(range(1, 65),
+          |         j -> s.sv[CAST(j AS INTEGER)] * e.v[CAST(j AS INTEGER)]),
+          |         (a, b) -> a + b) / 4 AS val
+          |FROM e CROSS JOIN s
+          |ORDER BY vec_id, dim""".stripMargin),
+      (s, dir) => {
+        val signs = s.range(0, 16).select(col("id").as("dim"))
+          .withColumn("sv", expr(
+            """transform(sequence(1, 64), j ->
+              |  CASE WHEN instr('01234567',
+              |      substring(md5(concat('p', cast(dim as string), '_',
+              |                           cast(j as string))), 1, 1)) > 0
+              |  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)""".stripMargin))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+          .crossJoin(broadcast(signs))
+          .select(col("vec_id"), col("dim"),
+            expr("""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+                   |  (acc, j) -> acc + element_at(sv, j) * element_at(v, j))
+                   |/ 4""".stripMargin).as("val"))
+          .orderBy("vec_id", "dim")
       }))
 }

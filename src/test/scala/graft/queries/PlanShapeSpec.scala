@@ -441,6 +441,17 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("random projection: sign matrix broadcast, projection row-local — one sort shuffle") {
+    val p = plan("emb_random_proj")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "projection lost its sign-matrix broadcast")
+    assert(shuffles(p).length <= 1, "projection grew a shuffle beyond the output sort")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "projection must not plan a window")
+  }
+
   test("keyword search: bounded-heap top-k agg, token-partitioned df window, N broadcast") {
     val p = plan("t_keyword_search")
     assert(collectAll(p) {

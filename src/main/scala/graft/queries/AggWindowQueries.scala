@@ -773,5 +773,56 @@ object AggWindowQueries {
           .groupBy("wday")
           .agg(countDistinct(col("user_id")).as("u7"), sum(col("n")).as("e7"))
           .orderBy("wday")
+      }),
+
+    Q(
+      "a_ewma_smooth",
+      """Exponentially-weighted moving average per user (alpha = 0.2) over
+        |the purchase stream — the sequential-recurrence aggregate
+        |(anomaly baselines, smoothed spend) that NO window frame can
+        |express: s_t = (2*v_t + 8*s_{t-1}) / 10 depends on every prior
+        |step. Batch form of the mapGroupsWithState running-state
+        |pattern, relationally: one user-key aggregate collects the
+        |(ts, event_id)-sorted value sequence, then a row-local fold runs
+        |the recurrence in integer micro-units with floor division at
+        |every step — identical bigint trajectories on both engines
+        |(doubles would accumulate engine-specific rounding). Shuffle
+        |carries per-user sequences (bounded by the retention window at
+        |scale — the same bound any stateful-stream twin needs); the fold
+        |is scan-side compute. Output: final EWMA, last raw value, and
+        |count per user.""".stripMargin,
+      Some(
+        """WITH p AS (
+          |  SELECT user_id, ts, event_id,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS vm
+          |  FROM events WHERE event_type = 'purchase'),
+          |s AS (
+          |  SELECT user_id,
+          |         CAST(COUNT(*) AS BIGINT) AS n,
+          |         list_reduce(list(vm ORDER BY ts, event_id),
+          |           (a, b) -> (200000 * b + 800000 * a) // 1000000) AS ewma_micro,
+          |         (max({'ts': ts, 'eid': event_id, 'v': vm})).v AS last_micro
+          |  FROM p GROUP BY user_id)
+          |SELECT user_id, n, ewma_micro, last_micro
+          |FROM s ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000000L).cast("long").as("vm"))
+        // sort_array gives the deterministic (ts, event_id) replay order;
+        // the fold seeds from the first element (null-acc branch), exactly
+        // DuckDB's list_reduce seeding
+        p.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(
+              struct(col("ts"), col("event_id"), col("vm")))).as("seq"))
+          .select(col("user_id"), col("n"),
+            expr("""aggregate(seq, CAST(NULL AS BIGINT),
+                   |  (a, x) -> if(a IS NULL, x.vm,
+                   |             (200000 * x.vm + 800000 * a) div 1000000))"""
+              .stripMargin).as("ewma_micro"),
+            expr("element_at(seq, -1).vm").as("last_micro"))
+          .orderBy("user_id")
       }))
 }

@@ -441,6 +441,17 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("ewma: one user-key aggregate + sort — fold is scan-side, no join/window") {
+    val p = plan("a_ewma_smooth")
+    assert(shuffles(p).length <= 2, "ewma grew a shuffle")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "ewma must not plan a join")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "ewma must not plan a window")
+  }
+
   test("random projection: sign matrix broadcast, projection row-local — one sort shuffle") {
     val p = plan("emb_random_proj")
     assert(collectAll(p) {

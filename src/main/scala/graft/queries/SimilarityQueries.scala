@@ -332,5 +332,88 @@ object SimilarityQueries {
                    |  (acc, j) -> acc + element_at(sv, j) * element_at(v, j))
                    |/ 4""".stripMargin).as("val"))
           .orderBy("vec_id", "dim")
+      }),
+
+    Q(
+      "emb_pq_encode",
+      """Product quantization encode (PQ, the FAISS IVF-PQ building
+        |block): 64-dim vectors split into 4 subspaces of 16 dims; each
+        |subspace has an 8-centroid codebook (the first 8 vectors'
+        |subvectors — the deterministic seed rule shared with emb_kmeans/
+        |ann_ivf_cells; codebook TRAINING is already oracle-proven by
+        |emb_kmeans, this query proves the ENCODE), and every vector
+        |compresses to 4 one-byte codes = 64 floats -> 4 bytes. Output per
+        |(vector, subspace): the argmin code (strict < fold keeps the
+        |smaller index on ties — deterministic both engines) and the
+        |round-6 squared quantization error. All distance folds run
+        |j-ascending in doubles, so argmin comparisons see identical
+        |values on both engines. Scale shape: the 32-row codebook
+        |collapses to ONE broadcast row; encoding is row-local at the
+        |scan (nested higher-order folds, distances computed once into a
+        |4x8 matrix then argmin-scanned) — zero shuffle beyond the output
+        |sort, the property that lets the encode pass run over billions
+        |of vectors as a pure map.""".stripMargin,
+      Some(
+        """WITH seeds AS (
+          |  SELECT vec_id AS k, embedding::DOUBLE[] AS sv
+          |  FROM embeddings WHERE vec_id < 8),
+          |cbl AS (
+          |  SELECT m.m * 8 + s.k AS idx,
+          |         s.sv[CAST(m.m*16+1 AS INTEGER):CAST(m.m*16+16 AS INTEGER)] AS cv
+          |  FROM range(0, 4) m(m) CROSS JOIN seeds s),
+          |cb AS (SELECT list(cv ORDER BY idx) AS cb FROM cbl),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |enc AS (
+          |  SELECT vec_id,
+          |    list_transform(range(0, 4), m ->
+          |      list_transform(range(0, 8), k ->
+          |        list_reduce(list_transform(range(1, 17), j ->
+          |          (v[CAST(m*16+j AS INTEGER)] - cb[CAST(m*8+k+1 AS INTEGER)][CAST(j AS INTEGER)])
+          |        * (v[CAST(m*16+j AS INTEGER)] - cb[CAST(m*8+k+1 AS INTEGER)][CAST(j AS INTEGER)])),
+          |          (a, b) -> a + b))) AS ds
+          |  FROM e, cb),
+          |codes AS (
+          |  SELECT vec_id, ds,
+          |    list_transform(range(0, 4), m ->
+          |      list_reduce(range(0, 8), (bk, k) ->
+          |        CASE WHEN ds[CAST(m+1 AS INTEGER)][CAST(k+1 AS INTEGER)]
+          |                  < ds[CAST(m+1 AS INTEGER)][CAST(bk+1 AS INTEGER)]
+          |             THEN k ELSE bk END)) AS cs
+          |  FROM enc)
+          |SELECT vec_id, CAST(u.m AS INTEGER) AS m,
+          |       CAST(cs[CAST(u.m+1 AS INTEGER)] AS INTEGER) AS code,
+          |       round(ds[CAST(u.m+1 AS INTEGER)][CAST(cs[CAST(u.m+1 AS INTEGER)]+1 AS INTEGER)], 6)
+          |         AS err6
+          |FROM codes, LATERAL (SELECT unnest(range(0, 4)) AS m) u
+          |ORDER BY vec_id, m""".stripMargin),
+      (s, dir) => {
+        val seeds = Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("k"), Vectors.toDouble(col("embedding")).as("sv"))
+        val cbRow = seeds
+          .crossJoin(broadcast(s.range(0, 4).select(col("id").as("m"))))
+          .select((col("m") * 8 + col("k")).as("idx"),
+            expr("slice(sv, cast(m*16+1 as int), 16)").as("cv"))
+          .groupBy()
+          .agg(sort_array(collect_list(struct(col("idx"), col("cv")))).as("sc"))
+          .select(expr("transform(sc, x -> x.cv)").as("cb"))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+          .crossJoin(broadcast(cbRow))
+          .withColumn("ds", expr(
+            """transform(sequence(0, 3), m -> transform(sequence(0, 7), k ->
+              |  aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), (a, j) -> a +
+              |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)) *
+              |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)))))"""
+              .stripMargin))
+          .withColumn("cs", expr(
+            """transform(sequence(0, 3), m -> aggregate(sequence(1, 7), 0, (bk, k) ->
+              |  if(element_at(element_at(ds, m+1), k+1)
+              |       < element_at(element_at(ds, m+1), bk+1), k, bk)))""".stripMargin))
+          .select(col("vec_id"), col("ds"), posexplode(col("cs")))
+          .select(col("vec_id"), col("pos").cast("int").as("m"),
+            col("col").cast("int").as("code"),
+            expr("round(element_at(element_at(ds, pos+1), col+1), 6)").as("err6"))
+          .orderBy("vec_id", "m")
       }))
 }

@@ -463,6 +463,19 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "projection must not plan a window")
   }
 
+  test("pq encode: codebook broadcast as one row, encode row-local — no extra shuffle") {
+    val p = plan("emb_pq_encode")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "pq encode lost its codebook broadcast")
+    // codebook collapse (one-row agg) + output sort; the encode fan-out
+    // itself is a row-local posexplode
+    assert(shuffles(p).length <= 2, "pq encode grew a shuffle")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "pq encode must not plan a window")
+  }
+
   test("keyword search: bounded-heap top-k agg, token-partitioned df window, N broadcast") {
     val p = plan("t_keyword_search")
     assert(collectAll(p) {

@@ -759,5 +759,89 @@ object TextQueries {
             col("col.id").as("doc_id"),
             col("col.score").cast("long").as("score_micro"))
           .orderBy("token", "rank")
+      }),
+
+    Q(
+      "t_bpe_train_merges",
+      """BPE tokenizer TRAINING (Sennrich et al. 2016), 3 merge rounds:
+        |count adjacent symbol pairs, merge the most frequent pair
+        |corpus-wide, repeat. The industrial-scale structure: training
+        |runs on the WORD-FREQUENCY table (the corpus streams once into
+        |word counts; every merge round then works on vocab-sized data —
+        |exactly how production BPE trainers stay tractable at 100 TB).
+        |Each round = pair fan-out (guarded: words already collapsed to
+        |one symbol emit none) -> weighted pair counts -> global best by
+        |(count DESC, pair ASC) as a one-row sort-limit -> broadcast ->
+        |row-local greedy left-to-right remerge fold (a merged symbol is
+        |strictly longer than either side, so the fold cannot re-trigger
+        |on its own output within a round). Both engines fold words
+        |left-to-right with identical tie-breaks, so the final
+        |segmentations match byte-for-byte. Output: each word's
+        |segmentation after 3 merges.""".stripMargin,
+      Some {
+        val mergeT = (s: String, b: String) =>
+          s"""SELECT word, n,
+             |  list_reduce(list_transform(syms, s -> [s]), (acc, s1) ->
+             |    CASE WHEN len(acc) > 0 AND acc[-1] = $b.x AND s1[1] = $b.y
+             |         THEN list_append(acc[1:len(acc)-1], $b.x || $b.y)
+             |         ELSE list_append(acc, s1[1]) END) AS syms
+             |FROM $s, $b""".stripMargin
+        val pairsT = (s: String) =>
+          s"""SELECT syms[CAST(i AS INTEGER)] AS x, syms[CAST(i+1 AS INTEGER)] AS y,
+             |       CAST(SUM(n) AS BIGINT) AS cnt
+             |FROM $s, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+             |GROUP BY 1, 2""".stripMargin
+        val bestT = (p: String) =>
+          s"SELECT x, y FROM $p ORDER BY cnt DESC, x, y LIMIT 1"
+        s"""WITH wf AS (
+           |  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+           |        FROM documents)
+           |  GROUP BY 1),
+           |s0 AS (SELECT word, n, string_split(word, '') AS syms FROM wf),
+           |p1 AS (${pairsT("s0")}),
+           |b1 AS (${bestT("p1")}),
+           |s1 AS (${mergeT("s0", "b1")}),
+           |p2 AS (${pairsT("s1")}),
+           |b2 AS (${bestT("p2")}),
+           |s2 AS (${mergeT("s1", "b2")}),
+           |p3 AS (${pairsT("s2")}),
+           |b3 AS (${bestT("p3")}),
+           |s3 AS (${mergeT("s2", "b3")})
+           |SELECT word, n, array_to_string(syms, ' ') AS seg,
+           |       CAST(len(syms) AS BIGINT) AS n_syms
+           |FROM s3 ORDER BY word""".stripMargin
+      },
+      (s, dir) => {
+        val wf = Tables.documents(s, dir)
+          .select(explode(Text.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        var st = wf.withColumn("syms", split(col("word"), ""))
+        (1 to 3).foreach { _ =>
+          val pairs = st
+            .select(col("n"), expr(
+              """CASE WHEN size(syms) >= 2
+                |THEN transform(sequence(1, size(syms) - 1), i ->
+                |       named_struct('x', element_at(syms, i),
+                |                    'y', element_at(syms, i + 1)))
+                |ELSE CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>)
+                |END""".stripMargin).as("ps"))
+            .select(col("n"), explode(col("ps")).as("p"))
+            .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+            .agg(sum(col("n")).as("cnt"))
+          val best = pairs.orderBy(col("cnt").desc, col("x"), col("y"))
+            .limit(1).select(col("x").as("bx"), col("y").as("by"))
+          st = st.crossJoin(broadcast(best))
+            .withColumn("syms", expr(
+              """aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) ->
+                |  IF(size(acc) > 0 AND element_at(acc, -1) = bx AND s = by,
+                |     concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by))),
+                |     concat(acc, array(s))))""".stripMargin))
+            .drop("bx", "by")
+        }
+        st.select(col("word"), col("n"),
+            concat_ws(" ", col("syms")).as("seg"),
+            size(col("syms")).cast("long").as("n_syms"))
+          .orderBy("word")
       }))
 }

@@ -491,6 +491,20 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, "doc-count row lost its broadcast")
   }
 
+  test("bpe training: each round's best pair is a one-row sort-limit broadcast, no window") {
+    val p = plan("t_bpe_train_merges")
+    val topk = collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.size >= 3, "bpe best-pair selection lost its sort-limit form")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.size >= 3, "bpe merge rounds lost their best-pair broadcasts")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "bpe training must not plan a window")
+  }
+
   test("count-min: grid collapses to one broadcast row, probes never shuffle to estimate") {
     val p = plan("a_countmin_heavy")
     // the grid row rides a BroadcastNestedLoopJoin (no equi keys); no

@@ -20,6 +20,70 @@ object SimilarityQueries {
 
   private val lshDims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
 
+  // ---- product-quantization internals (emb_pq_encode, ann_pq_adc) ----
+  // 64 dims -> 4 subspaces x 16 dims, 8-centroid codebooks seeded from the
+  // first 8 vectors' subvectors (the emb_kmeans/ann_ivf_cells seed rule).
+
+  /** One-row codebook: `cb` = 32 arrays of 16 doubles, ordered (m*8+k). */
+  private def pqCodebook(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("k"), Vectors.toDouble(col("embedding")).as("sv"))
+      .crossJoin(broadcast(s.range(0, 4).select(col("id").as("m"))))
+      .select((col("m") * 8 + col("k")).as("idx"),
+        expr("slice(sv, cast(m*16+1 as int), 16)").as("cv"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("idx"), col("cv")))).as("sc"))
+      .select(expr("transform(sc, x -> x.cv)").as("cb"))
+
+  /** Every vector with its 4x8 subspace distance table `ds` (j-ascending
+    * double folds — identical IEEE order on both engines) and argmin code
+    * array `cs` (strict < keeps the smaller index on ties). Row-local
+    * against the broadcast codebook. */
+  private def pqEncoded(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(pqCodebook(s, dir)))
+      .withColumn("ds", expr(
+        """transform(sequence(0, 3), m -> transform(sequence(0, 7), k ->
+          |  aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), (a, j) -> a +
+          |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)) *
+          |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)))))"""
+          .stripMargin))
+      .withColumn("cs", expr(
+        """transform(sequence(0, 3), m -> aggregate(sequence(1, 7), 0, (bk, k) ->
+          |  if(element_at(element_at(ds, m+1), k+1)
+          |       < element_at(element_at(ds, m+1), bk+1), k, bk)))""".stripMargin))
+
+  /** The shared oracle CTE prefix producing `codes(vec_id, ds, cs)`. */
+  private val pqOracleCtes =
+    """seeds AS (
+      |  SELECT vec_id AS k, embedding::DOUBLE[] AS sv
+      |  FROM embeddings WHERE vec_id < 8),
+      |cbl AS (
+      |  SELECT m.m * 8 + s.k AS idx,
+      |         s.sv[CAST(m.m*16+1 AS INTEGER):CAST(m.m*16+16 AS INTEGER)] AS cv
+      |  FROM range(0, 4) m(m) CROSS JOIN seeds s),
+      |cb AS (SELECT list(cv ORDER BY idx) AS cb FROM cbl),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |enc AS (
+      |  SELECT vec_id,
+      |    list_transform(range(0, 4), m ->
+      |      list_transform(range(0, 8), k ->
+      |        list_reduce(list_transform(range(1, 17), j ->
+      |          (v[CAST(m*16+j AS INTEGER)] - cb[CAST(m*8+k+1 AS INTEGER)][CAST(j AS INTEGER)])
+      |        * (v[CAST(m*16+j AS INTEGER)] - cb[CAST(m*8+k+1 AS INTEGER)][CAST(j AS INTEGER)])),
+      |          (a, b) -> a + b))) AS ds
+      |  FROM e, cb),
+      |codes AS (
+      |  SELECT vec_id, ds,
+      |    list_transform(range(0, 4), m ->
+      |      list_reduce(range(0, 8), (bk, k) ->
+      |        CASE WHEN ds[CAST(m+1 AS INTEGER)][CAST(k+1 AS INTEGER)]
+      |                  < ds[CAST(m+1 AS INTEGER)][CAST(bk+1 AS INTEGER)]
+      |             THEN k ELSE bk END)) AS cs
+      |  FROM enc)""".stripMargin
+
   /** DuckDB-side cosine between two DOUBLE[] exprs, rounded like
     * [[Vectors.cosine]]. */
   private def duckCos(a: String, b: String): String =
@@ -354,66 +418,69 @@ object SimilarityQueries {
         |sort, the property that lets the encode pass run over billions
         |of vectors as a pure map.""".stripMargin,
       Some(
-        """WITH seeds AS (
-          |  SELECT vec_id AS k, embedding::DOUBLE[] AS sv
-          |  FROM embeddings WHERE vec_id < 8),
-          |cbl AS (
-          |  SELECT m.m * 8 + s.k AS idx,
-          |         s.sv[CAST(m.m*16+1 AS INTEGER):CAST(m.m*16+16 AS INTEGER)] AS cv
-          |  FROM range(0, 4) m(m) CROSS JOIN seeds s),
-          |cb AS (SELECT list(cv ORDER BY idx) AS cb FROM cbl),
-          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          |enc AS (
-          |  SELECT vec_id,
-          |    list_transform(range(0, 4), m ->
-          |      list_transform(range(0, 8), k ->
-          |        list_reduce(list_transform(range(1, 17), j ->
-          |          (v[CAST(m*16+j AS INTEGER)] - cb[CAST(m*8+k+1 AS INTEGER)][CAST(j AS INTEGER)])
-          |        * (v[CAST(m*16+j AS INTEGER)] - cb[CAST(m*8+k+1 AS INTEGER)][CAST(j AS INTEGER)])),
-          |          (a, b) -> a + b))) AS ds
-          |  FROM e, cb),
-          |codes AS (
-          |  SELECT vec_id, ds,
-          |    list_transform(range(0, 4), m ->
-          |      list_reduce(range(0, 8), (bk, k) ->
-          |        CASE WHEN ds[CAST(m+1 AS INTEGER)][CAST(k+1 AS INTEGER)]
-          |                  < ds[CAST(m+1 AS INTEGER)][CAST(bk+1 AS INTEGER)]
-          |             THEN k ELSE bk END)) AS cs
-          |  FROM enc)
-          |SELECT vec_id, CAST(u.m AS INTEGER) AS m,
-          |       CAST(cs[CAST(u.m+1 AS INTEGER)] AS INTEGER) AS code,
-          |       round(ds[CAST(u.m+1 AS INTEGER)][CAST(cs[CAST(u.m+1 AS INTEGER)]+1 AS INTEGER)], 6)
-          |         AS err6
-          |FROM codes, LATERAL (SELECT unnest(range(0, 4)) AS m) u
-          |ORDER BY vec_id, m""".stripMargin),
-      (s, dir) => {
-        val seeds = Tables.embeddings(s, dir)
-          .filter(col("vec_id") < 8)
-          .select(col("vec_id").as("k"), Vectors.toDouble(col("embedding")).as("sv"))
-        val cbRow = seeds
-          .crossJoin(broadcast(s.range(0, 4).select(col("id").as("m"))))
-          .select((col("m") * 8 + col("k")).as("idx"),
-            expr("slice(sv, cast(m*16+1 as int), 16)").as("cv"))
-          .groupBy()
-          .agg(sort_array(collect_list(struct(col("idx"), col("cv")))).as("sc"))
-          .select(expr("transform(sc, x -> x.cv)").as("cb"))
-        Tables.embeddings(s, dir)
-          .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
-          .crossJoin(broadcast(cbRow))
-          .withColumn("ds", expr(
-            """transform(sequence(0, 3), m -> transform(sequence(0, 7), k ->
-              |  aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), (a, j) -> a +
-              |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)) *
-              |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)))))"""
-              .stripMargin))
-          .withColumn("cs", expr(
-            """transform(sequence(0, 3), m -> aggregate(sequence(1, 7), 0, (bk, k) ->
-              |  if(element_at(element_at(ds, m+1), k+1)
-              |       < element_at(element_at(ds, m+1), bk+1), k, bk)))""".stripMargin))
+        s"""WITH $pqOracleCtes
+           |SELECT vec_id, CAST(u.m AS INTEGER) AS m,
+           |       CAST(cs[CAST(u.m+1 AS INTEGER)] AS INTEGER) AS code,
+           |       round(ds[CAST(u.m+1 AS INTEGER)][CAST(cs[CAST(u.m+1 AS INTEGER)]+1 AS INTEGER)], 6)
+           |         AS err6
+           |FROM codes, LATERAL (SELECT unnest(range(0, 4)) AS m) u
+           |ORDER BY vec_id, m""".stripMargin),
+      (s, dir) =>
+        pqEncoded(s, dir)
           .select(col("vec_id"), col("ds"), posexplode(col("cs")))
           .select(col("vec_id"), col("pos").cast("int").as("m"),
             col("col").cast("int").as("code"),
             expr("round(element_at(element_at(ds, pos+1), col+1), 6)").as("err6"))
-          .orderBy("vec_id", "m")
+          .orderBy("vec_id", "m")),
+
+    Q(
+      "ann_pq_adc",
+      """PQ asymmetric-distance search (ADC — the query half of an IVF-PQ
+        |index): each of 5 probes keeps its FULL-precision 4x8 subspace
+        |distance table (probe-to-centroid, computed once per probe);
+        |every candidate's approximate distance is then 4 TABLE LOOKUPS
+        |(one per subspace code) summed m-ascending — the 16x compute
+        |reduction (4 lookups vs 64 multiplies) that makes
+        |billion-vector search affordable, and why PQ indexes scan
+        |codes, not vectors. Probes broadcast WITH their tables; the
+        |candidate scan stays shuffle-free; the per-probe top-5 rides
+        |the bounded-heap aggregate (score = -distance, ties to the
+        |smaller candidate id — matching the oracle's window order).
+        |Output: probe, rank, candidate, round-6 ADC distance.""".stripMargin,
+      Some(
+        s"""WITH $pqOracleCtes,
+           |probes AS (
+           |  SELECT vec_id AS probe_id, ds AS dt FROM codes WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT p.probe_id, c.vec_id AS cand_id,
+           |         list_reduce(list_transform(range(0, 4), m ->
+           |           p.dt[CAST(m+1 AS INTEGER)][CAST(c.cs[CAST(m+1 AS INTEGER)]+1 AS INTEGER)]),
+           |           (a, b) -> a + b) AS ad
+           |  FROM codes c CROSS JOIN probes p
+           |  WHERE c.vec_id <> p.probe_id)
+           |SELECT probe_id, rank, cand_id, round(ad, 6) AS ad6 FROM (
+           |  SELECT probe_id, cand_id, ad,
+           |         CAST(row_number() OVER (PARTITION BY probe_id
+           |           ORDER BY ad, cand_id) AS BIGINT) AS rank
+           |  FROM scored) WHERE rank <= 5
+           |ORDER BY probe_id, rank""".stripMargin),
+      (s, dir) => {
+        val enc = pqEncoded(s, dir)
+        val probes = enc.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("ds").as("dt"))
+        enc.select(col("vec_id").as("cand_id"), col("cs"))
+          .crossJoin(broadcast(probes))
+          .filter(col("cand_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("cand_id"),
+            expr("""aggregate(sequence(0, 3), CAST(0.0 AS DOUBLE), (a, m) ->
+                   |  a + element_at(element_at(dt, m+1),
+                   |                 element_at(cs, m+1) + 1))""".stripMargin).as("ad"))
+          .groupBy("probe_id")
+          .agg(Vectors.topKByScore(-col("ad"), col("cand_id"), 5).as("top"))
+          .select(col("probe_id"), posexplode(col("top")))
+          .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("cand_id"),
+            round(-col("col.score"), 6).as("ad6"))
+          .orderBy("probe_id", "rank")
       }))
 }

@@ -463,6 +463,19 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "projection must not plan a window")
   }
 
+  test("pq adc search: probes broadcast with tables, top-k rides the bounded heap") {
+    val p = plan("ann_pq_adc")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "adc search lost its probe broadcast")
+    assert(collectAll(p) {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }.nonEmpty, "adc search lost its bounded-heap top-k aggregate")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "adc search must not plan a window")
+  }
+
   test("pq encode: codebook broadcast as one row, encode row-local — no extra shuffle") {
     val p = plan("emb_pq_encode")
     assert(collectAll(p) {

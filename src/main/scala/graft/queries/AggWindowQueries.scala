@@ -824,5 +824,55 @@ object AggWindowQueries {
               .stripMargin).as("ewma_micro"),
             expr("element_at(seq, -1).vm").as("last_micro"))
           .orderBy("user_id")
+      }),
+
+    Q(
+      "w_cohort_retention",
+      """Weekly cohort retention triangle — the product-analytics staple:
+        |users cohort by the week of their first qualifying activity
+        |(high-value signups, so the activity signal is sparse enough to
+        |decay); retention at week k = active users k weeks after their
+        |cohort week, as a ppm share of the cohort. Week arithmetic is
+        |epoch-seconds floor division on Monday-aligned truncs (both
+        |engines truncate weeks to Monday). Scale shape: activity first
+        |collapses to distinct (user, week) — the only event-sized
+        |shuffle; the cohort week is a min window over the SAME user
+        |partitioning (no join back); the (cohort, k) count-distinct runs
+        |on the collapsed frame; cohort sizes are the k=0 rows, joined
+        |back by broadcast (cohort-cardinality-sized).""".stripMargin,
+      Some(
+        """WITH du AS (
+          |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+          |  FROM events WHERE event_type = 'signup' AND value > 90),
+          |c AS (SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cwk FROM du),
+          |r AS (
+          |  SELECT cwk,
+          |         (CAST(epoch(wk) AS BIGINT) - CAST(epoch(cwk) AS BIGINT)) // 604800 AS k,
+          |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+          |  FROM c GROUP BY 1, 2),
+          |sz AS (SELECT cwk, n_active AS cohort_n FROM r WHERE k = 0)
+          |SELECT r.cwk AS cohort_week, r.k AS week_k, r.n_active, sz.cohort_n,
+          |       r.n_active * 1000000 // sz.cohort_n AS ret_ppm
+          |FROM r JOIN sz ON r.cwk = sz.cwk
+          |ORDER BY cohort_week, week_k""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val du = Tables.events(s, dir)
+          .filter(col("event_type") === "signup" && col("value") > 90)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val c = du.withColumn("cwk",
+          min(col("wk")).over(Window.partitionBy("user_id")))
+        val r = c.groupBy(col("cwk"),
+            ((unix_timestamp(col("wk")) - unix_timestamp(col("cwk"))) / 604800L)
+              .cast("long").as("k"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+        val sz = r.filter(col("k") === 0)
+          .select(col("cwk").as("c2"), col("n_active").as("cohort_n"))
+        r.join(broadcast(sz), col("cwk") === col("c2"))
+          .select(col("cwk").as("cohort_week"), col("k").as("week_k"),
+            col("n_active"), col("cohort_n"),
+            expr("n_active * 1000000 div cohort_n").as("ret_ppm"))
+          .orderBy("cohort_week", "week_k")
       }))
 }

@@ -441,6 +441,16 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("cohort retention: cohort window shares the user partitioning, sizes broadcast") {
+    val p = plan("w_cohort_retention")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "cohort-min window must stay partitioned by user")
+    assert(bcasts(p).nonEmpty, "cohort sizes lost their broadcast join")
+  }
+
   test("ewma: one user-key aggregate + sort — fold is scan-side, no join/window") {
     val p = plan("a_ewma_smooth")
     assert(shuffles(p).length <= 2, "ewma grew a shuffle")

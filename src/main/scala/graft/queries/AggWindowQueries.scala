@@ -874,5 +874,62 @@ object AggWindowQueries {
             col("n_active"), col("cohort_n"),
             expr("n_active * 1000000 div cohort_n").as("ret_ppm"))
           .orderBy("cohort_week", "week_k")
+      }),
+
+    Q(
+      "a_group_regression",
+      """Group-wise least-squares trend — drift detection per event type:
+        |the closed-form slope (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) of value
+        |against time. Numerator and denominator are EXACT BIGINTS: x is
+        |hours since the group's own first event (recentering bounds the
+        |magnitudes so every sum and product stays far inside int64 even
+        |at the 5x bench replica), y is value in deci-units; int64 ->
+        |double conversion is correctly rounded on both engines even past
+        |2^53, so the final division sees bit-identical operands and
+        |round-6 is stable. Shape: the per-group t0 aggregate is
+        |group-cardinality-sized and broadcasts back onto the stream (the
+        |a_outlier_mad discipline); the moment sums are one map-side
+        |combinable aggregate; the slope math is row-local on group
+        |rows.""".stripMargin,
+      Some(
+        """WITH mn AS (
+          |  SELECT event_type, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+          |  FROM events GROUP BY event_type),
+          |xy AS (
+          |  SELECT e.event_type,
+          |         (CAST(floor(epoch(e.ts)) AS BIGINT) - mn.t0) // 3600 AS x,
+          |         CAST(floor(e.value * 10) AS BIGINT) AS y
+          |  FROM events e JOIN mn ON e.event_type = mn.event_type),
+          |s AS (
+          |  SELECT event_type,
+          |         CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          |         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+          |  FROM xy GROUP BY event_type)
+          |SELECT event_type, n,
+          |       round(CAST(n*sxy - sx*sy AS DOUBLE)
+          |             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope6,
+          |       sy
+          |FROM s ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val mn = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(min(unix_timestamp(col("ts"))).as("t0"))
+        val xy = Tables.events(s, dir)
+          .join(broadcast(mn), "event_type")
+          .select(col("event_type"),
+            expr("(unix_timestamp(ts) - t0) div 3600").as("x"),
+            floor(col("value") * 10).cast("long").as("y"))
+        xy.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+              .as("slope6"),
+            col("sy"))
+          .orderBy("event_type")
       }))
 }

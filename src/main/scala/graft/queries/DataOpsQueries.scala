@@ -130,5 +130,58 @@ object DataOpsQueries {
           .unionAll(check("events.user_id->customer", Tables.events(s, dir),
             "user_id", Tables.customer(s, dir), "c_custkey"))
           .orderBy("check_name")
+      }),
+
+    Q(
+      "audit_range_checksums",
+      """Anti-entropy range checksums — the replica-divergence /
+        |migration-audit primitive (Cassandra repair, Delta table-clone
+        |verification): fingerprint each key range of the table so two
+        |copies can be diffed by exchanging range-cardinality summaries
+        |instead of rows. Rows hash on their INTEGER/STRING canonical
+        |fields (md5-prefix 48-bit; doubles are excluded from the hash
+        |input because engines render them differently — the quantity
+        |participates as floor-micro bigint); each 1024-order range emits
+        |row count, an ORDER-INDEPENDENT checksum (sum of row hashes mod
+        |2^48 — commutative, so partitioning and merge order cannot
+        |change it; the mod rides DECIMAL/HUGEINT so the pre-mod sum
+        |never overflows), and the range's key span. Pure scan-side
+        |hashing + one range-keyed aggregate.""".stripMargin,
+      Some {
+        val h = """CAST(list_sum(list_transform(range(1, 13),
+                  |  i -> (strpos('0123456789abcdef',
+                  |          substr(md5(l_orderkey || '|' || l_linenumber || '|' ||
+                  |                     l_partkey || '|' || l_suppkey || '|' ||
+                  |                     l_returnflag || '|' || l_linestatus || '|' ||
+                  |                     CAST(CAST(floor(l_quantity * 1000000) AS BIGINT) AS VARCHAR)),
+                  |                 CAST(i AS INTEGER), 1)) - 1)
+                  |       * power(16, 12 - i))) AS BIGINT)""".stripMargin
+        s"""WITH h AS (
+           |  SELECT l_orderkey // 1024 AS rng, l_orderkey,
+           |         $h AS rh
+           |  FROM lineitem)
+           |SELECT rng,
+           |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(CAST(rh AS HUGEINT)) % 281474976710656 AS BIGINT) AS checksum,
+           |       MIN(l_orderkey) AS key_min, MAX(l_orderkey) AS key_max
+           |FROM h GROUP BY rng
+           |ORDER BY rng""".stripMargin
+      },
+      (s, dir) => {
+        val canon = "concat(l_orderkey, '|', l_linenumber, '|', l_partkey, '|', " +
+          "l_suppkey, '|', l_returnflag, '|', l_linestatus, '|', " +
+          "cast(cast(floor(l_quantity * 1000000) as bigint) as string))"
+        Tables.lineitem(s, dir)
+          .select(expr("l_orderkey div 1024").as("rng"), col("l_orderkey"),
+            expr(s"cast(conv(substring(md5($canon), 1, 12), 16, 10) as bigint)")
+              .as("rh"))
+          .groupBy("rng")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            pmod(sum(col("rh").cast("decimal(38,0)")), lit(281474976710656L))
+              .cast("long").as("checksum"),
+            min(col("l_orderkey")).as("key_min"),
+            max(col("l_orderkey")).as("key_max"))
+          .orderBy("rng")
       }))
 }

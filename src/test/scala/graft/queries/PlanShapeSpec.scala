@@ -441,6 +441,22 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("range checksums: scan-side hashing + one range aggregate, no join/window") {
+    val p = plan("audit_range_checksums")
+    assert(shuffles(p).length <= 2, "range checksums grew a shuffle")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "range checksums must not plan a join")
+  }
+
+  test("group regression: t0 broadcast back, moment sums map-side combinable") {
+    val p = plan("a_group_regression")
+    assert(bcasts(p).nonEmpty, "regression t0 table lost its broadcast")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "regression must not plan a window")
+  }
+
   test("cohort retention: cohort window shares the user partitioning, sizes broadcast") {
     val p = plan("w_cohort_retention")
     val windows = collectAll(p) {

@@ -44,7 +44,11 @@ object Bench {
     "dd_conn_components", "dd_conn_components_alt", "dd_pipeline_keepers",
     "ann_topk_agg", "t_token_quality", "s_pack_sequences", "mm_decode_stats",
     "dd_substring_spans", "emb_kmeans", "emb_avg_pool", "g_pagerank",
-    "corpus_pipeline_keepers")
+    "corpus_pipeline_keepers",
+    // round-8 second-session families: wedge-join growth, iterative
+    // merge training, sketch grid, collapsed-frame fan-out
+    "g_triangle_count", "t_bpe_train_merges", "a_countmin_heavy",
+    "w_rolling_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -931,5 +931,90 @@ object AggWindowQueries {
               .as("slope6"),
             col("sy"))
           .orderBy("event_type")
+      }),
+
+    Q(
+      "a_market_basket",
+      """Association rules over co-purchased parts (market-basket /
+        |recommendation mining): for every directed part pair sharing
+        |>= 3 orders, support, confidence (P(y|x)) and lift
+        |(P(x,y)/P(x)P(y)) in integer ppm — floor division, no float
+        |ties. Scale shape: baskets collapse to distinct (order, part)
+        |once; the pair self-join reuses that same order-key partitioning
+        |(fan-out bounded by basket size, the apriori pair pass); item
+        |supports are key-cardinality-sized and BROADCAST back onto the
+        |pair frame twice; the basket count is a one-row broadcast. The
+        |support >= 3 floor cuts the pair frame before any rule math —
+        |the standard apriori prune.""".stripMargin,
+      Some(
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |nn AS (SELECT COUNT(DISTINCT o) AS n FROM op),
+          |ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS sup FROM op GROUP BY p),
+          |pr AS (
+          |  SELECT a.p AS x, b.p AS y, CAST(COUNT(*) AS BIGINT) AS sup_xy
+          |  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+          |SELECT pr.x, pr.y, pr.sup_xy, ix.sup AS sup_x, iy.sup AS sup_y,
+          |       pr.sup_xy * 1000000 // ix.sup AS conf_ppm,
+          |       pr.sup_xy * nn.n * 1000000 // (ix.sup * iy.sup) AS lift_ppm
+          |FROM pr JOIN ic ix ON pr.x = ix.p JOIN ic iy ON pr.y = iy.p CROSS JOIN nn
+          |ORDER BY x, y""".stripMargin),
+      (s, dir) => {
+        val op = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val nn = op.agg(countDistinct(col("o")).as("n"))
+        val ic = op.groupBy("p").agg(count(lit(1)).as("sup"))
+        val pr = op.as("a")
+          .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+          .agg(count(lit(1)).as("sup_xy"))
+          .filter(col("sup_xy") >= 3)
+        pr.join(broadcast(ic.select(col("p").as("x"), col("sup").as("sup_x"))), "x")
+          .join(broadcast(ic.select(col("p").as("y"), col("sup").as("sup_y"))), "y")
+          .crossJoin(broadcast(nn))
+          .select(col("x"), col("y"), col("sup_xy"), col("sup_x"), col("sup_y"),
+            expr("sup_xy * 1000000 div sup_x").as("conf_ppm"),
+            expr("sup_xy * n * 1000000 div (sup_x * sup_y)").as("lift_ppm"))
+          .orderBy("x", "y")
+      }),
+
+    Q(
+      "w_markov_transitions",
+      """Event-type transition matrix (first-order Markov model of user
+        |behavior — the path-analysis / next-event-prediction primitive):
+        |per user, each event pairs with its predecessor in deterministic
+        |(ts, event_id) order; transition counts and row-stochastic
+        |probabilities in integer ppm, with the artificial '<start>'
+        |state marking session entries. Scale shape: ONE user-key shuffle
+        |feeds the lag window; the (from, to) aggregate collapses to the
+        |state-space square (25 + starts); the per-from normalization is
+        |a window over THAT collapsed frame — never over events.""".stripMargin,
+      Some(
+        """WITH seq AS (
+          |  SELECT user_id, event_type,
+          |         LAG(event_type) OVER (PARTITION BY user_id
+          |                               ORDER BY ts, event_id) AS prev
+          |  FROM events),
+          |tr AS (
+          |  SELECT COALESCE(prev, '<start>') AS from_t, event_type AS to_t,
+          |         CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM seq GROUP BY 1, 2)
+          |SELECT from_t, to_t, cnt,
+          |       cnt * 1000000 // CAST(SUM(cnt) OVER (PARTITION BY from_t) AS BIGINT)
+          |         AS p_ppm
+          |FROM tr ORDER BY from_t, to_t""".stripMargin),
+      (s, dir) => {
+        val uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(uw).as("prev"))
+          .groupBy(coalesce(col("prev"), lit("<start>")).as("from_t"),
+            col("event_type").as("to_t"))
+          .agg(count(lit(1)).as("cnt"))
+        tr.withColumn("tot", sum(col("cnt")).over(Window.partitionBy("from_t")))
+          .select(col("from_t"), col("to_t"), col("cnt"),
+            expr("cnt * 1000000 div tot").as("p_ppm"))
+          .orderBy("from_t", "to_t")
       }))
 }

@@ -441,6 +441,29 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("market basket: item supports broadcast onto the pair frame, no window") {
+    val p = plan("a_market_basket")
+    assert(bcasts(p).size >= 2, "basket rule math lost its support broadcasts")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "market basket must not plan a window")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "market basket planned a cartesian product")
+  }
+
+  test("markov transitions: normalization window runs on the collapsed state frame") {
+    val p = plan("w_markov_transitions")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "markov windows must stay partitioned (user lag / from_t norm)")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "markov transitions must not plan a join")
+  }
+
   test("range checksums: scan-side hashing + one range aggregate, no join/window") {
     val p = plan("audit_range_checksums")
     assert(shuffles(p).length <= 2, "range checksums grew a shuffle")

@@ -36,24 +36,46 @@ object SimilarityQueries {
       .agg(sort_array(collect_list(struct(col("idx"), col("cv")))).as("sc"))
       .select(expr("transform(sc, x -> x.cv)").as("cb"))
 
-  /** Every vector with its 4x8 subspace distance table `ds` (j-ascending
-    * double folds — identical IEEE order on both engines) and argmin code
-    * array `cs` (strict < keeps the smaller index on ties). Row-local
-    * against the broadcast codebook. */
-  private def pqEncoded(s: org.apache.spark.sql.SparkSession, dir: String) =
+  /** The 4x8 subspace distance table (j-ascending double folds —
+    * identical IEEE order on both engines). NOTE: reference this
+    * expression exactly ONCE per projection — CollapseProject duplicates
+    * a multiply-referenced higher-order expression into every use site
+    * (no common-subexpression elimination in lambda trees), which turned
+    * the first cut of emb_pq_encode into a 14x recompute (64 s at sf0.1
+    * in the bench). */
+  private val pqDistExpr =
+    """transform(sequence(0, 3), m -> transform(sequence(0, 7), k ->
+      |  aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), (a, j) -> a +
+      |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)) *
+      |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)))))"""
+      .stripMargin
+
+  /** Per-subspace argmin as ONE self-contained fold: array of 4 structs
+    * (bk = code, bd = its squared distance). The per-(m,k) distance is
+    * textually inlined twice (compare + assign — SQL lambdas have no
+    * let-binding), a bounded 2x, unlike the unbounded duplication a
+    * cross-projection `ds` reference costs. Init bd = +Inf, strict <
+    * keeps the smaller code on ties. */
+  private val pqCodeExpr =
+    """transform(sequence(0, 3), m -> aggregate(sequence(0, 7),
+      |  named_struct('bk', -1, 'bd', CAST('Infinity' AS DOUBLE)),
+      |  (acc, k) -> IF(
+      |    aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), (a, j) -> a +
+      |      (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)) *
+      |      (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)))
+      |      < acc.bd,
+      |    named_struct('bk', k,
+      |      'bd', aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), (a, j) -> a +
+      |        (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)) *
+      |        (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)))),
+      |    acc)))""".stripMargin
+
+  /** Vectors joined with the broadcast codebook — the base both PQ
+    * queries project their single-use expressions from. */
+  private def pqBase(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(pqCodebook(s, dir)))
-      .withColumn("ds", expr(
-        """transform(sequence(0, 3), m -> transform(sequence(0, 7), k ->
-          |  aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), (a, j) -> a +
-          |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)) *
-          |    (element_at(v, m*16+j) - element_at(element_at(cb, m*8+k+1), j)))))"""
-          .stripMargin))
-      .withColumn("cs", expr(
-        """transform(sequence(0, 3), m -> aggregate(sequence(1, 7), 0, (bk, k) ->
-          |  if(element_at(element_at(ds, m+1), k+1)
-          |       < element_at(element_at(ds, m+1), bk+1), k, bk)))""".stripMargin))
 
   /** The shared oracle CTE prefix producing `codes(vec_id, ds, cs)`. */
   private val pqOracleCtes =
@@ -426,11 +448,11 @@ object SimilarityQueries {
            |FROM codes, LATERAL (SELECT unnest(range(0, 4)) AS m) u
            |ORDER BY vec_id, m""".stripMargin),
       (s, dir) =>
-        pqEncoded(s, dir)
-          .select(col("vec_id"), col("ds"), posexplode(col("cs")))
+        pqBase(s, dir)
+          .select(col("vec_id"), posexplode(expr(pqCodeExpr)))
           .select(col("vec_id"), col("pos").cast("int").as("m"),
-            col("col").cast("int").as("code"),
-            expr("round(element_at(element_at(ds, pos+1), col+1), 6)").as("err6"))
+            col("col.bk").cast("int").as("code"),
+            round(col("col.bd"), 6).as("err6"))
           .orderBy("vec_id", "m")),
 
     Q(
@@ -465,10 +487,14 @@ object SimilarityQueries {
            |  FROM scored) WHERE rank <= 5
            |ORDER BY probe_id, rank""".stripMargin),
       (s, dir) => {
-        val enc = pqEncoded(s, dir)
-        val probes = enc.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("probe_id"), col("ds").as("dt"))
-        enc.select(col("vec_id").as("cand_id"), col("cs"))
+        val base = pqBase(s, dir)
+        // probes materialize their full distance tables at broadcast
+        // build; candidates carry code arrays only — each expression
+        // referenced once (see pqDistExpr's duplication warning)
+        val probes = base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), expr(pqDistExpr).as("dt"))
+        base.select(col("vec_id").as("cand_id"),
+            expr(s"transform($pqCodeExpr, c -> c.bk)").as("cs"))
           .crossJoin(broadcast(probes))
           .filter(col("cand_id") =!= col("probe_id"))
           .select(col("probe_id"), col("cand_id"),

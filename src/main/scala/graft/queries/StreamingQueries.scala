@@ -361,5 +361,78 @@ object StreamingQueries {
         } finally {
           org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
         }
+      }),
+
+    Q(
+      "j_stream_outer_replay",
+      """Stream-stream LEFT OUTER event-time join, oracle-checked — the
+        |retry/timeout feed of the confirmation loop: purchases with NO
+        |view within 1 day must surface as null-extended rows, but only
+        |once the watermark PROVES no match can still arrive. Same
+        |in-order 8-day-epoch replay and 2-day watermarks as
+        |j_stream_confirm_replay; matched rows equal the batch inner
+        |join; a null-extended row emits iff the purchase found no match
+        |AND its 1-day match window closed strictly below the final
+        |eviction watermark (min over both streams' max event time, ms
+        |floor, minus the 2-day delay — the global watermark is the MIN
+        |across inputs). Purchases whose window is still open when the
+        |stream drains stay in state and never emit — exactly what the
+        |oracle's cutoff states. Output ordering packs nulls as -1 so
+        |both engines sort identically.""".stripMargin,
+      Some(
+        """WITH m AS (
+          |  SELECT LEAST(
+          |      (SELECT epoch_us(MAX(ts)) // 1000 FROM events WHERE event_type = 'purchase'),
+          |      (SELECT epoch_us(MAX(ts)) // 1000 FROM events WHERE event_type = 'view'))
+          |    - 172800000 AS wm),
+          |inner_j AS (
+          |  SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+          |         a.ts, b.ts AS cts
+          |  FROM events a JOIN events b ON a.user_id = b.user_id
+          |  WHERE a.event_type = 'purchase' AND b.event_type = 'view'
+          |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 DAY),
+          |unmatched AS (
+          |  SELECT a.event_id AS a_id, CAST(NULL AS BIGINT) AS b_id, a.user_id,
+          |         a.ts, CAST(NULL AS TIMESTAMP) AS cts
+          |  FROM events a, m
+          |  WHERE a.event_type = 'purchase'
+          |    AND NOT EXISTS (
+          |      SELECT 1 FROM events b
+          |      WHERE b.event_type = 'view' AND b.user_id = a.user_id
+          |        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 DAY)
+          |    AND (epoch_us(a.ts) // 1000) + 86400000 < m.wm)
+          |SELECT a_id, b_id, user_id, ts, cts,
+          |       COALESCE(b_id, -1) AS b_key
+          |FROM (SELECT * FROM inner_j UNION ALL SELECT * FROM unmatched)
+          |ORDER BY a_id, b_key""".stripMargin),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ssouter").toFile
+        try {
+          val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+          val epoch8d = expr("unix_micros(ts) div 691200000000")
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("a_id"), col("user_id"), col("ts"))
+          val views = ev.filter(col("event_type") === "view")
+            .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+              col("ts").as("cts"))
+          runReplay(s, tmp, "j_stream_outer_sink",
+            Seq(
+              (purchases, epoch8d, "dispatch"),
+              (views, expr("unix_micros(cts) div 691200000000"), "confirm")),
+            { case Seq(a, b) =>
+              a.withWatermark("ts", "2 days")
+                .join(
+                  b.withWatermark("cts", "2 days"),
+                  col("user_id") === col("b_user") &&
+                    col("cts") >= col("ts") &&
+                    col("cts") <= col("ts") + expr("INTERVAL 1 DAY"),
+                  "left_outer")
+            })
+            .select(col("a_id"), col("b_id"), col("user_id"), col("ts"), col("cts"),
+              coalesce(col("b_id"), lit(-1L)).as("b_key"))
+            .orderBy("a_id", "b_key")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+        }
       }))
 }

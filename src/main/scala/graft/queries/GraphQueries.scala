@@ -176,37 +176,51 @@ object GraphQueries {
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
           .select("u", "v")
-          .localCheckpoint()
-        val deg = e.select(col("u").as("node"))
-          .unionAll(e.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("d"))
-        val withDeg = e
-          .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
-          .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
-        // orient low (deg, id) -> high; carry the dst's degree so the wedge
-        // order test needs no further join
-        val oriented = withDeg.select(
-            when(col("du") < col("dv") ||
-                 (col("du") === col("dv") && col("u") < col("v")),
-              struct(col("u").as("s"), col("v").as("d0"), col("dv").as("dd")))
-              .otherwise(
-                struct(col("v").as("s"), col("u").as("d0"), col("du").as("dd")))
-              .as("e"))
-          .select(col("e.s").as("src"), col("e.d0").as("dst"),
-            col("e.dd").as("dstdeg"))
-          .localCheckpoint()
-        val wedges = oriented.as("x").join(oriented.as("y"),
-            col("x.src") === col("y.src") &&
-              (col("x.dstdeg") < col("y.dstdeg") ||
-                (col("x.dstdeg") === col("y.dstdeg") &&
-                  col("x.dst") < col("y.dst"))))
-          .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
-        val tri = wedges
-          .join(oriented.select(col("src").as("b"), col("dst").as("c")),
-            Seq("b", "c"))
-          .select("a", "b", "c")
-        tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-          .groupBy("node").agg(count(lit(1)).as("n_tri"))
-          .orderBy("node")
+        triangleCounts(e).orderBy("node")
       }))
+
+  /** The reusable triangle core: undirected edges `(u, v)` with u < v →
+    * per-node triangle participation counts `(node, n_tri)` (nodes in no
+    * triangle are absent). Degree-ordered orientation (Schank & Wagner's
+    * forward algorithm): every edge points from lower to higher
+    * (degree, id), so wedges form only at each triangle's LOWEST-ordered
+    * node — out-degrees are O(sqrt(m)) amortized, and a hub of any degree
+    * generates ZERO wedge pairs from its spokes (each spoke has
+    * out-degree 1). ScaleStressSpec pins exactly that: a 2x10^5-spoke hub
+    * star plus a 60-clique counts in seconds where id-ordered wedging
+    * would fan out C(2x10^5, 2) pairs. */
+  def triangleCounts(edgesIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = edgesIn.localCheckpoint()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
+    // orient low (deg, id) -> high; carry the dst's degree so the wedge
+    // order test needs no further join
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d0"), col("dv").as("dd")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("d0"), col("du").as("dd")))
+          .as("e"))
+      .select(col("e.s").as("src"), col("e.d0").as("dst"),
+        col("e.dd").as("dstdeg"))
+      .localCheckpoint()
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.dstdeg") < col("y.dstdeg") ||
+            (col("x.dstdeg") === col("y.dstdeg") &&
+              col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+      .select("a", "b", "c")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

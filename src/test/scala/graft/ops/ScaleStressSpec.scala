@@ -112,6 +112,36 @@ class ScaleStressSpec extends SparkSpec {
       "spoke rank diverged from the closed form")
   }
 
+  test("triangle hub star + clique: forward orientation does zero hub wedge work") {
+    // the adversarial triangle shape: a 2x10^5-spoke hub. Under id-ordered
+    // wedging (hub id 0 = smallest) the hub would fan out C(2x10^5, 2) ~
+    // 2x10^10 wedge pairs; under degree-ordered orientation every star
+    // edge points spoke->hub (spoke degree 1 < hub degree), spokes have
+    // out-degree 1, and the star contributes ZERO wedges. A 60-clique
+    // (disjoint id space) rides along to prove counting stays exact:
+    // every clique node sits in C(59, 2) = 1711 triangles.
+    import org.apache.spark.sql.functions._
+    val k = 200000L
+    val star = spark.range(1, k + 1)
+      .select(lit(0L).as("u"), col("id").as("v"))
+    val cliqueBase = 10000000L
+    val ids = spark.range(0, 60).select((col("id") + cliqueBase).as("n"))
+    val clique = ids.as("a").join(ids.as("b"), col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"))
+    val t0 = System.nanoTime()
+    val counts = graft.queries.GraphQueries
+      .triangleCounts(star.unionAll(clique))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(counts.size === 60, "only clique nodes participate in triangles")
+    assert(!counts.contains(0L), "the hub sits in no triangle")
+    assert(counts.values.forall(_ == 1711L),
+      "every clique node must sit in C(59,2) = 1711 triangles")
+    // generous wall bound: failure mode is the 2x10^10-wedge blowup,
+    // which would not finish in minutes
+    assert(secs < 120, f"triangle stress took $secs%.1f s — wedge blowup?")
+  }
+
   test("video decode leaves no ImageIO disk-cache files (bounded in-flight state)") {
     // Round-8 hardening after the round-7 scaled-bench failure block:
     // ImageIO's default useCache=true backs every codec stream with a

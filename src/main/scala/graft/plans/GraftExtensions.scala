@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_intersect_count"),
       (children: Seq[Expression]) =>
         SortedIntersectCountExpression(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonInterleaveExpression].getName, "graft_morton"),
+      (children: Seq[Expression]) =>
+        MortonInterleaveExpression(children.head, children(1))))
     // aggregate: graft_topk(score, id, k) with k a literal int
     ext.injectFunction((
       new FunctionIdentifier("graft_topk"),

@@ -56,12 +56,15 @@ object DataOpsQueries {
            |ORDER BY zbucket""".stripMargin
       },
       (s, dir) => {
-        val m = mortonSql("div", "px", "sy")
+        // native codegen'd interleave (graft.plans.MortonInterleaveExpression,
+        // five shift-mask steps); the declarative mortonSql stays as the
+        // oracle twin and MortonSpec pins their bit equivalence
         Tables.lineitem(s, dir)
           .select(
             pmod(col("l_partkey"), lit(1024)).as("px"),
             pmod(col("l_suppkey"), lit(1024)).as("sy"))
-          .withColumn("zbucket", expr(s"($m) div 65536"))
+          .withColumn("zbucket",
+            expr("graft_morton(px, sy) div 65536"))
           .groupBy("zbucket")
           .agg(
             count(lit(1)).as("n_rows"),

@@ -83,4 +83,23 @@ class StrategyInvarianceSpec extends SparkSpec {
       }
     }
   }
+
+  test("sequential folds and sketch grids are partition-count invariant") {
+    // the round-8 ordered-fold / grid operators advertise results
+    // independent of physical parallelism: the EWMA fold sorts its
+    // collected sequence before folding, the snapshot diff's struct-max
+    // is commutative, the count-min grid is a sum (algebraic), and the
+    // BPE merge choice is a global sort-limit. shuffle.partitions=5 vs
+    // the suite default must produce identical rows — executed, not
+    // asserted from the plan.
+    Seq("a_ewma_smooth", "k_snapshot_diff", "a_countmin_heavy",
+      "t_bpe_train_merges").foreach { q =>
+      withClue(q) {
+        val default = rows(q)
+        val narrow = withConf("spark.sql.shuffle.partitions", "5") { rows(q) }
+        assert(narrow === default,
+          s"$q output depends on the shuffle partition count")
+      }
+    }
+  }
 }

@@ -1016,5 +1016,71 @@ object AggWindowQueries {
           .select(col("from_t"), col("to_t"), col("cnt"),
             expr("cnt * 1000000 div tot").as("p_ppm"))
           .orderBy("from_t", "to_t")
-      }))
+      }),
+
+    Q(
+      "w_wow_change",
+      """Week-over-week change report — the trend dashboard staple: weekly
+        |event counts and floor-micro value totals per event type, with
+        |the relative change vs the previous week in integer ppm
+        |(NULL for each type's first week). The heavy work is one
+        |map-side-combinable (type, week) aggregate; the lag window runs
+        |over the COLLAPSED weekly frame (types x weeks rows), partitioned
+        |by type — never over events.""".stripMargin,
+      Some(
+        """WITH w AS (
+          |  SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+          |         CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v_micro
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, wk, n, v_micro,
+          |       (v_micro - LAG(v_micro) OVER tw) * 1000000
+          |         // LAG(v_micro) OVER tw AS wow_ppm
+          |FROM w WINDOW tw AS (PARTITION BY event_type ORDER BY wk)
+          |ORDER BY event_type, wk""".stripMargin),
+      (s, dir) => {
+        val tw = Window.partitionBy("event_type").orderBy("wk")
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000000L).cast("long")).as("v_micro"))
+          .withColumn("prev", lag(col("v_micro"), 1).over(tw))
+          .withColumn("wow_ppm",
+            expr("(v_micro - prev) * 1000000 div prev"))
+          .select(col("event_type"), col("wk"), col("n"), col("v_micro"),
+            col("wow_ppm"))
+          .orderBy("event_type", "wk")
+      }),
+
+    Q(
+      "a_log_histogram",
+      """Order-of-magnitude value profiling — the log-scale histogram a
+        |data-quality sweep uses to spot unit errors and outlier decades:
+        |per event type, counts and extrema per DECIMAL-digit bucket
+        |(bucket = number of digits of the floor-micro value — an exact
+        |integer log10 both engines compute as string length, no libm
+        |log). Scan-side bucketing + one (type, bucket) aggregate; the
+        |output frame is types x ~10 decades.""".stripMargin,
+      Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         length(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR))
+          |           AS decade,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS vm
+          |  FROM events)
+          |SELECT event_type, CAST(decade AS BIGINT) AS decade,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       MIN(vm) AS v_min, MAX(vm) AS v_max
+          |FROM b GROUP BY 1, 2
+          |ORDER BY event_type, decade""".stripMargin),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            length(floor(col("value") * 1000000L).cast("long").cast("string"))
+              .cast("long").as("decade"),
+            floor(col("value") * 1000000L).cast("long").as("vm"))
+          .groupBy("event_type", "decade")
+          .agg(count(lit(1)).as("n"),
+            min(col("vm")).as("v_min"), max(col("vm")).as("v_max"))
+          .orderBy("event_type", "decade")))
 }

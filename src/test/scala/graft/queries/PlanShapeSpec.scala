@@ -441,6 +441,22 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("wow change / log histogram: windows on collapsed frames, no joins") {
+    Seq("w_wow_change", "a_log_histogram").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        assert(collectAll(p) {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty, s"$q must not plan a join")
+        val windows = collectAll(p) {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.forall(_.partitionSpec.nonEmpty),
+          s"$q windows must stay partitioned")
+      }
+    }
+  }
+
   test("market basket: item supports broadcast onto the pair frame, no window") {
     val p = plan("a_market_basket")
     assert(bcasts(p).size >= 2, "basket rule math lost its support broadcasts")

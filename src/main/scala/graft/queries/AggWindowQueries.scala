@@ -1082,5 +1082,55 @@ object AggWindowQueries {
           .groupBy("event_type", "decade")
           .agg(count(lit(1)).as("n"),
             min(col("vm")).as("v_min"), max(col("vm")).as("v_max"))
-          .orderBy("event_type", "decade")))
+          .orderBy("event_type", "decade")),
+
+    Q(
+      "a_chi_square",
+      """Chi-square independence test on the event-type x day-of-week
+        |contingency table — the "is behavior uniform across the week"
+        |data-quality question. Every cell emits its observed count,
+        |expected count (milli-units) and chi-square CONTRIBUTION in
+        |integer ppm: (obs*N - rt*ct)^2 * 10^6 div (N*rt*ct), with the
+        |square widened through DECIMAL/HUGEINT so the arithmetic cannot
+        |overflow at any replica scale; because every contribution is an
+        |exact integer, the statistic is a plain order-independent SUM of
+        |the output column. One (type, dow) aggregate collapses the
+        |events; the row/column/grand totals are windows over that
+        |35-cell frame (the t_vocab_topk post-agg rationale), never over
+        |events.""".stripMargin,
+      Some(
+        """WITH c AS (
+          |  SELECT event_type, CAST(date_part('dow', ts) AS BIGINT) AS dow,
+          |         CAST(COUNT(*) AS BIGINT) AS obs
+          |  FROM events GROUP BY 1, 2),
+          |t AS (
+          |  SELECT event_type, dow, obs,
+          |         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+          |         CAST(SUM(obs) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+          |         CAST(SUM(obs) OVER () AS BIGINT) AS n
+          |  FROM c),
+          |d AS (SELECT *, obs * n - rt * ct AS df FROM t)
+          |SELECT event_type, dow, obs,
+          |       rt * ct * 1000 // n AS exp_milli,
+          |       CAST(CAST(df AS HUGEINT) * df * 1000000 // (CAST(n AS HUGEINT) * rt * ct)
+          |            AS BIGINT) AS chi2_ppm
+          |FROM d ORDER BY event_type, dow""".stripMargin),
+      (s, dir) => {
+        val c = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+          .agg(count(lit(1)).as("obs"))
+        c.withColumn("rt", sum(col("obs")).over(Window.partitionBy("event_type")))
+          .withColumn("ct", sum(col("obs")).over(Window.partitionBy("dow")))
+          .withColumn("n", sum(col("obs")).over(
+            Window.partitionBy().orderBy().rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("df", expr("obs * n - rt * ct"))
+          .select(col("event_type"), col("dow"), col("obs"),
+            expr("rt * ct * 1000 div n").as("exp_milli"),
+            expr("""cast((cast(df as decimal(19,0)) * df * 1000000)
+                   |div (cast(n as decimal(19,0)) * rt * ct) as bigint)"""
+              .stripMargin).as("chi2_ppm"))
+          .orderBy("event_type", "dow")
+      }))
 }

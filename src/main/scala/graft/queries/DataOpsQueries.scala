@@ -186,5 +186,47 @@ object DataOpsQueries {
             min(col("l_orderkey")).as("key_min"),
             max(col("l_orderkey")).as("key_max"))
           .orderBy("rng")
+      }),
+
+    Q(
+      "audit_skew_profile",
+      """Join-key skew profile — the pre-flight check that decides when a
+        |key needs salting (skew_salted_agg) or an AQE skew split
+        |(SkewJoinSpec) BEFORE a job hits the hot-partition wall: for
+        |each declared join key, total rows, distinct keys, the hottest
+        |key's count, and the skew ratio in ppm of a perfectly uniform
+        |distribution (max_cnt * n_keys * 10^6 div n_rows; 10^6 =
+        |uniform). Each profile is a per-key aggregate (map-side
+        |combinable, key-cardinality-sized) collapsed to one summary row;
+        |the three profiles union into the report. All integer — no
+        |float ties.""".stripMargin,
+      Some {
+        def prof(name: String, key: String, table: String) =
+          s"""SELECT '$name' AS key_name,
+             |       CAST(SUM(c) AS BIGINT) AS n_rows,
+             |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |       CAST(MAX(c) AS BIGINT) AS max_cnt
+             |FROM (SELECT $key, COUNT(*) AS c FROM $table GROUP BY $key)"""
+            .stripMargin
+        s"""WITH p AS (
+           |  ${prof("events.user_id", "user_id", "events")}
+           |  UNION ALL ${prof("lineitem.l_partkey", "l_partkey", "lineitem")}
+           |  UNION ALL ${prof("lineitem.l_suppkey", "l_suppkey", "lineitem")})
+           |SELECT key_name, n_rows, n_keys, max_cnt,
+           |       max_cnt * n_keys * 1000000 // n_rows AS skew_ppm
+           |FROM p ORDER BY key_name""".stripMargin
+      },
+      (s, dir) => {
+        def prof(name: String, df: org.apache.spark.sql.DataFrame, key: String) =
+          df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+            .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+              max(col("c")).as("max_cnt"))
+            .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+              col("max_cnt"))
+        prof("events.user_id", Tables.events(s, dir), "user_id")
+          .unionAll(prof("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"))
+          .unionAll(prof("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"))
+          .withColumn("skew_ppm", expr("max_cnt * n_keys * 1000000 div n_rows"))
+          .orderBy("key_name")
       }))
 }

@@ -533,5 +533,82 @@ object SamplingQueries {
           .agg(count(lit(1)).as("n_docs"),
             min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
           .orderBy("source", "bucket")
+      }),
+
+    Q(
+      "corpus_pipeline_full",
+      """The FULL corpus-preparation composition as one oracle row:
+        |quality gate -> exact-dedup winner -> deterministic train/val/
+        |test split -> per-(split, source) sequence packing — the
+        |clean-to-training-batches path CorpusPipeline implements as
+        |code, proven end to end the way corpus_pipeline_keepers proves
+        |the crawl-curation path. Every stage IS the already-verified
+        |operator (s_clean_corpus's gate+winner, s_hash_split's seeded
+        |membership, s_pack_sequences's running-sum bins) via the shared
+        |Corpus/Text column definitions, so the composition cannot drift
+        |from the operators. Shape: one content-key window (dedup), then
+        |one (split, source) window (packing) — two key partitionings
+        |plus the output sort, nothing global.""".stripMargin,
+      Some(
+        """WITH stats AS (
+          |  SELECT doc_id, source,
+          |         len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+          |         CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS DOUBLE)
+          |           / len(string_split(lower(trim(text)), ' ')) AS ttr,
+          |         md5(array_to_string(list_sort(list_distinct(
+          |           string_split(lower(trim(text)), ' '))), ' ')) AS norm_key
+          |  FROM documents),
+          |keep AS (
+          |  SELECT doc_id, source, n_tokens,
+          |         (n_tokens >= 15 AND ttr >= 0.25)
+          |           AND doc_id = MIN(CASE WHEN n_tokens >= 15 AND ttr >= 0.25
+          |                                 THEN doc_id END)
+          |                        OVER (PARTITION BY norm_key) AS winner
+          |  FROM stats),
+          |sp AS (
+          |  SELECT doc_id, source, n_tokens,
+          |         CASE WHEN substr(md5(doc_id::VARCHAR || ':split-seed-42'), 1, 2) < '0d' THEN 'test'
+          |              WHEN substr(md5(doc_id::VARCHAR || ':split-seed-42'), 1, 2) < '27' THEN 'val'
+          |              ELSE 'train' END AS split
+          |  FROM keep WHERE winner),
+          |packed AS (
+          |  SELECT split, source, n_tokens,
+          |         SUM(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+          |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           - n_tokens AS prefix_before
+          |  FROM sp)
+          |SELECT split, source,
+          |       CAST(FLOOR(prefix_before / 256.0) AS BIGINT) AS bin,
+          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+          |FROM packed GROUP BY 1, 2, 3
+          |ORDER BY split, source, bin""".stripMargin),
+      (s, dir) => {
+        val toks = Text.tokens(col("text"))
+        val nTokens = size(toks)
+        val ttr = size(array_distinct(toks)).cast("double") / nTokens
+        val stats = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          nTokens.as("n_tokens"), ttr.as("ttr"),
+          Text.normalizedKey(col("text")).as("norm_key"))
+        val qual = Corpus.qualityGate(col("n_tokens"), col("ttr"), 15, 0.25)
+        val keyWin = Window.partitionBy("norm_key")
+        val kept = stats
+          .withColumn("winner",
+            qual && col("doc_id") ===
+              min(when(qual, col("doc_id"))).over(keyWin))
+          .filter(col("winner"))
+          .withColumn("split",
+            Corpus.splitLabel(Corpus.splitBucket(col("doc_id"), ":split-seed-42")))
+        val packWin = Window.partitionBy("split", "source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        kept
+          .withColumn("prefix_before",
+            sum(col("n_tokens")).over(packWin) - col("n_tokens"))
+          .groupBy(col("split"), col("source"),
+            Corpus.packBin(col("prefix_before"), 256).as("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy("split", "source", "bin")
       }))
 }

@@ -441,6 +441,19 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("full corpus pipeline: two key windows (norm_key, split+source), nothing global") {
+    val p = plan("corpus_pipeline_full")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "pipeline windows must stay key-partitioned")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "pipeline must not plan a join")
+    assert(shuffles(p).length <= 4, "pipeline grew a shuffle")
+  }
+
   test("wow change / log histogram: windows on collapsed frames, no joins") {
     Seq("w_wow_change", "a_log_histogram").foreach { q =>
       withClue(q) {

@@ -778,70 +778,123 @@ object TextQueries {
         |left-to-right with identical tie-breaks, so the final
         |segmentations match byte-for-byte. Output: each word's
         |segmentation after 3 merges.""".stripMargin,
-      Some {
-        val mergeT = (s: String, b: String) =>
-          s"""SELECT word, n,
-             |  list_reduce(list_transform(syms, s -> [s]), (acc, s1) ->
-             |    CASE WHEN len(acc) > 0 AND acc[-1] = $b.x AND s1[1] = $b.y
-             |         THEN list_append(acc[1:len(acc)-1], $b.x || $b.y)
-             |         ELSE list_append(acc, s1[1]) END) AS syms
-             |FROM $s, $b""".stripMargin
-        val pairsT = (s: String) =>
-          s"""SELECT syms[CAST(i AS INTEGER)] AS x, syms[CAST(i+1 AS INTEGER)] AS y,
-             |       CAST(SUM(n) AS BIGINT) AS cnt
-             |FROM $s, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
-             |GROUP BY 1, 2""".stripMargin
-        val bestT = (p: String) =>
-          s"SELECT x, y FROM $p ORDER BY cnt DESC, x, y LIMIT 1"
-        s"""WITH wf AS (
-           |  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
-           |  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
-           |        FROM documents)
-           |  GROUP BY 1),
-           |s0 AS (SELECT word, n, string_split(word, '') AS syms FROM wf),
-           |p1 AS (${pairsT("s0")}),
-           |b1 AS (${bestT("p1")}),
-           |s1 AS (${mergeT("s0", "b1")}),
-           |p2 AS (${pairsT("s1")}),
-           |b2 AS (${bestT("p2")}),
-           |s2 AS (${mergeT("s1", "b2")}),
-           |p3 AS (${pairsT("s2")}),
-           |b3 AS (${bestT("p3")}),
-           |s3 AS (${mergeT("s2", "b3")})
+      Some(
+        s"""WITH $bpeOracleCtes
            |SELECT word, n, array_to_string(syms, ' ') AS seg,
            |       CAST(len(syms) AS BIGINT) AS n_syms
-           |FROM s3 ORDER BY word""".stripMargin
-      },
-      (s, dir) => {
-        val wf = Tables.documents(s, dir)
-          .select(explode(Text.tokens(col("text"))).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("n"))
-        var st = wf.withColumn("syms", split(col("word"), ""))
-        (1 to 3).foreach { _ =>
-          val pairs = st
-            .select(col("n"), expr(
-              """CASE WHEN size(syms) >= 2
-                |THEN transform(sequence(1, size(syms) - 1), i ->
-                |       named_struct('x', element_at(syms, i),
-                |                    'y', element_at(syms, i + 1)))
-                |ELSE CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>)
-                |END""".stripMargin).as("ps"))
-            .select(col("n"), explode(col("ps")).as("p"))
-            .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-            .agg(sum(col("n")).as("cnt"))
-          val best = pairs.orderBy(col("cnt").desc, col("x"), col("y"))
-            .limit(1).select(col("x").as("bx"), col("y").as("by"))
-          st = st.crossJoin(broadcast(best))
-            .withColumn("syms", expr(
-              """aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) ->
-                |  IF(size(acc) > 0 AND element_at(acc, -1) = bx AND s = by,
-                |     concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by))),
-                |     concat(acc, array(s))))""".stripMargin))
-            .drop("bx", "by")
-        }
-        st.select(col("word"), col("n"),
+           |FROM s3 ORDER BY word""".stripMargin),
+      (s, dir) =>
+        bpeSegmentation(s, dir)
+          .select(col("word"), col("n"),
             concat_ws(" ", col("syms")).as("seg"),
             size(col("syms")).cast("long").as("n_syms"))
-          .orderBy("word")
+          .orderBy("word")),
+
+    Q(
+      "t_bpe_apply",
+      """BPE tokenizer APPLICATION — the encode side of
+        |t_bpe_train_merges, the way a corpus is actually tokenized at
+        |scale: the trained per-word segmentation (vocab-sized) becomes a
+        |BROADCAST lookup table, and each document's token stream joins
+        |it row-locally — the corpus never shuffles to be encoded. Output
+        |per document: word count, subword count after the 3 trained
+        |merges, and fertility (subwords per word) in integer ppm — the
+        |metric tokenizer evaluations report. The training CTE chain is
+        |shared verbatim with t_bpe_train_merges, so the applied
+        |segmentation is the proven one.""".stripMargin,
+      Some(
+        s"""WITH $bpeOracleCtes,
+           |seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM s3),
+           |dw AS (
+           |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+           |  FROM documents)
+           |SELECT dw.doc_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_words,
+           |       CAST(SUM(seg.n_syms) AS BIGINT) AS n_subwords,
+           |       CAST(SUM(seg.n_syms) AS BIGINT) * 1000000 // COUNT(*)
+           |         AS fertility_ppm
+           |FROM dw JOIN seg ON dw.word = seg.word
+           |GROUP BY dw.doc_id
+           |ORDER BY dw.doc_id""".stripMargin),
+      (s, dir) => {
+        val seg = bpeSegmentation(s, dir)
+          .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+          .join(broadcast(seg), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_subwords"))
+          .withColumn("fertility_ppm",
+            expr("n_subwords * 1000000 div n_words"))
+          .orderBy("doc_id")
       }))
+
+  /** The shared BPE-training oracle CTE chain: word frequencies ->
+    * char-split s0 -> three (pairs, best, merge) rounds -> s3(word, n,
+    * syms). Used verbatim by both t_bpe_train_merges and t_bpe_apply. */
+  private lazy val bpeOracleCtes: String = {
+    val mergeT = (s: String, b: String) =>
+      s"""SELECT word, n,
+         |  list_reduce(list_transform(syms, s -> [s]), (acc, s1) ->
+         |    CASE WHEN len(acc) > 0 AND acc[-1] = $b.x AND s1[1] = $b.y
+         |         THEN list_append(acc[1:len(acc)-1], $b.x || $b.y)
+         |         ELSE list_append(acc, s1[1]) END) AS syms
+         |FROM $s, $b""".stripMargin
+    val pairsT = (s: String) =>
+      s"""SELECT syms[CAST(i AS INTEGER)] AS x, syms[CAST(i+1 AS INTEGER)] AS y,
+         |       CAST(SUM(n) AS BIGINT) AS cnt
+         |FROM $s, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+         |GROUP BY 1, 2""".stripMargin
+    val bestT = (p: String) =>
+      s"SELECT x, y FROM $p ORDER BY cnt DESC, x, y LIMIT 1"
+    s"""wf AS (
+       |  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+       |        FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (SELECT word, n, string_split(word, '') AS syms FROM wf),
+       |p1 AS (${pairsT("s0")}),
+       |b1 AS (${bestT("p1")}),
+       |s1 AS (${mergeT("s0", "b1")}),
+       |p2 AS (${pairsT("s1")}),
+       |b2 AS (${bestT("p2")}),
+       |s2 AS (${mergeT("s1", "b2")}),
+       |p3 AS (${pairsT("s2")}),
+       |b3 AS (${bestT("p3")}),
+       |s3 AS (${mergeT("s2", "b3")})""".stripMargin
+  }
+
+  /** The shared Spark-side BPE training loop: word frequencies, 3 rounds
+    * of (pair count -> one-row sort-limit best -> broadcast -> row-local
+    * greedy remerge fold); returns (word, n, syms). */
+  private def bpeSegmentation(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val wf = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var st = wf.withColumn("syms", split(col("word"), ""))
+    (1 to 3).foreach { _ =>
+      val pairs = st
+        .select(col("n"), expr(
+          """CASE WHEN size(syms) >= 2
+            |THEN transform(sequence(1, size(syms) - 1), i ->
+            |       named_struct('x', element_at(syms, i),
+            |                    'y', element_at(syms, i + 1)))
+            |ELSE CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>)
+            |END""".stripMargin).as("ps"))
+        .select(col("n"), explode(col("ps")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("n")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).select(col("x").as("bx"), col("y").as("by"))
+      st = st.crossJoin(broadcast(best))
+        .withColumn("syms", expr(
+          """aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) ->
+            |  IF(size(acc) > 0 AND element_at(acc, -1) = bx AND s = by,
+            |     concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by))),
+            |     concat(acc, array(s))))""".stripMargin))
+        .drop("bx", "by")
+    }
+    st
+  }
 }

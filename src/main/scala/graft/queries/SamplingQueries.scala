@@ -610,5 +610,69 @@ object SamplingQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("bin_tokens"))
           .orderBy("split", "source", "bin")
+      }),
+
+    Q(
+      "s_jackknife_blocks",
+      """Block-jackknife variance estimation — the error bar a corpus
+        |statistic needs before anyone trusts it (delete-one-block
+        |resampling, the method survey statistics and LM eval suites use
+        |at scale because it needs only per-block sums): the mean
+        |purchase value is re-estimated leaving out each of 10
+        |hash-assigned blocks, and the jackknife variance
+        |(g-1)/g * sum((loo_i - mean_loo)^2) comes out in exact integer
+        |micro^2 via the g-scaled square trick (multiply through by g so
+        |no fractional mean is ever formed; means are scale-stable, so
+        |the squares stay far inside int64 at any replica). Blocks are
+        |md5-nibble-assigned (16 nibbles folded on 10 blocks — jackknife
+        |does not require equal blocks). Shape: ONE block aggregate (10
+        |rows) from one scan; every window after runs on the 10-row
+        |frame.""".stripMargin,
+      Some(
+        """WITH p AS (
+          |  SELECT CAST(floor(value * 1000000) AS BIGINT) AS vm,
+          |         strpos('0123456789abcdef',
+          |                substr(md5(CAST(event_id AS VARCHAR) || ':jk'), 1, 1)) % 10
+          |           AS blk
+          |  FROM events WHERE event_type = 'purchase'),
+          |b AS (
+          |  SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(vm) AS BIGINT) AS s_b
+          |  FROM p GROUP BY blk),
+          |t AS (
+          |  SELECT blk, n_b, s_b,
+          |         CAST(SUM(n_b) OVER () AS BIGINT) AS n,
+          |         CAST(SUM(s_b) OVER () AS BIGINT) AS s
+          |  FROM b),
+          |loo AS (
+          |  SELECT blk, n_b, s_b, n, s, (s - s_b) // (n - n_b) AS loo_mean FROM t),
+          |v AS (
+          |  SELECT blk, n_b, s_b, loo_mean, s // n AS grand_mean,
+          |         CAST(SUM(loo_mean) OVER () AS BIGINT) AS sl
+          |  FROM loo)
+          |SELECT blk, n_b, s_b, loo_mean, grand_mean,
+          |       9 * CAST(SUM((10 * loo_mean - sl) * (10 * loo_mean - sl)) OVER ()
+          |                AS BIGINT) // 1000 AS jk_var_milli
+          |FROM v ORDER BY blk""".stripMargin),
+      (s, dir) => {
+        val frame = Window.partitionBy().orderBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(floor(col("value") * 1000000L).cast("long").as("vm"),
+            (expr("instr('0123456789abcdef', substring(md5(concat(cast(event_id as string), ':jk')), 1, 1))") % 10)
+              .as("blk"))
+          .groupBy("blk")
+          .agg(count(lit(1)).as("n_b"), sum(col("vm")).as("s_b"))
+          .withColumn("n", sum(col("n_b")).over(frame))
+          .withColumn("s", sum(col("s_b")).over(frame))
+          .withColumn("loo_mean", expr("(s - s_b) div (n - n_b)"))
+          .withColumn("grand_mean", expr("s div n"))
+          .withColumn("sl", sum(col("loo_mean")).over(frame))
+          .withColumn("jk_var_milli",
+            expr("""9 * sum((10 * loo_mean - sl) * (10 * loo_mean - sl))
+                   |over (rows between unbounded preceding and unbounded following)
+                   |div 1000""".stripMargin.replace("\n", " ")))
+          .select("blk", "n_b", "s_b", "loo_mean", "grand_mean", "jk_var_milli")
+          .orderBy("blk")
       }))
 }

@@ -441,6 +441,24 @@ class PlanShapeSpec extends SparkSpec {
       "dedup-winner window must stay partitioned by content key")
   }
 
+  test("bpe apply: segmentation table broadcasts, corpus never shuffles to tokenize") {
+    val p = plan("t_bpe_apply")
+    assert(bcasts(p).nonEmpty, "bpe apply lost its segmentation broadcast")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "bpe apply must not plan a window")
+  }
+
+  test("skew profile / jackknife: aggregates only, no join") {
+    Seq("audit_skew_profile", "s_jackknife_blocks").foreach { q =>
+      withClue(q) {
+        assert(collectAll(plan(q)) {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty, s"$q must not plan a join")
+      }
+    }
+  }
+
   test("full corpus pipeline: two key windows (norm_key, split+source), nothing global") {
     val p = plan("corpus_pipeline_full")
     val windows = collectAll(p) {

@@ -333,6 +333,86 @@ object Multimodal {
     }
   }
 
+  case class PhashRow(media_id: Long, img_w: Int, img_h: Int, phash: Long)
+
+  /** Synthesize NEAR-DUPLICATE PNG families for perceptual-hash dedup:
+    * pixel content is a closed-form function of the doc's duplicate CLASS
+    * (`doc_id mod 37`) — base gray `(cls*31 + i*17) mod 201` — plus a
+    * PER-DOC brightness offset `doc_id mod 23`. Docs in the same class are
+    * therefore near-duplicates a byte-level or exact-pixel hash can NEVER
+    * group (every doc's pixels differ), while the average-hash in
+    * [[decodePhash]] is provably invariant to a constant brightness shift,
+    * so the whole class collapses to one fingerprint. Base ≤ 200 and
+    * offset ≤ 22 keep every pixel ≤ 222 — no channel clipping, which
+    * would break the invariance. Partition-local, no shuffle. */
+  def synthesizeNearDupPngs(documents: DataFrame): Dataset[PngAsset] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      useMemoryCachedImageIO()
+      ids.map { id =>
+        val cls = id % 37
+        val off = (id % 23).toInt
+        val w = 1 + (cls % 8).toInt
+        val h = 1 + (cls % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((cls * 31 + i * 17) % 201).toInt + off
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        PngAsset(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL perceptual fingerprint over decoded pixels — the average-hash
+    * (aHash) step of an image-dedup pipeline: `ImageIO.read` the blob,
+    * then bit `i` = 1 iff pixel `i` is at or above the image mean, packed
+    * little-endian into one long (w·h ≤ 40 bits here). The threshold is
+    * computed as `v*n >= sum` — pure integer arithmetic, no division, so
+    * the SQL oracle reproduces it exactly AND the hash is invariant under
+    * `v -> v+c` (both sides gain `n·c`), which is what makes it
+    * *perceptual*: brightness-shifted near-duplicates land on the same
+    * fingerprint. Partition-local decode; only the 8-byte fingerprint
+    * ever reaches a shuffle, never pixels — the property that lets image
+    * dedup run at 100 TB (decode cost scans, grouping cost is key-sized). */
+  def decodePhash(media: Dataset[PngAsset]): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      useMemoryCachedImageIO()
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null, s"undecodable image blob for media_id=${r.media_id}")
+        val w = img.getWidth; val h = img.getHeight; val n = w * h
+        val px = new Array[Long](n)
+        var sum = 0L; var i = 0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) >> 16) & 0xff // gray: channels equal
+            px(i) = v.toLong; sum += v
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        var hash = 0L; i = 0
+        while (i < n) {
+          if (px(i) * n >= sum) hash |= 1L << i
+          i += 1
+        }
+        PhashRow(r.media_id, w, h, hash)
+      }
+    }
+  }
+
   case class WavAsset(media_id: Long, blob: Array[Byte])
   case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long, amp_sum: Long)
 

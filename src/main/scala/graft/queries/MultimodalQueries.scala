@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops.Multimodal
 import graft.sources.Tables
+import org.apache.spark.sql.functions._
 
 /** Multimodal queries: expression-side stats, the frame-sampling manifest,
   * and a REAL image decode — PNG encode (`javax.imageio`) on one side,
@@ -125,6 +126,60 @@ object MultimodalQueries {
         Multimodal.resizeImageStats(
           Multimodal.synthesizePngs2x(Tables.documents(s, dir)))
           .toDF().orderBy("media_id")),
+
+    Q(
+      "mm_phash_dedup",
+      """Perceptual-hash IMAGE DEDUP — the multimodal twin of the text
+        |near-dup family: assets are REAL PNGs where docs sharing a class
+        |(doc_id mod 37) render the same base image shifted by a PER-DOC
+        |brightness offset (doc_id mod 23), so every blob and every pixel
+        |array is distinct — byte/exact-pixel dedup finds nothing — yet the
+        |average-hash (bit i = pixel_i*n >= sum, division-free integer
+        |threshold) is provably brightness-invariant and collapses each
+        |class to one 64-bit fingerprint. The query ImageIO-decodes each
+        |blob, fingerprints scan-side, and groups ONLY the 8-byte hashes:
+        |decode cost scans with the corpus, shuffle carries fingerprints,
+        |never pixels — the shape that makes image dedup viable at 100 TB.
+        |The oracle reproduces decode+hash arithmetically from the closed
+        |form (offset included — invariance is proven, not assumed).""".stripMargin,
+      Some(
+        """WITH px AS (
+          |  SELECT doc_id,
+          |         doc_id % 37 AS cls,
+          |         CAST(1 + (doc_id % 37) % 8 AS INT) AS img_w,
+          |         CAST(1 + (doc_id % 37) % 5 AS INT) AS img_h
+          |  FROM documents),
+          |hp AS (
+          |  SELECT doc_id, cls, img_w, img_h, img_w * img_h AS n,
+          |         list_transform(range(img_w * img_h),
+          |           i -> (cls*31 + i*17) % 201 + doc_id % 23) AS vs
+          |  FROM px),
+          |hh AS (
+          |  SELECT doc_id, cls, img_w, img_h,
+          |         CAST(list_sum(list_transform(range(n),
+          |           i -> CASE WHEN vs[i+1] * n >= list_sum(vs)
+          |                     THEN 1::BIGINT << i ELSE 0::BIGINT END))
+          |           AS BIGINT) AS phash
+          |  FROM hp)
+          |SELECT phash, img_w, img_h,
+          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(COUNT(DISTINCT cls) AS BIGINT) AS n_classes,
+          |       MIN(doc_id) AS rep_doc,
+          |       CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+          |FROM hh
+          |GROUP BY 1, 2, 3
+          |ORDER BY phash, img_w, img_h""".stripMargin),
+      (s, dir) =>
+        Multimodal.decodePhash(
+          Multimodal.synthesizeNearDupPngs(Tables.documents(s, dir)))
+          .toDF()
+          .groupBy(col("phash"), col("img_w"), col("img_h"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(expr("media_id % 37")).as("n_classes"),
+            min(col("media_id")).as("rep_doc"),
+            sum(col("media_id")).as("doc_sum"))
+          .orderBy("phash", "img_w", "img_h")),
 
     Q(
       "mm_media_stats",

@@ -10,6 +10,40 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("phash: brightness-shifted near-dups collapse; exact dedup would find nothing") {
+    val assets = Multimodal.synthesizeNearDupPngs(
+      Tables.documents(spark, sfSmoke).limit(200).select("doc_id"))
+    val ph = Multimodal.decodePhash(assets).toDF().cache()
+    try {
+      // every fingerprint group is exactly one duplicate class, and the
+      // classes genuinely collapse (multiple docs per group)
+      val groups = ph
+        .groupBy("phash", "img_w", "img_h")
+        .agg(countDistinct(expr("media_id % 37")).as("n_cls"),
+          count(lit(1)).as("n_docs"))
+        .collect()
+      assert(groups.forall(_.getAs[Long]("n_cls") === 1L),
+        "a fingerprint group mixed duplicate classes")
+      assert(groups.exists(_.getAs[Long]("n_docs") > 1L),
+        "no class collapsed — the near-dup synthesis is broken")
+      // the invariance claim is real: within a class the BLOBS differ
+      // (brightness offsets), so byte-level dedup cannot group them
+      val blobDistinct = assets.toDF()
+        .withColumn("cls", expr("media_id % 37"))
+        .withColumn("off", expr("media_id % 23"))
+        .groupBy("cls")
+        .agg(countDistinct(md5(col("blob"))).as("n_blobs"),
+          countDistinct(col("off")).as("n_offs"))
+        .collect()
+      blobDistinct.foreach { r =>
+        assert(r.getAs[Long]("n_blobs") === r.getAs[Long]("n_offs"),
+          s"class ${r.get(0)}: distinct offsets must give distinct blobs")
+      }
+      assert(blobDistinct.exists(_.getAs[Long]("n_blobs") > 1L),
+        "every class rendered one blob — exact dedup would already work")
+    } finally ph.unpersist()
+  }
+
   test("synthesize + extractFeatures: schema, determinism, histogram sanity") {
     val media = Multimodal.synthesize(Tables.documents(spark, sfSmoke))
     val ds = media.selectExpr("media_id", "kind", "blob", "width", "sample_rate", "n_frames")

@@ -179,6 +179,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(plan("dd_url_dedup")).length <= 2, "dd_url_dedup grew a shuffle")
   }
 
+  test("phash image dedup shuffles fingerprints only: decode scan-side, pixels never cross the wire") {
+    // decode+aHash run inside mapPartitions before any exchange; the
+    // shuffles are the fingerprint groupBy, the distinct-class expand
+    // (Spark's standard two-exchange distinct agg), and the final ORDER
+    // BY — every one keyed and sized by the 8-byte fingerprint
+    val p = plan("mm_phash_dedup")
+    val ex = shuffles(p)
+    assert(ex.length <= 3, "mm_phash_dedup grew a shuffle")
+    ex.foreach { e =>
+      val cols = e.output.map(_.name.toLowerCase)
+      assert(!cols.exists(c => c.contains("blob") || c.contains("px")),
+        s"an exchange carries pixel/blob data: $cols")
+    }
+  }
+
   test("perplexity buckets: cutoffs broadcast as one row, no doc-sized window") {
     val p = plan("t_perplexity_buckets")
     // the (c1, c2) cutoff row joins the scored corpus by broadcast nested

@@ -61,6 +61,48 @@ object GraphQueries {
     ranks
   }
 
+  /** The bipartite customer↔supplier trade edge list (both directions,
+    * supplier ids offset by 10^6) — shared by PageRank and BFS. */
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (lit(SupplierOffset) + col("l_suppkey")).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** The reusable multi-source BFS core: `edges(src, dst)` + seed node
+    * set → `(id, lvl)` minimum hop counts for every node reached within
+    * `maxLvl` hops. Classic frontier expansion: each iteration joins the
+    * CURRENT FRONTIER (not the visited set) to the edge list on src —
+    * frontier-sized probe, bucket-able by node id at cluster scale — then
+    * anti-joins the visited set to keep only newly discovered nodes, so
+    * per-iteration work is frontier-edges + a node-sized anti join, never
+    * edge-set × visited-set. Lineage is truncated per round
+    * (localCheckpoint), the same iterative-plan discipline as
+    * [[pagerank]] and ops/ConnectedComponents. */
+  def bfsLevels(edgesIn: org.apache.spark.sql.DataFrame,
+                seeds: org.apache.spark.sql.DataFrame,
+                maxLvl: Int): org.apache.spark.sql.DataFrame = {
+    val e = edgesIn.localCheckpoint()
+    var levels = seeds.select(col("id"), lit(0).as("lvl")).localCheckpoint()
+    var frontier = levels.select("id")
+    (1 to maxLvl).foreach { l =>
+      val next = e.join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(levels, Seq("id"), "left_anti")
+        .select(col("id"), lit(l).as("lvl"))
+        .localCheckpoint()
+      levels = levels.unionAll(next).localCheckpoint()
+      frontier = next.select("id")
+    }
+    levels
+  }
+
   val qs: Seq[Q] = Seq(
     Q(
       "g_pagerank",
@@ -116,20 +158,71 @@ object GraphQueries {
            |       r AS rank_micro
            |FROM r3
            |ORDER BY id""".stripMargin),
-      (s, dir) => {
-        val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"),
-            (lit(SupplierOffset) + col("l_suppkey")).as("s"))
-          .distinct()
-        val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-          .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-        pagerank(edges, Iters)
+      (s, dir) =>
+        pagerank(tradeEdges(s, dir), Iters)
           .select(col("id"),
             when(col("id") >= SupplierOffset, lit("supplier"))
               .otherwise(lit("customer")).as("node_type"),
             col("r").as("rank_micro"))
+          .orderBy("id")),
+
+    Q(
+      "g_bfs_levels",
+      """Multi-source BFS hop levels on the bipartite trade graph — the
+        |reachability / shortest-unweighted-path primitive (influence
+        |radius, contamination spread, link-distance features). Seeds are
+        |the customer nodes with id ≡ 1 (mod 50); three frontier
+        |expansions assign each reached node its MINIMUM hop count.
+        |Per-iteration work is frontier ⋈ edges (frontier-sized, keyed by
+        |node — bucket-able at cluster scale) plus a node-sized anti join
+        |against the visited set; the edge list is materialized once. The
+        |oracle unrolls the same three levels as NOT-IN set-subtraction
+        |CTEs — level sets are disjoint by construction, so (id) is a
+        |total order.""".stripMargin,
+      Some(
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT o.o_custkey AS c, $SupplierOffset + l.l_suppkey AS s
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |edges AS (
+           |  SELECT c AS src, s AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT s AS src, c AS dst FROM pairs),
+           |l0 AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |  WHERE src < $SupplierOffset AND src % 50 = 1),
+           |l1 AS (
+           |  SELECT DISTINCT e.dst AS id FROM edges e JOIN l0 ON e.src = l0.id
+           |  WHERE e.dst NOT IN (SELECT id FROM l0)),
+           |l2 AS (
+           |  SELECT DISTINCT e.dst AS id FROM edges e JOIN l1 ON e.src = l1.id
+           |  WHERE e.dst NOT IN (SELECT id FROM l0)
+           |    AND e.dst NOT IN (SELECT id FROM l1)),
+           |l3 AS (
+           |  SELECT DISTINCT e.dst AS id FROM edges e JOIN l2 ON e.src = l2.id
+           |  WHERE e.dst NOT IN (SELECT id FROM l0)
+           |    AND e.dst NOT IN (SELECT id FROM l1)
+           |    AND e.dst NOT IN (SELECT id FROM l2)),
+           |lv AS (
+           |  SELECT id, 0 AS lvl FROM l0
+           |  UNION ALL SELECT id, 1 FROM l1
+           |  UNION ALL SELECT id, 2 FROM l2
+           |  UNION ALL SELECT id, 3 FROM l3)
+           |SELECT id,
+           |       CASE WHEN id >= $SupplierOffset THEN 'supplier' ELSE 'customer' END
+           |         AS node_type,
+           |       CAST(lvl AS INT) AS lvl
+           |FROM lv
+           |ORDER BY id""".stripMargin),
+      (s, dir) => {
+        val edges = tradeEdges(s, dir)
+        val seeds = edges
+          .filter(col("src") < SupplierOffset && col("src") % 50 === 1)
+          .select(col("src").as("id")).distinct()
+        bfsLevels(edges, seeds, maxLvl = 3)
+          .select(col("id"),
+            when(col("id") >= SupplierOffset, lit("supplier"))
+              .otherwise(lit("customer")).as("node_type"),
+            col("lvl"))
           .orderBy("id")
       }),
 

@@ -148,5 +148,70 @@ object AsofRangeQueries {
           .select(col("a_id"), col("b_id"), col("user_id"),
             (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("gap_seconds"))
           .orderBy("a_id", "b_id")
+      }),
+
+    Q(
+      "j_interval_overlap",
+      """INTERVAL-OVERLAP join (both sides are intervals, not points):
+        |per-user-per-day activity spans [first event, last event] against
+        |"incident" hours — (type, hour) windows whose event count is
+        |>= 1.25x that type's average hourly rate over the corpus's fixed
+        |30-day window, in exact integer cross-multiplication
+        |(n*2880 >= 5*total). Engine shape: each span explodes into the
+        |<= 24 hour bins it covers (bounded by the day clip) and
+        |equi-joins the BROADCAST incident table on the bin — the
+        |inequality predicate then confirms true overlap row-locally. The
+        |naive inequality join the oracle runs is O(spans x windows);
+        |binning makes the engine's cost spans x covered-bins with a
+        |broadcast build side bounded by hours x types — the standard
+        |range-bin decomposition, here applied interval-to-interval.
+        |Half-open semantics: span [s_us, e_us] inclusive instants,
+        |window [hour_us, hour_us+3600e6).""".stripMargin,
+      Some(
+        """WITH sp AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS d,
+          |         MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us,
+          |         CAST(COUNT(*) AS BIGINT) AS span_n
+          |  FROM events GROUP BY 1, 2),
+          |hr AS (
+          |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+          |         CAST(COUNT(*) AS BIGINT) AS inc_n
+          |  FROM events GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+          |  FROM events GROUP BY 1),
+          |inc AS (
+          |  SELECT h.event_type, h.hour_us, h.inc_n
+          |  FROM hr h JOIN tot t ON h.event_type = t.event_type
+          |  WHERE h.inc_n * 2880 >= 5 * t.n_type)
+          |SELECT s.user_id, s.d, i.event_type, i.hour_us, s.span_n, i.inc_n
+          |FROM sp s JOIN inc i
+          |  ON s.s_us < i.hour_us + 3600000000 AND i.hour_us <= s.e_us
+          |ORDER BY user_id, d, event_type, hour_us""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val sp = ev
+          .withColumn("d", to_date(col("ts")))
+          .groupBy("user_id", "d")
+          .agg(
+            min(unix_micros(col("ts"))).as("s_us"),
+            max(unix_micros(col("ts"))).as("e_us"),
+            count(lit(1)).as("span_n"))
+        val hr = ev
+          .withColumn("hour_us", unix_micros(date_trunc("hour", col("ts"))))
+          .groupBy("event_type", "hour_us")
+          .agg(count(lit(1)).as("inc_n"))
+        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+        val inc = hr.join(tot, "event_type")
+          .filter(col("inc_n") * 2880 >= col("n_type") * 5)
+          .withColumn("hidx", expr("hour_us div 3600000000"))
+          .select("hidx", "event_type", "hour_us", "inc_n")
+        sp.withColumn("hidx",
+            explode(sequence(expr("s_us div 3600000000"), expr("e_us div 3600000000"))))
+          .join(broadcast(inc), Seq("hidx"))
+          .filter(col("s_us") < col("hour_us") + lit(3600000000L) &&
+            col("hour_us") <= col("e_us"))
+          .select("user_id", "d", "event_type", "hour_us", "span_n", "inc_n")
+          .orderBy("user_id", "d", "event_type", "hour_us")
       }))
 }

@@ -194,6 +194,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("interval-overlap join: incident side broadcast, span fan-out never shuffles") {
+    val p = plan("j_interval_overlap")
+    assert(bcasts(p).nonEmpty, "incident windows no longer broadcast")
+    // span agg + hourly agg + per-type total agg + output sort; the
+    // bin-exploded spans join the broadcast incidents without moving
+    assert(shuffles(p).length <= 4, "j_interval_overlap grew a shuffle")
+  }
+
   test("perplexity buckets: cutoffs broadcast as one row, no doc-sized window") {
     val p = plan("t_perplexity_buckets")
     // the (c1, c2) cutoff row joins the scored corpus by broadcast nested

@@ -34,6 +34,11 @@ object SketchQueries {
   /** (KmvK-1) * 2^48 — the estimator numerator, exact in BIGINT. */
   private val KmvNum = 255L * (1L << 48)
 
+  /** HLL: alpha_64 (709/1000) * m^2 * 2^36 — numerator of the raw
+    * estimator with every term scaled by 2^36 so the register sum stays
+    * an exact BIGINT. 709*4096*2^36 ~ 2.0e17, comfortably in range. */
+  private val HllNum = 709L * 4096L * (1L << 36)
+
   /** DuckDB: 48-bit integer from the first 12 hex chars of md5(expr). */
   private def duckHash48(expr: String): String =
     s"""CAST(list_sum(list_transform(range(1, 13),
@@ -92,6 +97,81 @@ object SketchQueries {
             col("est_distinct"),
             expr("abs(est_distinct - n_exact) * 1000000 div n_exact").as("err_ppm"))
           .orderBy("flag")
+      }),
+
+    Q(
+      "a_hll_distinct",
+      """HyperLogLog distinct-user estimation per event type — the
+        |fixed-size cardinality sketch (KMV's k values shrink to m=64
+        |REGISTERS). Hash each row to 48 bits (md5 prefix): low 6 bits
+        |pick the register, the next 36 supply rho = trailing-zero count
+        |+ 1; the sketch is MAX(rho) per register — an algebraic agg, so
+        |map-side partials collapse duplicates before the shuffle, which
+        |carries at most types x 64 single-byte registers NO MATTER the
+        |corpus size (the property that makes HLL the 100 TB
+        |count-distinct). The raw estimator alpha_64*m^2/sum(2^-M_j) is
+        |computed with every term scaled by 2^36, so the register sum and
+        |the division are exact BIGINT on both engines — no float, no
+        |libm. The exact COUNT(DISTINCT) rides alongside: the output
+        |calibrates the sketch in signed integer ppm (raw estimator, no
+        |small-range correction — n_reg is emitted so a consumer can
+        |apply one).""".stripMargin,
+      Some(
+        s"""WITH h AS (
+           |  SELECT event_type, ${duckHash48("CAST(user_id AS VARCHAR)")} AS h
+           |  FROM events),
+           |r AS (
+           |  SELECT event_type, h % 64 AS reg, (h // 64) % ${1L << 36} AS w
+           |  FROM h),
+           |rh AS (
+           |  SELECT event_type, reg,
+           |         CASE WHEN w = 0 THEN 36 ELSE length(bin(w & (-w))) END AS rho
+           |  FROM r),
+           |mj AS (SELECT event_type, reg, MAX(rho) AS m_j FROM rh GROUP BY 1, 2),
+           |s AS (
+           |  SELECT event_type,
+           |         CAST(SUM(1::BIGINT << CAST(36 - m_j AS INTEGER)) AS BIGINT)
+           |           + (64 - CAST(COUNT(*) AS BIGINT)) * ${1L << 36} AS s_all,
+           |         CAST(COUNT(*) AS BIGINT) AS n_reg
+           |  FROM mj GROUP BY 1),
+           |ex AS (
+           |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           |  FROM events GROUP BY 1)
+           |SELECT s.event_type, s.n_reg,
+           |       CAST($HllNum // (1000 * s.s_all) AS BIGINT) AS est_distinct,
+           |       ex.exact_distinct,
+           |       CAST((($HllNum // (1000 * s.s_all)) - ex.exact_distinct) * 1000000
+           |            // ex.exact_distinct AS BIGINT) AS err_ppm
+           |FROM s JOIN ex USING (event_type)
+           |ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+        val rho = ev
+          .withColumn("h",
+            expr("conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10)")
+              .cast("long"))
+          .withColumn("reg", expr("h % 64"))
+          .withColumn("w", expr(s"(h div 64) % ${1L << 36}"))
+          .withColumn("rho",
+            when(col("w") === 0, lit(36))
+              .otherwise(length(bin(expr("w & -w"))).cast("int")))
+        val mj = rho.groupBy("event_type", "reg").agg(max("rho").as("m_j"))
+        val sAll = mj.groupBy("event_type")
+          .agg(
+            sum(expr("shiftleft(cast(1 as bigint), cast(36 - m_j as int))"))
+              .as("s_present"),
+            count(lit(1)).as("n_reg"))
+          .withColumn("s_all",
+            col("s_present") + (lit(64L) - col("n_reg")) * lit(1L << 36))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct("user_id").as("exact_distinct"))
+        sAll.join(exact, "event_type")
+          .select(col("event_type"), col("n_reg"),
+            expr(s"$HllNum div (1000 * s_all)").as("est_distinct"),
+            col("exact_distinct"),
+            expr(s"(($HllNum div (1000 * s_all)) - exact_distinct) * 1000000" +
+              " div exact_distinct").as("err_ppm"))
+          .orderBy("event_type")
       }),
 
     Q(

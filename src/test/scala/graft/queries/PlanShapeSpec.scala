@@ -194,6 +194,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("hll distinct: register sketch aggregates before shuffling, calibration join broadcasts") {
+    val p = plan("a_hll_distinct")
+    // register max agg + register-sum agg + the exact-distinct expand
+    // pair + output sort; the (type,reg,rho) shuffle is the sketch —
+    // types x 64 rows after map-side partial max, never the key set
+    assert(shuffles(p).length <= 5, "a_hll_distinct grew a shuffle")
+    assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
+  }
+
   test("interval-overlap join: incident side broadcast, span fan-out never shuffles") {
     val p = plan("j_interval_overlap")
     assert(bcasts(p).nonEmpty, "incident windows no longer broadcast")

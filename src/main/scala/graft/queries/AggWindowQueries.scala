@@ -1132,5 +1132,77 @@ object AggWindowQueries {
                    |div (cast(n as decimal(19,0)) * rt * ct) as bigint)"""
               .stripMargin).as("chi2_ppm"))
           .orderBy("event_type", "dow")
+      }),
+
+    Q(
+      "a_private_agg",
+      """Differential-privacy-style bounded-contribution aggregation —
+        |the release pattern DP SQL engines (BigQuery DP, Tumult) run:
+        |(1) CONTRIBUTION BOUNDING: each user contributes at most k=4
+        |events per type (row_number over (user,type) ordered by
+        |event_id — deterministic where a DP system would sample;
+        |determinism is what makes the oracle byte-exact); (2) CLAMPING:
+        |each value clipped to [0, 50] in integer micros; (3) the
+        |sensitivity-calibrated noise term, Laplace(Δ/ε) with
+        |Δ = k·hi = 2e8 micros and ε = 1, here a DETERMINISTIC
+        |hash-derived stand-in (same convention as the multimodal codec
+        |stubs: the plumbing — bounding, clamping, sensitivity arithmetic
+        |— is real and checked; the sampler is the swappable bit). Scale
+        |shape: one (user,type)-keyed window for the cap, one per-type
+        |agg; both bucket-able, nothing corpus-sized crosses the wire
+        |twice. Output exposes every stage (raw vs clamped vs noised) so
+        |the privacy accounting is auditable.""".stripMargin,
+      Some(
+        """WITH ranked AS (
+          |  SELECT event_type, user_id,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS vm,
+          |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          |                            ORDER BY event_id) AS rn
+          |  FROM events),
+          |capped AS (
+          |  SELECT event_type, user_id,
+          |         vm, LEAST(GREATEST(vm, 0), 50000000) AS vc
+          |  FROM ranked WHERE rn <= 4),
+          |agg AS (
+          |  SELECT event_type,
+          |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+          |         CAST(COUNT(*) AS BIGINT) AS n_contrib,
+          |         CAST(SUM(vm) AS BIGINT) AS raw_sum_micro,
+          |         CAST(SUM(vc) AS BIGINT) AS clamped_sum_micro
+          |  FROM capped GROUP BY 1),
+          |noised AS (
+          |  SELECT *,
+          |         CAST(list_sum(list_transform(range(1, 13),
+          |             i -> (strpos('0123456789abcdef',
+          |                     substr(md5(event_type), CAST(i AS INTEGER), 1)) - 1)
+          |                  * power(16, 12 - i))) AS BIGINT)
+          |           % 400000001 - 200000000 AS noise_micro
+          |  FROM agg)
+          |SELECT event_type, n_users, n_contrib, raw_sum_micro,
+          |       clamped_sum_micro, noise_micro,
+          |       clamped_sum_micro + noise_micro AS dp_sum_micro
+          |FROM noised
+          |ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+        val capped = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            floor(col("value") * 1000000L).cast("long").as("vm"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .withColumn("vc", least(greatest(col("vm"), lit(0L)), lit(50000000L)))
+        capped.groupBy("event_type")
+          .agg(
+            countDistinct("user_id").as("n_users"),
+            count(lit(1)).as("n_contrib"),
+            sum("vm").as("raw_sum_micro"),
+            sum("vc").as("clamped_sum_micro"))
+          .withColumn("noise_micro",
+            expr("conv(substring(md5(event_type), 1, 12), 16, 10)").cast("long")
+              % 400000001L - 200000000L)
+          .select(col("event_type"), col("n_users"), col("n_contrib"),
+            col("raw_sum_micro"), col("clamped_sum_micro"), col("noise_micro"),
+            (col("clamped_sum_micro") + col("noise_micro")).as("dp_sum_micro"))
+          .orderBy("event_type")
       }))
 }

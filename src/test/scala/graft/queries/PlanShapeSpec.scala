@@ -194,6 +194,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("private agg: one contribution-cap window + one release agg, both on bucket-able keys") {
+    val p = plan("a_private_agg")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "contribution cap must stay partitioned by (user, type) — no global window")
+    // cap window shuffle + distinct-user expand pair + output sort
+    assert(shuffles(p).length <= 4, "a_private_agg grew a shuffle")
+  }
+
   test("hll distinct: register sketch aggregates before shuffling, calibration join broadcasts") {
     val p = plan("a_hll_distinct")
     // register max agg + register-sum agg + the exact-distinct expand

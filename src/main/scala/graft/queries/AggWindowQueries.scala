@@ -1135,6 +1135,59 @@ object AggWindowQueries {
       }),
 
     Q(
+      "w_time_weighted_avg",
+      """Time-weighted average — the telemetry/financial aggregate where a
+        |value holds UNTIL the next observation (sensor readings, account
+        |balances, feature freshness): per user-day, each event's value is
+        |weighted by the microseconds until the user's next event that day
+        |(LEAD over the (user, day) partition; the day's last reading gets
+        |weight 0 under the clipped-span convention), and the average is
+        |sum(v·dur)/sum(dur) in exact integer arithmetic — the weighted
+        |sum widened through DECIMAL/HUGEINT (v_micro x day-span exceeds
+        |2^63) and floored back to micros by integral division.
+        |Single-event days (span 0) are excluded rather than emitted as
+        |NULL averages. One (user, day)-keyed window + one agg on the same
+        |key — at cluster scale both stages ride one bucketing, nothing
+        |reshuffles.""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS d, epoch_us(ts) AS t, event_id,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS vm
+          |  FROM events),
+          |w AS (
+          |  SELECT user_id, d, vm,
+          |         LEAD(t) OVER (PARTITION BY user_id, d ORDER BY t, event_id) - t
+          |           AS dur
+          |  FROM e),
+          |agg AS (
+          |  SELECT user_id, d,
+          |         CAST(COUNT(*) AS BIGINT) AS n_events,
+          |         CAST(SUM(COALESCE(dur, 0)) AS BIGINT) AS span_us,
+          |         SUM(CAST(vm AS HUGEINT) * COALESCE(dur, 0)) AS wsum
+          |  FROM w GROUP BY 1, 2)
+          |SELECT user_id, d, n_events, span_us,
+          |       CAST(wsum // span_us AS BIGINT) AS twa_micro
+          |FROM agg WHERE span_us > 0
+          |ORDER BY user_id, d""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "d").orderBy("t", "event_id")
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            unix_micros(col("ts")).as("t"), col("event_id"),
+            floor(col("value") * 1000000L).cast("long").as("vm"))
+          .withColumn("dur", lead(col("t"), 1).over(w) - col("t"))
+        e.groupBy("user_id", "d")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(coalesce(col("dur"), lit(0L))).as("span_us"),
+            sum(expr("cast(vm as decimal(19,0)) * coalesce(dur, 0)")).as("wsum"))
+          .filter(col("span_us") > 0)
+          .select(col("user_id"), col("d"), col("n_events"), col("span_us"),
+            expr("cast(wsum div span_us as bigint)").as("twa_micro"))
+          .orderBy("user_id", "d")
+      }),
+
+    Q(
       "a_private_agg",
       """Differential-privacy-style bounded-contribution aggregation —
         |the release pattern DP SQL engines (BigQuery DP, Tumult) run:

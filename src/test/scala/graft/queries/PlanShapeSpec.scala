@@ -194,6 +194,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("time-weighted avg: LEAD window and agg share the (user,day) key — one data shuffle + sort") {
+    val p = plan("w_time_weighted_avg")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "duration LEAD must stay partitioned by (user, day)")
+    // the agg reuses the window's hash partitioning; only the window
+    // exchange + the output sort remain
+    assert(shuffles(p).length <= 2, "w_time_weighted_avg grew a shuffle")
+  }
+
   test("private agg: one contribution-cap window + one release agg, both on bucket-able keys") {
     val p = plan("a_private_agg")
     val windows = collectAll(p) {

@@ -39,6 +39,31 @@ object SketchQueries {
     * an exact BIGINT. 709*4096*2^36 ~ 2.0e17, comfortably in range. */
   private val HllNum = 709L * 4096L * (1L << 36)
 
+  /** Adds the m=64 HLL register coordinates for `user_id`: `reg` (low 6
+    * hash bits) and `rho` (trailing-zero count + 1 of the next 36 bits,
+    * 36 when they are all zero). Row-local; shared by the per-type and
+    * sliding-window sketch queries. */
+  private def hllRho(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = ev
+    .withColumn("h",
+      expr("conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10)")
+        .cast("long"))
+    .withColumn("reg", expr("h % 64"))
+    .withColumn("w", expr(s"(h div 64) % ${1L << 36}"))
+    .withColumn("rho",
+      when(col("w") === 0, lit(36))
+        .otherwise(length(bin(expr("w & -w"))).cast("int")))
+
+  /** The matching DuckDB fragment: SELECT-list expressions deriving
+    * (reg, w) from a hash column named `h`. */
+  private val duckHllRegW =
+    s"h % 64 AS reg, (h // 64) % ${1L << 36} AS w"
+  private val duckHllRho =
+    "CASE WHEN w = 0 THEN 36 ELSE length(bin(w & (-w))) END AS rho"
+  /** DuckDB: registers -> scaled 2^-M sum term (empty registers are the
+    * `(64 - COUNT(*)) * 2^36` completion at the agg site). */
+  private val duckHllTerm = "1::BIGINT << CAST(36 - m_j AS INTEGER)"
+
   /** DuckDB: 48-bit integer from the first 12 hex chars of md5(expr). */
   private def duckHash48(expr: String): String =
     s"""CAST(list_sum(list_transform(range(1, 13),
@@ -146,16 +171,7 @@ object SketchQueries {
            |ORDER BY event_type""".stripMargin),
       (s, dir) => {
         val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
-        val rho = ev
-          .withColumn("h",
-            expr("conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10)")
-              .cast("long"))
-          .withColumn("reg", expr("h % 64"))
-          .withColumn("w", expr(s"(h div 64) % ${1L << 36}"))
-          .withColumn("rho",
-            when(col("w") === 0, lit(36))
-              .otherwise(length(bin(expr("w & -w"))).cast("int")))
-        val mj = rho.groupBy("event_type", "reg").agg(max("rho").as("m_j"))
+        val mj = hllRho(ev).groupBy("event_type", "reg").agg(max("rho").as("m_j"))
         val sAll = mj.groupBy("event_type")
           .agg(
             sum(expr("shiftleft(cast(1 as bigint), cast(36 - m_j as int))"))
@@ -172,6 +188,98 @@ object SketchQueries {
             expr(s"(($HllNum div (1000 * s_all)) - exact_distinct) * 1000000" +
               " div exact_distinct").as("err_ppm"))
           .orderBy("event_type")
+      }),
+
+    Q(
+      "w_hll_sliding_distinct",
+      """Sliding-window distinct counts FROM MERGED SKETCHES — the
+        |mergeability payoff that makes HLL the cube/rollup cardinality
+        |primitive: per (type, day), a 64-register daily sketch is
+        |materialized ONCE (types x days x 64 rows); each trailing 7-day
+        |estimate then max-merges seven daily sketches — every stage
+        |after the daily agg works on the SKETCH TABLE, never the raw
+        |corpus, so a year of sliding windows costs 365x64 registers per
+        |key instead of 365 rescans (contrast w_rolling_distinct, the
+        |exact collapsed-frame twin, which must fan the distinct
+        |(day,user) frame). The daily sketches fan to the <= 7 windows
+        |they serve (calendar join against the BROADCAST corpus-days
+        |list; leading windows are partial by trailing-window
+        |convention), re-merge by MAX — the associativity the estimator
+        |inherits by construction — and the exact 7-day distinct rides
+        |alongside for ppm calibration.""".stripMargin,
+      Some(
+        s"""WITH ev AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS d, user_id FROM events),
+           |h AS (
+           |  SELECT event_type, d, ${duckHash48("CAST(user_id AS VARCHAR)")} AS h
+           |  FROM ev),
+           |rw AS (SELECT event_type, d, $duckHllRegW FROM h),
+           |rh AS (SELECT event_type, d, reg, $duckHllRho FROM rw),
+           |daily AS (
+           |  SELECT event_type, d, reg, MAX(rho) AS m_j FROM rh GROUP BY 1, 2, 3),
+           |cdays AS (SELECT DISTINCT d AS tday FROM ev),
+           |fan AS (
+           |  SELECT event_type, d + CAST(i AS INTEGER) AS tday, reg, m_j
+           |  FROM daily, LATERAL (SELECT unnest(range(7)) AS i)),
+           |merged AS (
+           |  SELECT f.event_type, f.tday, f.reg, MAX(f.m_j) AS m_j
+           |  FROM fan f JOIN cdays USING (tday)
+           |  GROUP BY 1, 2, 3),
+           |s AS (
+           |  SELECT event_type, tday,
+           |         CAST(SUM($duckHllTerm) AS BIGINT)
+           |           + (64 - CAST(COUNT(*) AS BIGINT)) * ${1L << 36} AS s_all,
+           |         CAST(COUNT(*) AS BIGINT) AS n_reg
+           |  FROM merged GROUP BY 1, 2),
+           |exd AS (SELECT DISTINCT event_type, d, user_id FROM ev),
+           |exf AS (
+           |  SELECT event_type, d + CAST(i AS INTEGER) AS tday, user_id
+           |  FROM exd, LATERAL (SELECT unnest(range(7)) AS i)),
+           |ex AS (
+           |  SELECT e.event_type, e.tday,
+           |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_7d
+           |  FROM exf e JOIN cdays USING (tday) GROUP BY 1, 2)
+           |SELECT s.event_type, s.tday, s.n_reg,
+           |       CAST($HllNum // (1000 * s.s_all) AS BIGINT) AS est_7d,
+           |       ex.exact_7d,
+           |       CAST((($HllNum // (1000 * s.s_all)) - ex.exact_7d) * 1000000
+           |            // ex.exact_7d AS BIGINT) AS err_ppm
+           |FROM s JOIN ex USING (event_type, tday)
+           |ORDER BY event_type, tday""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+        // materialized once (30 rows): both the sketch and the exact
+        // branch broadcast it, and without the checkpoint each branch
+        // would re-derive it with its own corpus scan + distinct exchange
+        val cdays = ev.select(col("d").as("tday")).distinct().localCheckpoint()
+        val daily = hllRho(ev)
+          .groupBy("event_type", "d", "reg").agg(max("rho").as("m_j"))
+        val merged = daily
+          .withColumn("td", explode(sequence(lit(0), lit(6))))
+          .withColumn("tday", expr("date_add(d, td)"))
+          .join(broadcast(cdays), "tday")
+          .groupBy("event_type", "tday", "reg").agg(max("m_j").as("m_j"))
+        val est = merged.groupBy("event_type", "tday")
+          .agg(
+            sum(expr("shiftleft(cast(1 as bigint), cast(36 - m_j as int))"))
+              .as("s_present"),
+            count(lit(1)).as("n_reg"))
+          .withColumn("s_all",
+            col("s_present") + (lit(64L) - col("n_reg")) * lit(1L << 36))
+        val exact = ev.distinct()
+          .withColumn("td", explode(sequence(lit(0), lit(6))))
+          .withColumn("tday", expr("date_add(d, td)"))
+          .join(broadcast(cdays), "tday")
+          .groupBy("event_type", "tday")
+          .agg(countDistinct("user_id").as("exact_7d"))
+        est.join(exact, Seq("event_type", "tday"))
+          .select(col("event_type"), col("tday"), col("n_reg"),
+            expr(s"$HllNum div (1000 * s_all)").as("est_7d"),
+            col("exact_7d"),
+            expr(s"(($HllNum div (1000 * s_all)) - exact_7d) * 1000000" +
+              " div exact_7d").as("err_ppm"))
+          .orderBy("event_type", "tday")
       }),
 
     Q(

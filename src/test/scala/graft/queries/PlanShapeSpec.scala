@@ -226,6 +226,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("sliding hll: corpus scans once into daily sketches; window merging is sketch-table-sized") {
+    val p = plan("w_hll_sliding_distinct")
+    assert(bcasts(p).nonEmpty, "corpus-days calendar no longer broadcast")
+    // daily-sketch agg + window re-merge agg + estimate agg + the exact
+    // twin's distinct + count-distinct expand pair + output sort: the
+    // raw corpus crosses a shuffle exactly twice (daily sketch, exact
+    // distinct) — everything else moves register- or frame-sized data,
+    // and the calendar is checkpoint-materialized once
+    assert(shuffles(p).length <= 7, "w_hll_sliding_distinct grew a shuffle")
+  }
+
   test("interval-overlap join: incident side broadcast, span fan-out never shuffles") {
     val p = plan("j_interval_overlap")
     assert(bcasts(p).nonEmpty, "incident windows no longer broadcast")

@@ -1135,6 +1135,90 @@ object AggWindowQueries {
       }),
 
     Q(
+      "a_corr_matrix",
+      """Pearson correlation matrix from ONE aggregate pass — the
+        |sufficient-statistics pattern every distributed stats library
+        |(MLlib Summarizer, datasketches) uses at scale: a single scan
+        |accumulates n, sums, squares, and cross-products for
+        |(quantity, discount%, tax%) per return flag; every pairwise
+        |correlation then derives from the 10 per-group numbers. No
+        |second pass, no centering pass — the shuffle carries 10 bigints
+        |per group regardless of corpus size. Exactness: sqrt never runs —
+        |the output is the SIGNED SQUARED correlation in ppm,
+        |sign(cov) * cov^2*10^6 div (var_x*var_y), widened through
+        |DECIMAL/HUGEINT (cov^2*10^6 ~ 10^37 at the 5x replica — inside
+        |38 digits, the documented bound), so both engines agree to the
+        |last bit with zero libm involvement. Zero-variance groups emit
+        |NULL rather than dividing.""".stripMargin,
+      Some(
+        """WITH b AS (
+          |  SELECT l_returnflag AS flag,
+          |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+          |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y,
+          |         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS z
+          |  FROM lineitem),
+          |m AS (
+          |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          |         CAST(SUM(z) AS BIGINT) AS sz,
+          |         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+          |         CAST(SUM(z*z) AS BIGINT) AS szz,
+          |         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*z) AS BIGINT) AS sxz,
+          |         CAST(SUM(y*z) AS BIGINT) AS syz
+          |  FROM b GROUP BY 1),
+          |c AS (
+          |  SELECT flag, n,
+          |         n*sxy - sx*sy AS nxy, n*sxz - sx*sz AS nxz, n*syz - sy*sz AS nyz,
+          |         n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy, n*szz - sz*sz AS dz
+          |  FROM m)
+          |SELECT flag, n,
+          |       CASE WHEN nxy > 0 THEN 1 WHEN nxy < 0 THEN -1 ELSE 0 END AS sgn_qd,
+          |       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+          |            ELSE CAST(CAST(nxy AS HUGEINT) * nxy * 1000000
+          |                      // (CAST(dx AS HUGEINT) * dy) AS BIGINT) END AS r2_ppm_qd,
+          |       CASE WHEN nxz > 0 THEN 1 WHEN nxz < 0 THEN -1 ELSE 0 END AS sgn_qt,
+          |       CASE WHEN dx = 0 OR dz = 0 THEN NULL
+          |            ELSE CAST(CAST(nxz AS HUGEINT) * nxz * 1000000
+          |                      // (CAST(dx AS HUGEINT) * dz) AS BIGINT) END AS r2_ppm_qt,
+          |       CASE WHEN nyz > 0 THEN 1 WHEN nyz < 0 THEN -1 ELSE 0 END AS sgn_dt,
+          |       CASE WHEN dy = 0 OR dz = 0 THEN NULL
+          |            ELSE CAST(CAST(nyz AS HUGEINT) * nyz * 1000000
+          |                      // (CAST(dy AS HUGEINT) * dz) AS BIGINT) END AS r2_ppm_dt
+          |FROM c
+          |ORDER BY flag""".stripMargin),
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("flag"),
+          floor(col("l_quantity") + 0.5).cast("long").as("x"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("y"),
+          floor(col("l_tax") * 100 + 0.5).cast("long").as("z"))
+        val m = b.groupBy("flag").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+          sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
+          sum(expr("z*z")).as("szz"),
+          sum(expr("x*y")).as("sxy"), sum(expr("x*z")).as("sxz"),
+          sum(expr("y*z")).as("syz"))
+        val c = m.select(col("flag"), col("n"),
+          expr("n*sxy - sx*sy").as("nxy"), expr("n*sxz - sx*sz").as("nxz"),
+          expr("n*syz - sy*sz").as("nyz"),
+          expr("n*sxx - sx*sx").as("dx"), expr("n*syy - sy*sy").as("dy"),
+          expr("n*szz - sz*sz").as("dz"))
+        def r2(num: String, d1: String, d2: String) =
+          expr(s"""CASE WHEN $d1 = 0 OR $d2 = 0 THEN NULL
+                  |ELSE cast(cast($num as decimal(38,0)) * $num * 1000000
+                  |     div (cast($d1 as decimal(38,0)) * $d2) as bigint)
+                  |END""".stripMargin)
+        def sgn(num: String) =
+          expr(s"CASE WHEN $num > 0 THEN 1 WHEN $num < 0 THEN -1 ELSE 0 END")
+        c.select(col("flag"), col("n"),
+            sgn("nxy").as("sgn_qd"), r2("nxy", "dx", "dy").as("r2_ppm_qd"),
+            sgn("nxz").as("sgn_qt"), r2("nxz", "dx", "dz").as("r2_ppm_qt"),
+            sgn("nyz").as("sgn_dt"), r2("nyz", "dy", "dz").as("r2_ppm_dt"))
+          .orderBy("flag")
+      }),
+
+    Q(
       "w_time_weighted_avg",
       """Time-weighted average — the telemetry/financial aggregate where a
         |value holds UNTIL the next observation (sensor readings, account

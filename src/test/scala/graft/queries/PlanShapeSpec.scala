@@ -194,6 +194,11 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("corr matrix: ONE aggregate pass — a single data shuffle carries 10 bigints per group") {
+    assert(shuffles(plan("a_corr_matrix")).length <= 2,
+      "a_corr_matrix must stay a one-pass sufficient-statistics agg + sort")
+  }
+
   test("time-weighted avg: LEAD window and agg share the (user,day) key — one data shuffle + sort") {
     val p = plan("w_time_weighted_avg")
     val windows = collectAll(p) {

@@ -191,6 +191,113 @@ object SketchQueries {
       }),
 
     Q(
+      "a_theta_intersect",
+      """Set-INTERSECTION cardinality from KMV/theta sketches — the set
+        |operation HLL cannot do and the reason Druid/DataSketches ship
+        |theta sketches: per event type, keep the k=256 smallest 48-bit
+        |user hashes (bounded-heap aggregate — the sketch); for each type
+        |pair, theta = min(kth_A, kth_B) and the estimate counts SHARED
+        |sample values below theta, scaled by 2^48/theta in exact integer
+        |division. Every post-sketch stage (sample explode, pair join,
+        |count) works on <= types x 256 rows — the corpus is scanned once
+        |and never joined. Types with fewer than k distinct users keep
+        |their FULL set (theta = 2^48), so the estimator degrades to the
+        |exact intersection — both regimes exercised across the SFs. The
+        |exact pairwise intersection rides alongside (user-keyed
+        |self-join) to calibrate in signed ppm.""".stripMargin,
+      Some(
+        s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+           |hv AS (
+           |  SELECT event_type, ${duckHash48("CAST(user_id AS VARCHAR)")} AS v
+           |  FROM du),
+           |rk AS (
+           |  SELECT event_type, v,
+           |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+           |  FROM hv),
+           |smp AS (SELECT event_type, v, rn FROM rk WHERE rn <= $KmvK),
+           |th AS (
+           |  SELECT event_type,
+           |         COALESCE(MAX(CASE WHEN rn = $KmvK THEN v END), ${1L << 48})
+           |           AS theta
+           |  FROM smp GROUP BY 1),
+           |pairs AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |         LEAST(ta.theta, tb.theta) AS theta,
+           |         CAST(COUNT(*) FILTER (
+           |           WHERE a.v < LEAST(ta.theta, tb.theta)) AS BIGINT)
+           |           AS n_common_samples
+           |  FROM smp a
+           |  JOIN smp b ON a.v = b.v AND a.event_type < b.event_type
+           |  JOIN th ta ON ta.event_type = a.event_type
+           |  JOIN th tb ON tb.event_type = b.event_type
+           |  GROUP BY 1, 2, 3),
+           |ex AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |         CAST(COUNT(*) AS BIGINT) AS exact_common
+           |  FROM du a JOIN du b
+           |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+           |  GROUP BY 1, 2)
+           |SELECT p.type_a, p.type_b, p.theta, p.n_common_samples,
+           |       CAST(p.n_common_samples * ${1L << 48}
+           |            // GREATEST(p.theta, 1) AS BIGINT) AS est_common,
+           |       ex.exact_common,
+           |       CAST((p.n_common_samples * ${1L << 48} // GREATEST(p.theta, 1)
+           |             - ex.exact_common) * 1000000 // ex.exact_common AS BIGINT)
+           |         AS err_ppm
+           |FROM pairs p JOIN ex USING (type_a, type_b)
+           |ORDER BY type_a, type_b""".stripMargin),
+      (s, dir) => {
+        val du = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id")).distinct()
+        val hv = du.withColumn("v",
+          expr("conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10)")
+            .cast("long"))
+        // one bounded-heap pass per type: the k smallest hashes ARE the
+        // sketch; theta is the kth (largest retained) or 2^48 when the
+        // set fits entirely
+        val sk = hv.groupBy("event_type")
+          .agg(Vectors.topKByScore(-col("v").cast("double"), col("v"), KmvK)
+            .as("top"))
+          .select(col("event_type"),
+            coalesce(element_at(col("top"), KmvK).getField("id"),
+              lit(1L << 48)).as("theta"),
+            col("top"))
+          .localCheckpoint() // sketch table: types x (k+1) values, built once
+        val smp = sk.select(col("event_type"),
+          explode(col("top")).as("t")).select(col("event_type"),
+          col("t").getField("id").as("v"))
+        val th = sk.select(col("event_type"), col("theta"))
+        val pairs = smp.as("a")
+          .join(smp.as("b"),
+            col("a.v") === col("b.v") && col("a.event_type") < col("b.event_type"))
+          .join(broadcast(th.select(col("event_type").as("ta_t"),
+            col("theta").as("theta_a"))), col("a.event_type") === col("ta_t"))
+          .join(broadcast(th.select(col("event_type").as("tb_t"),
+            col("theta").as("theta_b"))), col("b.event_type") === col("tb_t"))
+          .withColumn("theta", least(col("theta_a"), col("theta_b")))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"), col("theta"))
+          .agg(sum(when(col("a.v") < col("theta"), 1L).otherwise(0L))
+            .as("n_common_samples"))
+        val ex = du.as("a")
+          .join(du.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("exact_common"))
+        pairs.join(ex, Seq("type_a", "type_b"))
+          .select(col("type_a"), col("type_b"), col("theta"),
+            col("n_common_samples"),
+            expr(s"n_common_samples * ${1L << 48} div greatest(theta, 1)")
+              .as("est_common"),
+            col("exact_common"),
+            expr(s"(n_common_samples * ${1L << 48} div greatest(theta, 1)" +
+              " - exact_common) * 1000000 div exact_common").as("err_ppm"))
+          .orderBy("type_a", "type_b")
+      }),
+
+    Q(
       "w_hll_sliding_distinct",
       """Sliding-window distinct counts FROM MERGED SKETCHES — the
         |mergeability payoff that makes HLL the cube/rollup cardinality

@@ -231,6 +231,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("theta intersect: sketch built once, pair work is sample-sized, thetas broadcast") {
+    val p = plan("a_theta_intersect")
+    assert(bcasts(p).nonEmpty, "theta tables no longer broadcast")
+    // (type,user) distinct + sketch agg feed the checkpointed sketch;
+    // downstream: pair-count agg + the exact twin's distinct + join +
+    // agg exchanges + output sort
+    assert(shuffles(p).length <= 8, "a_theta_intersect grew a shuffle")
+  }
+
   test("sliding hll: corpus scans once into daily sketches; window merging is sketch-table-sized") {
     val p = plan("w_hll_sliding_distinct")
     assert(bcasts(p).nonEmpty, "corpus-days calendar no longer broadcast")

@@ -12,6 +12,34 @@ import org.apache.spark.sql.functions._
 object AggWindowQueries {
   import Num.{d, dec}
 
+  /** SCD2 interval reconstruction core (see `k_scd2_intervals`): event
+    * stream → per-user validity runs `(user_id, run_id, status,
+    * valid_from, n_events)` — lag marks run starts, a running sum
+    * numbers runs, one group-by emits; all on a single user_id hash
+    * partitioning. Shared with the point-in-time lookup
+    * (`j_scd2_lookup`). */
+  def scd2Intervals(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = ev
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("new_run",
+        when(lag(col("event_type"), 1).over(uw).isNull
+          || lag(col("event_type"), 1).over(uw) =!= col("event_type"), 1)
+          .otherwise(0))
+      // first row: LAG NULL IS DISTINCT FROM type -> 1, mirrored above
+      .withColumn("run_id",
+        sum(col("new_run")).over(uw.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    runs.groupBy("user_id", "run_id")
+      .agg(
+        min(col("event_type")).as("status"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("run_id").cast("long").as("run_id"),
+        col("status"), col("valid_from"), col("n_events"))
+  }
+
   val qs: Seq[Q] = Seq(
     Q(
       "w_funnel_conversion",
@@ -106,24 +134,9 @@ object AggWindowQueries {
           |FROM iv
           |ORDER BY user_id, run_id""".stripMargin),
       (s, dir) => {
-        val uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val runs = Tables.events(s, dir)
-          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-          .withColumn("new_run",
-            when(lag(col("event_type"), 1).over(uw).isNull
-              || lag(col("event_type"), 1).over(uw) =!= col("event_type"), 1)
-              .otherwise(0))
-          // first row: LAG NULL IS DISTINCT FROM type -> 1, mirrored above
-          .withColumn("run_id",
-            sum(col("new_run")).over(uw.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow)))
-        val iv = runs.groupBy("user_id", "run_id")
-          .agg(
-            min(col("event_type")).as("status"),
-            min(col("ts")).as("valid_from"),
-            count(lit(1)).as("n_events"))
+        val iv = scd2Intervals(Tables.events(s, dir))
         val rw = Window.partitionBy("user_id").orderBy("run_id")
-        iv.select(col("user_id"), col("run_id").cast("long").as("run_id"),
+        iv.select(col("user_id"), col("run_id"),
             col("status"), col("valid_from"),
             lead(col("valid_from"), 1).over(rw).as("valid_to"),
             col("n_events"))

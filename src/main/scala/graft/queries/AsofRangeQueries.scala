@@ -151,6 +151,88 @@ object AsofRangeQueries {
       }),
 
     Q(
+      "j_scd2_lookup",
+      """Point-in-time (temporal) lookup against SCD2 validity intervals —
+        |the "what was each user's status at time T?" join every
+        |warehouse audit runs. Dimension versions come from the SHARED
+        |scd2Intervals core (k_scd2_intervals); probes are every user at
+        |two fixed audit instants. The engine resolves containment with
+        |the as-of UNION-SCAN: interval starts and probes interleave on
+        |one (user, ts, kind) ordering and an ignore-nulls carry hands
+        |each probe the latest version started at-or-before it — one
+        |user-key partitioning, linear per user, no inequality join at
+        |any scale. Versions sharing a start instant are deduped to the
+        |highest run first (same rule both engines), so the carry is
+        |deterministic. The oracle is DuckDB's native ASOF JOIN with
+        |valid_from <= t — matching rows prove the union-scan implements
+        |real temporal-join semantics. Probes before a user's first
+        |version drop (inner semantics).""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_type, ts, event_id FROM events),
+          |flagged AS (
+          |  SELECT user_id, event_type, ts,
+          |         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+          |              THEN 1 ELSE 0 END AS new_run,
+          |         event_id
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |runs AS (
+          |  SELECT user_id, event_type, ts,
+          |         SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS run_id
+          |  FROM flagged),
+          |iv AS (
+          |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+          |         MIN(event_type) AS status,
+          |         MIN(ts) AS valid_from
+          |  FROM runs GROUP BY user_id, run_id),
+          |ivd AS (
+          |  SELECT user_id, run_id, status, valid_from FROM (
+          |    SELECT iv.*, ROW_NUMBER() OVER (PARTITION BY user_id, valid_from
+          |                                    ORDER BY run_id DESC) AS dupr
+          |    FROM iv) WHERE dupr = 1),
+          |probes AS (
+          |  SELECT user_id, t
+          |  FROM (SELECT DISTINCT user_id FROM events)
+          |  CROSS JOIN (VALUES (TIMESTAMP '2024-01-10 12:00:00'),
+          |                     (TIMESTAMP '2024-01-20 12:00:00')) AS pt(t))
+          |SELECT p.user_id, p.t AS probe_ts, i.run_id, i.status, i.valid_from
+          |FROM probes p ASOF JOIN ivd i
+          |  ON p.user_id = i.user_id AND i.valid_from <= p.t
+          |ORDER BY p.user_id, probe_ts""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val iv = AggWindowQueries.scd2Intervals(ev)
+        val dw = Window.partitionBy("user_id", "valid_from")
+          .orderBy(col("run_id").desc)
+        val ivd = iv.withColumn("dupr", row_number().over(dw))
+          .filter(col("dupr") === 1)
+        val probes = ev.select("user_id").distinct()
+          .select(col("user_id"),
+            explode(array(
+              to_timestamp(lit("2024-01-10 12:00:00")),
+              to_timestamp(lit("2024-01-20 12:00:00")))).as("t"))
+        val left = ivd.select(col("user_id"), col("valid_from").as("ts"),
+          lit(0).as("kind"), col("run_id"), col("status"),
+          lit(null).cast("timestamp").as("probe_ts"))
+        val right = probes.select(col("user_id"), col("t").as("ts"),
+          lit(1).as("kind"), lit(null).cast("long").as("run_id"),
+          lit(null).cast("string").as("status"), col("t").as("probe_ts"))
+        val cw = Window.partitionBy("user_id").orderBy("ts", "kind")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        left.unionByName(right)
+          .withColumn("c_run", last(col("run_id"), ignoreNulls = true).over(cw))
+          .withColumn("c_status", last(col("status"), ignoreNulls = true).over(cw))
+          .withColumn("c_from",
+            last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(cw))
+          .filter(col("kind") === 1 && col("c_status").isNotNull)
+          .select(col("user_id"), col("probe_ts"), col("c_run").as("run_id"),
+            col("c_status").as("status"), col("c_from").as("valid_from"))
+          .orderBy("user_id", "probe_ts")
+      }),
+
+    Q(
       "j_interval_overlap",
       """INTERVAL-OVERLAP join (both sides are intervals, not points):
         |per-user-per-day activity spans [first event, last event] against

@@ -231,6 +231,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("scd2 point-in-time lookup: union-scan on one user partitioning, no join operator at all") {
+    val p = plan("j_scd2_lookup")
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      "the temporal lookup must resolve by union-scan carry, not a join")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "every window must stay user-partitioned")
+  }
+
   test("theta intersect: sketch built once, pair work is sample-sized, thetas broadcast") {
     val p = plan("a_theta_intersect")
     assert(bcasts(p).nonEmpty, "theta tables no longer broadcast")

@@ -75,6 +75,21 @@ object GraphQueries {
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
 
+  /** The part co-purchase edge list (parts sharing >= 2 orders, u < v) —
+    * shared by triangle counting and k-core peeling. */
+  private def partEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    op.as("a")
+      .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("u", "v")
+  }
+
   /** The reusable multi-source BFS core: `edges(src, dst)` + seed node
     * set → `(id, lvl)` minimum hop counts for every node reached within
     * `maxLvl` hops. Classic frontier expansion: each iteration joins the
@@ -259,17 +274,97 @@ object GraphQueries {
           |  UNION ALL SELECT c FROM tri)
           |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
           |FROM nodes GROUP BY node ORDER BY node""".stripMargin),
+      (s, dir) => triangleCounts(partEdges(s, dir)).orderBy("node"),
+    ),
+
+    Q(
+      "g_kcore_peel",
+      """k-core decomposition by iterated peeling (k=3, 3 rounds) on the
+        |part co-purchase graph — the density-filtering primitive
+        |(community cores, spam-graph pruning, GNN neighborhood
+        |selection). Each round: one degree aggregation, then nodes with
+        |degree < 3 peel and their edges drop via ANTI-joins against the
+        |(small) peel set — the classic iterated filter-by-aggregate, a
+        |different iterative shape from BFS's frontier or CC's pointer
+        |chase. Per-round cost is one edge-keyed agg + two anti probes;
+        |the edge list re-materializes each round (localCheckpoint) so
+        |the lineage stays 3 stages, not exponential. The oracle unrolls
+        |the same three peels as NOT-IN CTEs. Output: each node's peel
+        |round (1-3) or 0 for the 3-core survivors — a total (node)
+        |order.""".stripMargin,
+      Some(
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |e0 AS (
+          |  SELECT a.p AS u, b.p AS v
+          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          |ed0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+          |d0 AS (SELECT u AS node, COUNT(*) AS d FROM ed0 GROUP BY 1),
+          |p1 AS (SELECT node FROM d0 WHERE d < 3),
+          |ed1 AS (
+          |  SELECT u, v FROM ed0
+          |  WHERE u NOT IN (SELECT node FROM p1)
+          |    AND v NOT IN (SELECT node FROM p1)),
+          |d1 AS (SELECT u AS node, COUNT(*) AS d FROM ed1 GROUP BY 1),
+          |p2 AS (
+          |  SELECT node FROM d1 WHERE d < 3
+          |  UNION ALL
+          |  SELECT node FROM d0
+          |  WHERE node NOT IN (SELECT node FROM p1)
+          |    AND node NOT IN (SELECT node FROM d1)),
+          |ed2 AS (
+          |  SELECT u, v FROM ed1
+          |  WHERE u NOT IN (SELECT node FROM p2)
+          |    AND v NOT IN (SELECT node FROM p2)),
+          |d2 AS (SELECT u AS node, COUNT(*) AS d FROM ed2 GROUP BY 1),
+          |p3 AS (
+          |  SELECT node FROM d2 WHERE d < 3
+          |  UNION ALL
+          |  SELECT node FROM d1
+          |  WHERE node NOT IN (SELECT node FROM p2)
+          |    AND node NOT IN (SELECT node FROM d2))
+          |SELECT node,
+          |       CASE WHEN node IN (SELECT node FROM p1) THEN 1
+          |            WHEN node IN (SELECT node FROM p2) THEN 2
+          |            WHEN node IN (SELECT node FROM p3) THEN 3
+          |            ELSE 0 END AS peel_round
+          |FROM d0
+          |ORDER BY node""".stripMargin),
       (s, dir) => {
-        val op = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = op.as("a")
-          .join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select("u", "v")
-        triangleCounts(e).orderBy("node")
+        // undirected degree view: each edge contributes both directions
+        val e0u = partEdges(s, dir)
+        var edges = e0u.select(col("u"), col("v"))
+          .unionAll(e0u.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        val allNodes = edges.select(col("u").as("node")).distinct()
+          .localCheckpoint()
+        var peeled: org.apache.spark.sql.DataFrame = null
+        (1 to 3).foreach { r =>
+          val deg = edges.groupBy(col("u").as("node"))
+            .agg(count(lit(1)).as("d"))
+          // isolated nodes (all edges gone) peel this round too
+          val present = deg.select("node")
+          val low = deg.filter(col("d") < 3).select("node")
+          val gone =
+            if (peeled == null) low
+            else allNodes.join(peeled, Seq("node"), "left_anti")
+              .join(present, Seq("node"), "left_anti")
+              .unionAll(low)
+          val out = gone.distinct().withColumn("peel_round", lit(r))
+            .localCheckpoint()
+          peeled = (if (peeled == null) out.select("node", "peel_round")
+                    else peeled.unionAll(out.select("node", "peel_round")))
+            .localCheckpoint()
+          edges = edges
+            .join(out.select(col("node").as("u")), Seq("u"), "left_anti")
+            .join(out.select(col("node").as("v")), Seq("v"), "left_anti")
+            .localCheckpoint()
+        }
+        allNodes
+          .join(peeled, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("peel_round"), lit(0)).as("peel_round"))
+          .orderBy("node")
       }))
 
   /** The reusable triangle core: undirected edges `(u, v)` with u < v →

@@ -151,6 +151,76 @@ object AsofRangeQueries {
       }),
 
     Q(
+      "j_multitouch_attribution",
+      """LINEAR multi-touch attribution — the ad-tech credit model where
+        |every view in the 24h before a purchase shares the conversion
+        |equally (contrast j_asof_attribution's winner-take-all last
+        |touch). Credits are exact integer ppm: each view gets
+        |floor(10^6/n) and the LATEST view absorbs the remainder, so
+        |credit per purchase sums to exactly 10^6 — an auditable
+        |invariant carried in the data. The engine joins purchases to
+        |views through the day-bin decomposition (each purchase probes
+        |its two covering day bins on the (user, bin) key; the window
+        |predicate then confirms row-locally), the same range-bin shape
+        |as j_range_bin_join — never the oracle's all-pairs inequality
+        |join; the share window partitions by purchase, conversion-sized
+        |keys only.""".stripMargin,
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS vt
+          |  FROM events WHERE event_type = 'view'),
+          |p AS (
+          |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+          |  FROM events WHERE event_type = 'purchase'),
+          |pairs AS (
+          |  SELECT p.purchase_id, p.user_id, v.view_id, p.pt, v.vt
+          |  FROM p JOIN v ON p.user_id = v.user_id
+          |  WHERE v.vt < p.pt AND p.pt - v.vt <= 86400000000),
+          |rk AS (
+          |  SELECT *,
+          |         CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+          |           AS n_views,
+          |         ROW_NUMBER() OVER (PARTITION BY purchase_id
+          |                            ORDER BY vt DESC, view_id DESC) AS rk
+          |  FROM pairs)
+          |SELECT purchase_id, view_id, user_id, n_views,
+          |       CAST(1000000 // n_views
+          |            + CASE WHEN rk = 1 THEN 1000000 % n_views ELSE 0 END
+          |         AS BIGINT) AS credit_ppm,
+          |       (pt - vt) // 1000000 AS gap_s
+          |FROM rk
+          |ORDER BY purchase_id, view_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+            unix_micros(col("ts")).as("vt"))
+          .withColumn("bin", expr("vt div 86400000000"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("pt"))
+          .withColumn("bin",
+            explode(array(expr("pt div 86400000000"),
+              expr("pt div 86400000000 - 1"))))
+        val pairs = p.join(v,
+            col("user_id") === col("vu") && p("bin") === v("bin"))
+          .filter(col("vt") < col("pt") &&
+            col("pt") - col("vt") <= 86400000000L)
+        val pw = Window.partitionBy("purchase_id")
+        val rw = pw.orderBy(col("vt").desc, col("view_id").desc)
+        pairs
+          .withColumn("n_views", count(lit(1)).over(pw))
+          .withColumn("rk", row_number().over(rw))
+          .select(col("purchase_id"), col("view_id"), col("user_id"),
+            col("n_views"),
+            (expr("1000000 div n_views") +
+              when(col("rk") === 1, expr("1000000 % n_views"))
+                .otherwise(0L)).as("credit_ppm"),
+            expr("(pt - vt) div 1000000").as("gap_s"))
+          .orderBy("purchase_id", "view_id")
+      }),
+
+    Q(
       "j_scd2_lookup",
       """Point-in-time (temporal) lookup against SCD2 validity intervals —
         |the "what was each user's status at time T?" join every

@@ -231,6 +231,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("multitouch attribution: range-bin equi join, purchase-keyed share windows, no cartesian") {
+    val p = plan("j_multitouch_attribution")
+    val bnl = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bnl.isEmpty, "the view-purchase match must stay a (user,bin) equi join")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "credit windows must stay purchase-partitioned")
+  }
+
   test("scd2 point-in-time lookup: union-scan on one user partitioning, no join operator at all") {
     val p = plan("j_scd2_lookup")
     val joins = collectAll(p) {

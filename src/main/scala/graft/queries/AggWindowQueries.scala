@@ -1148,6 +1148,49 @@ object AggWindowQueries {
       }),
 
     Q(
+      "w_top_paths",
+      """Top user journeys — the funnel-path mining query (which opening
+        |sequences dominate?): each user's FIRST FIVE events (by ts,
+        |event_id) collapse into an ordered path string; paths group and
+        |rank by user count. The path build is one user-key window
+        |(row_number <= 5) + one user-key agg sharing the same
+        |partitioning; path frequencies then aggregate on the tiny
+        |distinct-path key space (<= 5^5 + shorter prefixes), so the
+        |global ranking sorts a bounded frame no matter how many users
+        |exist. Ties broken by path text — a total order, LIMIT 20 is
+        |deterministic on both engines.""".stripMargin,
+      Some(
+        """WITH r AS (
+          |  SELECT user_id, event_type,
+          |         ROW_NUMBER() OVER (PARTITION BY user_id
+          |                            ORDER BY ts, event_id) AS rn
+          |  FROM events),
+          |paths AS (
+          |  SELECT user_id,
+          |         string_agg(event_type, '>' ORDER BY rn) AS path
+          |  FROM r WHERE rn <= 5 GROUP BY user_id)
+          |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+          |FROM paths
+          |GROUP BY path
+          |ORDER BY n_users DESC, path
+          |LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(uw))
+          .filter(col("rn") <= 5)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("rn"), col("event_type"))))
+            .as("steps"))
+          .select(concat_ws(">",
+            expr("transform(steps, s -> s.event_type)")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      }),
+
+    Q(
       "a_corr_matrix",
       """Pearson correlation matrix from ONE aggregate pass — the
         |sufficient-statistics pattern every distributed stats library

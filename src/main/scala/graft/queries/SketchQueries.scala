@@ -191,6 +191,113 @@ object SketchQueries {
       }),
 
     Q(
+      "a_join_size_est",
+      """JOIN-SIZE estimation from frequency-carrying key sketches — the
+        |pre-flight cardinality estimate a cost-based planner wants
+        |before committing to a join strategy: |A join B| = sum over
+        |common keys of fA*fB, estimated from k=256-minimum-value
+        |sketches where each sampled key CARRIES its side's frequency
+        |(packed key*2^15+freq into the bounded-heap id — freq < 2^15
+        |asserted loudly, not assumed). The sampled cross-moment scales
+        |by 2^48/theta exactly like the theta intersection; keys hash
+        |uniformly, so the sample is an unbiased end-biased estimator of
+        |the true cross-moment. Per side: ONE per-key count agg + ONE
+        |sketch agg; everything downstream is sample-sized. The exact
+        |join size (user-keyed join of the two count tables) rides
+        |alongside in signed ppm — estimator AND calibration in one
+        |row.""".stripMargin,
+      Some(
+        s"""WITH fa AS (
+           |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+           |  FROM events WHERE event_type = 'view' GROUP BY 1),
+           |fb AS (
+           |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |ha AS (SELECT ${duckHash48("CAST(user_id AS VARCHAR)")} AS v, f FROM fa),
+           |hb AS (SELECT ${duckHash48("CAST(user_id AS VARCHAR)")} AS v, f FROM fb),
+           |ra AS (SELECT v, f, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM ha),
+           |rb AS (SELECT v, f, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM hb),
+           |sa AS (SELECT v, f FROM ra WHERE rn <= $KmvK),
+           |sb AS (SELECT v, f FROM rb WHERE rn <= $KmvK),
+           |ta AS (SELECT COALESCE(MAX(CASE WHEN rn = $KmvK THEN v END),
+           |                       ${1L << 48}) AS theta FROM ra),
+           |tb AS (SELECT COALESCE(MAX(CASE WHEN rn = $KmvK THEN v END),
+           |                       ${1L << 48}) AS theta FROM rb),
+           |th AS (SELECT LEAST(ta.theta, tb.theta) AS theta FROM ta, tb),
+           |cm AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_common_samples,
+           |         CAST(COALESCE(SUM(sa.f * sb.f), 0) AS BIGINT) AS xmom
+           |  FROM sa JOIN sb ON sa.v = sb.v, th
+           |  WHERE sa.v < th.theta),
+           |ex AS (
+           |  SELECT CAST(COALESCE(SUM(fa.f * fb.f), 0) AS BIGINT) AS exact_join
+           |  FROM fa JOIN fb ON fa.user_id = fb.user_id),
+           |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM fa),
+           |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM fb)
+           |SELECT na.n_a, nb.n_b, th.theta, cm.n_common_samples,
+           |       CAST(CAST(cm.xmom AS HUGEINT) * ${1L << 48}
+           |            // GREATEST(th.theta, 1) AS BIGINT) AS est_join,
+           |       ex.exact_join,
+           |       CAST((CAST(cm.xmom AS HUGEINT) * ${1L << 48}
+           |              // GREATEST(th.theta, 1)
+           |             - ex.exact_join) * 1000000 // ex.exact_join AS BIGINT)
+           |         AS err_ppm
+           |FROM na, nb, th, cm, ex
+           |ORDER BY n_a""".stripMargin),
+      (s, dir) => {
+        def side(t: String) = Tables.events(s, dir)
+          .filter(col("event_type") === t)
+          .groupBy("user_id").agg(count(lit(1)).as("f"))
+          .withColumn("v",
+            expr("conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10)")
+              .cast("long"))
+          // pack invariant, asserted not assumed: freq >= 2^15 would
+          // corrupt the (key, freq) packing
+          .withColumn("packed",
+            when(col("f") < 32768L, col("v") * 32768L + col("f"))
+              .otherwise(raise_error(concat(lit("per-key freq "), col("f"),
+                lit(" >= 2^15 breaks the v*2^15+f packing")))))
+        def sketch(fx: org.apache.spark.sql.DataFrame) = fx
+          .agg(Vectors.topKByScore(-col("v").cast("double"), col("packed"), KmvK)
+            .as("top"), count(lit(1)).as("n_keys"))
+          .select(col("n_keys"),
+            coalesce(expr(s"element_at(top, $KmvK).id div 32768"),
+              lit(1L << 48)).as("theta"),
+            expr("transform(top, t -> t.id)").as("ids"))
+        val fa = side("view").localCheckpoint()
+        val fb = side("purchase").localCheckpoint()
+        val ska = sketch(fa).localCheckpoint()
+        val skb = sketch(fb).localCheckpoint()
+        val sa = ska.select(explode(col("ids")).as("p"))
+          .select(expr("p div 32768").as("v"), expr("p % 32768").as("f"))
+        val sb = skb.select(explode(col("ids")).as("p"))
+          .select(expr("p div 32768").as("v"), expr("p % 32768").as("fb"))
+        val th = ska.select(col("theta").as("ta"))
+          .crossJoin(skb.select(col("theta").as("tb")))
+          .select(least(col("ta"), col("tb")).as("theta"))
+        val cm = sa.join(sb, "v").crossJoin(broadcast(th))
+          .filter(col("v") < col("theta"))
+          .agg(count(lit(1)).as("n_common_samples"),
+            coalesce(sum(expr("f * fb")), lit(0L)).as("xmom"))
+        val ex = fa.select(col("user_id"), col("f").as("xa"))
+          .join(fb.select(col("user_id"), col("f").as("xb")), "user_id")
+          .agg(coalesce(sum(expr("xa * xb")), lit(0L)).as("exact_join"))
+        ska.select(col("n_keys").as("n_a"))
+          .crossJoin(broadcast(skb.select(col("n_keys").as("n_b"))))
+          .crossJoin(broadcast(th))
+          .crossJoin(broadcast(cm))
+          .crossJoin(broadcast(ex))
+          .select(col("n_a"), col("n_b"), col("theta"), col("n_common_samples"),
+            expr(s"cast(cast(xmom as decimal(38,0)) * ${1L << 48}" +
+              " div greatest(theta, 1) as bigint)").as("est_join"),
+            col("exact_join"),
+            expr(s"(cast(cast(xmom as decimal(38,0)) * ${1L << 48}" +
+              " div greatest(theta, 1) as bigint) - exact_join)" +
+              " * 1000000 div exact_join").as("err_ppm"))
+          .orderBy("n_a")
+      }),
+
+    Q(
       "a_theta_intersect",
       """Set-INTERSECTION cardinality from KMV/theta sketches — the set
         |operation HLL cannot do and the reason Druid/DataSketches ship

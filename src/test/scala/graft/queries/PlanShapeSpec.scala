@@ -231,6 +231,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("top paths: prefix window + path agg share the user key; ranking is a bounded top-k") {
+    val p = plan("w_top_paths")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "prefix selection must stay user-partitioned")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "LIMIT 20 must plan as top-k, not a global sort")
+  }
+
+  test("join-size estimate: per-side aggs feed checkpointed sketches; scalar assembly broadcasts") {
+    val p = plan("a_join_size_est")
+    assert(bcasts(p).nonEmpty || collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "one-row assembly no longer broadcast")
+  }
+
   test("multitouch attribution: range-bin equi join, purchase-keyed share windows, no cartesian") {
     val p = plan("j_multitouch_attribution")
     val bnl = collectAll(p) {

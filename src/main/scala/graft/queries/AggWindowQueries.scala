@@ -1148,6 +1148,64 @@ object AggWindowQueries {
       }),
 
     Q(
+      "w_streak_detection",
+      """Longest consecutive-day activity streak per user — the
+        |gaps-and-islands pattern (retention streaks, SLA windows,
+        |sensor uptime): collapse events to the distinct (user, day)
+        |frame FIRST (the fan-in that makes everything after
+        |day-frame-sized), then island id = day - ROW_NUMBER days — a
+        |constant within each consecutive run — and one group-by per
+        |island + one max per user. All three stages ride a single
+        |user-key partitioning over the collapsed frame; events
+        |themselves shuffle once into the distinct. Output: per user the
+        |longest streak, its start day, and how many distinct islands
+        |the activity fragments into (ties on length resolve to the
+        |earliest start on both engines via min-struct order).""".stripMargin,
+      Some(
+        """WITH ud AS (
+          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+          |isl AS (
+          |  SELECT user_id, d,
+          |         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+          |                  AS INTEGER) AS island
+          |  FROM ud),
+          |runs AS (
+          |  SELECT user_id, island,
+          |         CAST(COUNT(*) AS BIGINT) AS len, MIN(d) AS start_d
+          |  FROM isl GROUP BY 1, 2),
+          |best AS (
+          |  SELECT user_id, len, start_d,
+          |         ROW_NUMBER() OVER (PARTITION BY user_id
+          |                            ORDER BY len DESC, start_d) AS brn,
+          |         COUNT(*) OVER (PARTITION BY user_id) AS n_isl
+          |  FROM runs)
+          |SELECT user_id, len AS best_streak, start_d AS best_start,
+          |       CAST(n_isl AS BIGINT) AS n_islands
+          |FROM best WHERE brn = 1
+          |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val iw = Window.partitionBy("user_id").orderBy("d")
+        val runs = ud
+          .withColumn("island",
+            expr("date_sub(d, cast(row_number() over " +
+              "(partition by user_id order by d) as int))"))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+        runs.groupBy("user_id")
+          .agg(
+            max(col("len")).as("best_streak"),
+            // earliest start among the longest runs: min over an
+            // order-embedding struct ((-len, start_d) lexicographic)
+            min(struct((-col("len")).as("neg"), col("start_d")))
+              .getField("start_d").as("best_start"),
+            count(lit(1)).as("n_islands"))
+          .orderBy("user_id")
+      }),
+
+    Q(
       "w_top_paths",
       """Top user journeys — the funnel-path mining query (which opening
         |sequences dominate?): each user's FIRST FIVE events (by ts,

@@ -231,6 +231,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("streak detection: distinct day-frame fan-in, then one user partitioning end to end") {
+    val p = plan("w_streak_detection")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "island numbering must stay user-partitioned")
+    // events -> distinct (user,day) shuffle; island window + both aggs
+    // reuse that partitioning; + the output sort
+    assert(shuffles(p).length <= 3, "w_streak_detection grew a shuffle")
+  }
+
   test("top paths: prefix window + path agg share the user key; ranking is a bounded top-k") {
     val p = plan("w_top_paths")
     val windows = collectAll(p) {

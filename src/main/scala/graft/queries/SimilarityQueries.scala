@@ -115,6 +115,97 @@ object SimilarityQueries {
 
   val qs: Seq[Q] = Seq(
     Q(
+      "emb_mips",
+      """Maximum-inner-product search via the NORM-AUGMENTATION reduction
+        |(Neyshabur & Srebro) — the trick that lets cosine/L2 ANN
+        |infrastructure serve recommendation-style MIPS queries: append
+        |sqrt(M^2 - |x|^2) to every candidate (M = max candidate norm,
+        |ONE broadcast scalar) and 0 to the probe; every augmented
+        |candidate then has norm exactly M, so cosine ranking in the
+        |augmented space equals inner-product ranking in the original.
+        |The query runs BOTH searches — direct dot-product top-1 and
+        |augmented-space cosine top-1 — and emits them side by side with
+        |an agreement flag, so the oracle hash-compare pins the reduction
+        |end to end (disagreement is possible only inside the 1e-6
+        |rounding quantum; the flag carries that truth rather than
+        |asserting it away). Candidate scan stays shuffle-free (probes
+        |and M broadcast); both rankings are per-probe windows over the
+        |same scored frame.""".stripMargin,
+      Some(
+        s"""WITH probes AS (
+           |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+           |  FROM embeddings WHERE vec_id < 5),
+           |cands AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+           |          FROM embeddings WHERE vec_id >= 5),
+           |m2 AS (
+           |  SELECT MAX(list_sum(list_transform(cv, x -> x * x))) AS mm
+           |  FROM cands),
+           |scored AS (
+           |  SELECT probe_id, cand_id,
+           |         round(list_sum(list_transform(list_zip(pv, cv),
+           |                 x -> x[1] * x[2])), 6) AS ip,
+           |         ${duckCos("list_append(pv, 0.0)",
+                       "list_append(cv, sqrt(mm - list_sum(list_transform(cv, x -> x * x))))")}
+           |           AS aug_cos
+           |  FROM probes, cands, m2),
+           |rk AS (
+           |  SELECT *,
+           |         ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                            ORDER BY ip DESC, cand_id) AS r_ip,
+           |         ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                            ORDER BY aug_cos DESC, cand_id) AS r_cos
+           |  FROM scored),
+           |best AS (
+           |  SELECT a.probe_id,
+           |         a.cand_id AS mips_cand, a.ip AS mips_dot,
+           |         b.cand_id AS aug_cand, b.aug_cos
+           |  FROM rk a JOIN rk b
+           |    ON a.probe_id = b.probe_id AND a.r_ip = 1 AND b.r_cos = 1)
+           |SELECT probe_id, mips_cand, mips_dot, aug_cand, aug_cos,
+           |       CAST(CASE WHEN mips_cand = aug_cand THEN 1 ELSE 0 END AS INT)
+           |         AS agree
+           |FROM best
+           |ORDER BY probe_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"),
+            Vectors.toDouble(col("embedding")).as("pv"))
+        val cands = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"),
+            Vectors.toDouble(col("embedding")).as("cv"))
+        val m2 = cands.agg(max(Vectors.dot(col("cv"), col("cv"))).as("mm"))
+        val scored = cands
+          .crossJoin(broadcast(probes))
+          .crossJoin(broadcast(m2))
+          .select(col("probe_id"), col("cand_id"),
+            round(Vectors.dot(col("pv"), col("cv")), 6).as("ip"),
+            Vectors.cosineBuiltins(
+              concat(col("pv"), array(lit(0.0))),
+              concat(col("cv"),
+                array(sqrt(col("mm") - Vectors.dot(col("cv"), col("cv"))))))
+              .as("aug_cos"))
+        val wIp = Window.partitionBy("probe_id")
+          .orderBy(col("ip").desc, col("cand_id"))
+        val wCos = Window.partitionBy("probe_id")
+          .orderBy(col("aug_cos").desc, col("cand_id"))
+        val rk = scored
+          .withColumn("r_ip", row_number().over(wIp))
+          .withColumn("r_cos", row_number().over(wCos))
+        rk.filter(col("r_ip") === 1)
+          .select(col("probe_id"), col("cand_id").as("mips_cand"),
+            col("ip").as("mips_dot"))
+          .join(rk.filter(col("r_cos") === 1)
+            .select(col("probe_id"), col("cand_id").as("aug_cand"),
+              col("aug_cos")), "probe_id")
+          .select(col("probe_id"), col("mips_cand"), col("mips_dot"),
+            col("aug_cand"), col("aug_cos"),
+            when(col("mips_cand") === col("aug_cand"), 1).otherwise(0)
+              .cast("int").as("agree"))
+          .orderBy("probe_id")
+      }),
+
+    Q(
       "ann_bruteforce_topk",
       """Brute-force cosine top-k: 10 probe vectors against the full
         |candidate set, top-5 each. The probe side is broadcast, so the

@@ -231,6 +231,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("mips reduction: probes and the norm scalar broadcast — the candidate scan never shuffles") {
+    val p = plan("emb_mips")
+    val bex = collectAll(p) { case e: BroadcastExchangeExec => e }
+    assert(bex.size >= 2, "probes and M^2 must both broadcast")
+  }
+
   test("streak detection: distinct day-frame fan-in, then one user partitioning end to end") {
     val p = plan("w_streak_detection")
     val windows = collectAll(p) {

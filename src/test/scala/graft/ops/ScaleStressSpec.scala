@@ -142,6 +142,68 @@ class ScaleStressSpec extends SparkSpec {
     assert(secs < 120, f"triangle stress took $secs%.1f s — wedge blowup?")
   }
 
+  test("bfs hot-hub star: one frontier round reaches 2x10^5 spokes, rounds stay bounded") {
+    // the adversarial BFS shape: the seed IS a 2x10^5-degree hub. The
+    // frontier join fans the hub's whole adjacency in one round — the
+    // intended cost (reachability requires touching those edges) — and
+    // the visited anti-join keeps later rounds from ever re-expanding
+    // them. Failure mode: frontier re-expansion (spokes bounce back to
+    // the hub and out again), which would double work every round.
+    import org.apache.spark.sql.functions._
+    val k = 200000L
+    val spokes = spark.range(1, k + 1)
+    val edges = spokes.select(lit(0L).as("src"), col("id").as("dst"))
+      .unionAll(spokes.select(col("id").as("src"), lit(0L).as("dst")))
+    val t0 = System.nanoTime()
+    val levels = graft.queries.GraphQueries
+      .bfsLevels(edges, spark.range(0, 1).select(col("id")), maxLvl = 3)
+      .groupBy("lvl").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(levels === Map(0 -> 1L, 1 -> k),
+      s"star BFS levels wrong: $levels — re-expansion or lost frontier")
+    assert(secs < 60, f"BFS star stress took $secs%.1f s")
+  }
+
+  test("k-core peel on the star: spokes peel in round 1, the hub follows isolated in round 2") {
+    // degree-peeling's adversarial shape: the hub survives round 1 with
+    // degree 2x10^5 but becomes ISOLATED (absent from the degree table)
+    // once its spokes peel — the isolated-node branch must catch it in
+    // round 2, not leave it dangling as a phantom 3-core member. The
+    // same iterated filter-by-aggregate the catalog row runs, driven
+    // through the oracle-checked query shape at stress scale.
+    import org.apache.spark.sql.functions._
+    val k = 200000L
+    val spokes = spark.range(1, k + 1)
+    // undirected degree view, both directions like the catalog query
+    var edges = spokes.select(lit(0L).as("u"), col("id").as("v"))
+      .unionAll(spokes.select(col("id").as("u"), lit(0L).as("v")))
+      .localCheckpoint()
+    val allNodes = edges.select(col("u").as("node")).distinct().localCheckpoint()
+    var peeled: org.apache.spark.sql.DataFrame = null
+    (1 to 3).foreach { r =>
+      val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val present = deg.select("node")
+      val low = deg.filter(col("d") < 3).select("node")
+      val gone =
+        if (peeled == null) low
+        else allNodes.join(peeled, Seq("node"), "left_anti")
+          .join(present, Seq("node"), "left_anti")
+          .unionAll(low)
+      val out = gone.distinct().withColumn("peel_round", lit(r)).localCheckpoint()
+      peeled = (if (peeled == null) out else peeled.unionAll(out)).localCheckpoint()
+      edges = edges
+        .join(out.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(out.select(col("node").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint()
+    }
+    val byRound = peeled.groupBy("peel_round").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(byRound.getOrElse(1, 0L) === k, s"spokes must all peel in round 1: $byRound")
+    assert(byRound.getOrElse(2, 0L) === 1L,
+      s"the isolated hub must peel in round 2: $byRound")
+  }
+
   test("video decode leaves no ImageIO disk-cache files (bounded in-flight state)") {
     // Round-8 hardening after the round-7 scaled-bench failure block:
     // ImageIO's default useCache=true backs every codec stream with a

@@ -407,5 +407,108 @@ object CurationQueries {
               .otherwise(lit("greek")).as("dominant_nonlatin"),
             expr("(n_nonlatin * 1000000) div (n_latin + n_nonlatin)").as("nonlatin_ppm"))
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "a_weighted_median",
+      """Volume-weighted median document length per language — "half the
+        |corpus BYTES live in docs shorter than X", the statistic that
+        |actually governs token budgets (the plain median over-weights
+        |the long tail of small docs). Exact two-stage shape: docs
+        |collapse to the (lang, length) frequency frame FIRST (one agg),
+        |then the cumulative-weight window and the cutoff test
+        |2*cum >= total run over that bounded frame — the same
+        |collapsed-frame discipline as the percentile and perplexity
+        |queries, so the window never sees the corpus. All integer
+        |(weights are char counts; the tie test cross-multiplies), no
+        |interpolation — the lower weighted median on both engines.""".stripMargin,
+      Some(
+        """WITH f AS (
+          |  SELECT lang, n_chars,
+          |         CAST(SUM(n_chars) AS BIGINT) AS w
+          |  FROM documents GROUP BY 1, 2),
+          |c AS (
+          |  SELECT lang, n_chars, w,
+          |         CAST(SUM(w) OVER (PARTITION BY lang ORDER BY n_chars
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS cum,
+          |         CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+          |  FROM f),
+          |m AS (
+          |  SELECT lang, MIN(n_chars) AS wmedian_chars, MIN(tot) AS total_chars
+          |  FROM c WHERE 2 * cum >= tot GROUP BY 1),
+          |d AS (
+          |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          |  FROM documents GROUP BY 1)
+          |SELECT m.lang, m.wmedian_chars, m.total_chars, d.n_docs
+          |FROM m JOIN d USING (lang)
+          |ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val f = docs.groupBy("lang", "n_chars")
+          .agg(sum(col("n_chars")).as("w"))
+        val cumW = Window.partitionBy("lang").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy("lang")
+        val m = f
+          .withColumn("cum", sum(col("w")).over(cumW))
+          .withColumn("tot", sum(col("w")).over(totW))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("lang")
+          .agg(min(col("n_chars")).as("wmedian_chars"),
+            min(col("tot")).as("total_chars"))
+        val d = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        m.join(d, "lang")
+          .select("lang", "wmedian_chars", "total_chars", "n_docs")
+          .orderBy("lang")
+      }),
+
+    Q(
+      "a_gini_concentration",
+      """Source-concentration Gini per language — the corpus-governance
+        |diversity metric (is one crawl source dominating the training
+        |mix?): per (lang, source) char volumes rank ascending and the
+        |Gini index derives from the rank-weighted sum,
+        |G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), emitted in
+        |exact integer ppm (cross-multiplied, truncating division — no
+        |float anywhere). The rank window runs over the collapsed
+        |(lang, source) frame — 20 rows per language regardless of
+        |corpus size — after ONE volume aggregation; ties rank by source
+        |name, identically on both engines. 0 ppm = perfectly even,
+        |1e6*(n-1)/n = one source holds everything.""".stripMargin,
+      Some(
+        """WITH v AS (
+          |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS x
+          |  FROM documents GROUP BY 1, 2),
+          |r AS (
+          |  SELECT lang, source, x,
+          |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          |                                 ORDER BY x, source) AS BIGINT) AS i
+          |  FROM v),
+          |g AS (
+          |  SELECT lang,
+          |         CAST(COUNT(*) AS BIGINT) AS n_sources,
+          |         CAST(SUM(i * x) AS BIGINT) AS rx,
+          |         CAST(SUM(x) AS BIGINT) AS sx
+          |  FROM r GROUP BY 1)
+          |SELECT lang, n_sources, sx AS total_chars,
+          |       CAST((2 * rx - (n_sources + 1) * sx) * 1000000
+          |            // (n_sources * sx) AS BIGINT) AS gini_ppm
+          |FROM g
+          |ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val v = Tables.documents(s, dir)
+          .groupBy("lang", "source")
+          .agg(sum(col("n_chars")).as("x"))
+        val rw = Window.partitionBy("lang").orderBy(col("x"), col("source"))
+        v.withColumn("i", row_number().over(rw).cast("long"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sources"),
+            sum(expr("i * x")).as("rx"),
+            sum(col("x")).as("sx"))
+          .select(col("lang"), col("n_sources"), col("sx").as("total_chars"),
+            expr("(2 * rx - (n_sources + 1) * sx) * 1000000" +
+              " div (n_sources * sx)").as("gini_ppm"))
+          .orderBy("lang")
       }))
 }

@@ -231,6 +231,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("weighted median / gini: windows run over collapsed frames, never the corpus") {
+    Seq("a_weighted_median", "a_gini_concentration").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        val windows = collectAll(p) {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.forall(_.partitionSpec.nonEmpty),
+          s"$q grew a global window")
+        // corpus agg -> frame window -> cutoff agg -> calibration join
+        assert(shuffles(p).length <= 4, s"$q grew a shuffle")
+      }
+    }
+  }
+
   test("mips reduction: probes and the norm scalar broadcast — the candidate scan never shuffles") {
     val p = plan("emb_mips")
     val bex = collectAll(p) { case e: BroadcastExchangeExec => e }

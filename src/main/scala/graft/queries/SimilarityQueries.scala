@@ -115,6 +115,77 @@ object SimilarityQueries {
 
   val qs: Seq[Q] = Seq(
     Q(
+      "emb_prefix_fidelity",
+      """Matryoshka-style truncation fidelity — the eval an embedding-ops
+        |pipeline runs before shipping shortened vectors (MRL prefixes,
+        |cheap first-stage retrieval): for prefix dims 8/16/32 of the
+        |64-d embeddings, how often does prefix-cosine top-1 agree with
+        |full-vector top-1 over the probe set? One scored frame serves
+        |every prefix (dims explode from a 4-row broadcast; cosine runs
+        |on array slices row-locally), rankings are per-(dim, probe)
+        |windows, and the final agreement aggregate is probe-sized. The
+        |full-dim run rides the same frame as its own control — its
+        |agreement is 10^6 ppm by construction, pinning the harness.""".stripMargin,
+      Some(
+        s"""WITH probes AS (
+           |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+           |  FROM embeddings WHERE vec_id < 10),
+           |cands AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+           |          FROM embeddings WHERE vec_id >= 10),
+           |dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+           |scored AS (
+           |  SELECT d, probe_id, cand_id,
+           |         ${duckCos("list_slice(pv, 1, d)", "list_slice(cv, 1, d)")} AS cos
+           |  FROM probes, cands, dims),
+           |best AS (
+           |  SELECT d, probe_id, cand_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY d, probe_id
+           |                                 ORDER BY cos DESC, cand_id) AS rn
+           |    FROM scored) WHERE rn = 1),
+           |full64 AS (SELECT probe_id, cand_id AS full_cand FROM best WHERE d = 64)
+           |SELECT b.d AS prefix_dim,
+           |       CAST(COUNT(*) AS BIGINT) AS n_probes,
+           |       CAST(COUNT(*) FILTER (WHERE b.cand_id = f.full_cand) AS BIGINT)
+           |         AS n_agree,
+           |       CAST(COUNT(*) FILTER (WHERE b.cand_id = f.full_cand) * 1000000
+           |            // COUNT(*) AS BIGINT) AS agree_ppm
+           |FROM best b JOIN full64 f USING (probe_id)
+           |GROUP BY 1
+           |ORDER BY prefix_dim""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"),
+            Vectors.toDouble(col("embedding")).as("pv"))
+        val cands = emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"),
+            Vectors.toDouble(col("embedding")).as("cv"))
+        val dims = probes.sparkSession.range(0, 1)
+          .select(explode(array(lit(8), lit(16), lit(32), lit(64))).as("d"))
+        val scored = cands
+          .crossJoin(broadcast(probes))
+          .crossJoin(broadcast(dims))
+          .select(col("d"), col("probe_id"), col("cand_id"),
+            Vectors.cosineBuiltins(
+              expr("slice(pv, 1, d)"), expr("slice(cv, 1, d)")).as("cos"))
+        val w = Window.partitionBy("d", "probe_id")
+          .orderBy(col("cos").desc, col("cand_id"))
+        val best = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("d", "probe_id", "cand_id")
+        val full = best.filter(col("d") === 64)
+          .select(col("probe_id"), col("cand_id").as("full_cand"))
+        best.join(broadcast(full), "probe_id")
+          .groupBy(col("d").as("prefix_dim"))
+          .agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("cand_id") === col("full_cand"), 1L).otherwise(0L))
+              .as("n_agree"))
+          .withColumn("agree_ppm", expr("n_agree * 1000000 div n_probes"))
+          .orderBy("prefix_dim")
+      }),
+
+    Q(
       "emb_mips",
       """Maximum-inner-product search via the NORM-AUGMENTATION reduction
         |(Neyshabur & Srebro) — the trick that lets cosine/L2 ANN

@@ -102,4 +102,22 @@ class StrategyInvarianceSpec extends SparkSpec {
       }
     }
   }
+
+  test("sketches, carries, and fingerprints are partition-count invariant") {
+    // the round-8 fourth-wave operators make the same claim each its own
+    // way: HLL registers and theta samples are order-free (max / bounded
+    // heap), the union-scan carry orders explicitly by (ts, kind), the
+    // phash groups on decoded fingerprints, and the island numbering
+    // orders by day within each user. Executed at shuffle.partitions=5
+    // vs the suite default.
+    Seq("a_hll_distinct", "a_theta_intersect", "j_scd2_lookup",
+      "mm_phash_dedup", "w_streak_detection").foreach { q =>
+      withClue(q) {
+        val default = rows(q)
+        val narrow = withConf("spark.sql.shuffle.partitions", "5") { rows(q) }
+        assert(narrow === default,
+          s"$q output depends on the shuffle partition count")
+      }
+    }
+  }
 }

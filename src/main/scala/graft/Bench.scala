@@ -48,7 +48,11 @@ object Bench {
     // round-8 second-session families: wedge-join growth, iterative
     // merge training, sketch grid, collapsed-frame fan-out
     "g_triangle_count", "t_bpe_train_merges", "a_countmin_heavy",
-    "w_rolling_distinct")
+    "w_rolling_distinct",
+    // round-8 third/fourth-wave families: fingerprint dedup (decode-heavy),
+    // register sketches, frontier iteration, interval binning
+    "mm_phash_dedup", "w_hll_sliding_distinct", "g_bfs_levels",
+    "j_interval_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -278,6 +278,73 @@ object GraphQueries {
     ),
 
     Q(
+      "g_node_similarity",
+      """Neighbor-set Jaccard similarity join on the co-purchase graph —
+        |the item-item collaborative-filtering primitive ("parts bought
+        |with similar baskets"). HUB-FILTERED the way recommender
+        |blocking does it: nodes with degree > 64 are dropped from the
+        |graph first (a hot item shared by everyone carries no
+        |similarity signal AND would fan out C(deg, 2) wedge pairs —
+        |the filter is what bounds per-neighbor work at any scale); on
+        |the residual graph, shared-neighbor counts come from the wedge
+        |join grouped per pair, unions from broadcast degrees
+        |(|A u B| = dA + dB - |A n B|), and pairs at Jaccard >= 0.1
+        |survive. Exact integer ppm; the oracle runs the identical
+        |filtered definition.""".stripMargin,
+      Some(
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |e0 AS (
+          |  SELECT a.p AS u, b.p AS v
+          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          |ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+          |deg AS (SELECT u AS node, COUNT(*) AS d FROM ed GROUP BY 1),
+          |keep AS (SELECT node FROM deg WHERE d <= 64),
+          |ef AS (
+          |  SELECT u, v FROM ed
+          |  WHERE u IN (SELECT node FROM keep) AND v IN (SELECT node FROM keep)),
+          |d2 AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM ef GROUP BY 1),
+          |wedge AS (
+          |  SELECT a.u AS na, b.u AS nb, CAST(COUNT(*) AS BIGINT) AS inter
+          |  FROM ef a JOIN ef b ON a.v = b.v AND a.u < b.u
+          |  GROUP BY 1, 2)
+          |SELECT w.na, w.nb, w.inter,
+          |       da.d + db.d - w.inter AS uni,
+          |       CAST(w.inter * 1000000 // (da.d + db.d - w.inter) AS BIGINT)
+          |         AS jacc_ppm
+          |FROM wedge w
+          |JOIN d2 da ON w.na = da.node
+          |JOIN d2 db ON w.nb = db.node
+          |WHERE w.inter * 1000000 // (da.d + db.d - w.inter) >= 100000
+          |ORDER BY na, nb""".stripMargin),
+      (s, dir) => {
+        val e0 = partEdges(s, dir)
+        val ed = e0.select(col("u"), col("v"))
+          .unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        val deg = ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") <= 64).select("node").localCheckpoint()
+        val ef = ed
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint()
+        val d2 = ef.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+        val wedge = ef.as("a")
+          .join(ef.as("b"), col("a.v") === col("b.v") && col("a.u") < col("b.u"))
+          .groupBy(col("a.u").as("na"), col("b.u").as("nb"))
+          .agg(count(lit(1)).as("inter"))
+        wedge
+          .join(broadcast(d2.select(col("node").as("na"), col("d").as("da"))), "na")
+          .join(broadcast(d2.select(col("node").as("nb"), col("d").as("db"))), "nb")
+          .withColumn("uni", col("da") + col("db") - col("inter"))
+          .withColumn("jacc_ppm", expr("inter * 1000000 div uni"))
+          .filter(col("jacc_ppm") >= 100000)
+          .select("na", "nb", "inter", "uni", "jacc_ppm")
+          .orderBy("na", "nb")
+      }),
+
+    Q(
       "g_kcore_peel",
       """k-core decomposition by iterated peeling (k=3, 3 rounds) on the
         |part co-purchase graph — the density-filtering primitive

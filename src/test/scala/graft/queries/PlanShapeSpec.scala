@@ -231,6 +231,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("node similarity: degrees broadcast onto the wedge frame") {
+    assert(bcasts(plan("g_node_similarity")).nonEmpty,
+      "degree tables no longer broadcast")
+  }
+
   test("weighted median / gini: windows run over collapsed frames, never the corpus") {
     Seq("a_weighted_median", "a_gini_concentration").foreach { q =>
       withClue(q) {

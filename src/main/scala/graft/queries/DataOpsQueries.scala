@@ -228,5 +228,73 @@ object DataOpsQueries {
           .unionAll(prof("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"))
           .withColumn("skew_ppm", expr("max_cnt * n_keys * 1000000 div n_rows"))
           .orderBy("key_name")
+      }),
+
+    Q(
+      "audit_gdpr_erasure",
+      """Right-to-be-forgotten erasure audit — the compliance sweep a
+        |lake runs after a deletion batch: for a deletion list (users
+        |with id ≡ 0 mod 97, standing in for the DSAR queue), scrub
+        |three user-keyed surfaces (the raw event log, the
+        |session-store twin = distinct user-days, the dispatch twin =
+        |purchase events) by BROADCAST anti-join — facts never shuffle
+        |to be scrubbed — and emit per surface: rows before, rows
+        |erased, rows after, and the RESIDUAL count of deletion-list
+        |rows still present post-scrub (the audit's point; must be 0,
+        |and the oracle hash makes any nonzero residual a red row).
+        |before = erased + after is carried in the data as a second
+        |auditable invariant.""".stripMargin,
+      Some(
+        """WITH del AS (
+          |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+          |ev AS (SELECT user_id FROM events),
+          |sess AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+          |disp AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+          |audit AS (
+          |  SELECT 'events' AS surface,
+          |         (SELECT COUNT(*) FROM ev) AS n_before,
+          |         (SELECT COUNT(*) FROM ev WHERE user_id IN (SELECT user_id FROM del))
+          |           AS n_erased,
+          |         (SELECT COUNT(*) FROM ev WHERE user_id NOT IN (SELECT user_id FROM del)
+          |            AND user_id IN (SELECT user_id FROM del)) AS residual
+          |  UNION ALL
+          |  SELECT 'session_store',
+          |         (SELECT COUNT(*) FROM sess),
+          |         (SELECT COUNT(*) FROM sess WHERE user_id IN (SELECT user_id FROM del)),
+          |         (SELECT COUNT(*) FROM sess WHERE user_id NOT IN (SELECT user_id FROM del)
+          |            AND user_id IN (SELECT user_id FROM del))
+          |  UNION ALL
+          |  SELECT 'dispatches',
+          |         (SELECT COUNT(*) FROM disp),
+          |         (SELECT COUNT(*) FROM disp WHERE user_id IN (SELECT user_id FROM del)),
+          |         (SELECT COUNT(*) FROM disp WHERE user_id NOT IN (SELECT user_id FROM del)
+          |            AND user_id IN (SELECT user_id FROM del)))
+          |SELECT surface, CAST(n_before AS BIGINT) AS n_before,
+          |       CAST(n_erased AS BIGINT) AS n_erased,
+          |       CAST(n_before - n_erased AS BIGINT) AS n_after,
+          |       CAST(residual AS BIGINT) AS residual
+          |FROM audit
+          |ORDER BY surface""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val del = ev.filter(col("user_id") % 97 === 0)
+          .select("user_id").distinct().localCheckpoint()
+        def audit(surface: String, t: org.apache.spark.sql.DataFrame) = {
+          val scrubbed = t.join(broadcast(del), Seq("user_id"), "left_anti")
+            .localCheckpoint() // the erasure itself, materialized once
+          val residual = scrubbed.join(broadcast(del), Seq("user_id"), "left_semi")
+          t.agg(count(lit(1)).as("n_before"))
+            .crossJoin(scrubbed.agg(count(lit(1)).as("n_after")))
+            .crossJoin(residual.agg(count(lit(1)).as("residual")))
+            .select(lit(surface).as("surface"), col("n_before"),
+              (col("n_before") - col("n_after")).as("n_erased"),
+              col("n_after"), col("residual"))
+        }
+        audit("events", ev.select("user_id"))
+          .unionAll(audit("session_store",
+            ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()))
+          .unionAll(audit("dispatches",
+            ev.filter(col("event_type") === "purchase").select("user_id")))
+          .orderBy("surface")
       }))
 }

@@ -1148,6 +1148,62 @@ object AggWindowQueries {
       }),
 
     Q(
+      "a_equidepth_histogram",
+      """Equi-depth (equi-height) histogram construction — the planner
+        |statistic behind selectivity estimation (a_join_size_est's
+        |sibling): 8 buckets over l_extendedprice cents where each holds
+        |~N/8 rows. Same collapsed-frame discipline as the weighted
+        |median: values collapse to the (cents, freq) frame first, the
+        |cumulative window runs over that bounded frame, and boundary k
+        |is the smallest value with cum*8 >= k*N — integer
+        |cross-multiplication, no float quantiles. Emits each boundary
+        |with its exact cumulative count, so the depth guarantee is
+        |visible in the data (skewed freq can overshoot a bucket — the
+        |real planner caveat, carried rather than hidden).""".stripMargin,
+      Some(
+        """WITH v AS (
+          |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS dollars
+          |  FROM lineitem),
+          |f AS (SELECT dollars, CAST(COUNT(*) AS BIGINT) AS freq FROM v GROUP BY 1),
+          |c AS (
+          |  SELECT dollars, freq,
+          |         CAST(SUM(freq) OVER (ORDER BY dollars
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS cum,
+          |         CAST(SUM(freq) OVER () AS BIGINT) AS n
+          |  FROM f),
+          |k AS (SELECT unnest(range(1, 9)) AS bucket),
+          |b AS (
+          |  SELECT k.bucket, MIN(c.dollars) AS boundary_dollars
+          |  FROM k JOIN c ON c.cum * 8 >= k.bucket * c.n
+          |  GROUP BY 1)
+          |SELECT b.bucket, b.boundary_dollars,
+          |       MIN(c.cum) AS cum_rows, MIN(c.n) AS n_rows
+          |FROM b JOIN c ON c.dollars = b.boundary_dollars
+          |GROUP BY 1, 2
+          |ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val f = Tables.lineitem(s, dir)
+          .select(floor(col("l_extendedprice")).cast("long").as("dollars"))
+          .groupBy("dollars").agg(count(lit(1)).as("freq"))
+        val cw = Window.orderBy("dollars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = f
+          .withColumn("cum", sum(col("freq")).over(cw))
+          .withColumn("n", sum(col("freq")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .localCheckpoint() // value frame: |distinct cents| rows, built once
+        val k = c.sparkSession.range(1, 9).select(col("id").as("bucket"))
+        val b = broadcast(k).join(c, col("cum") * 8 >= col("bucket") * col("n"))
+          .groupBy("bucket").agg(min(col("dollars")).as("boundary_dollars"))
+        b.join(c.select(col("dollars").as("boundary_dollars"), col("cum"),
+            col("n")), "boundary_dollars")
+          .groupBy("bucket", "boundary_dollars")
+          .agg(min(col("cum")).as("cum_rows"), min(col("n")).as("n_rows"))
+          .orderBy("bucket")
+      }),
+
+    Q(
       "w_streak_detection",
       """Longest consecutive-day activity streak per user — the
         |gaps-and-islands pattern (retention streaks, SLA windows,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lakehouse data-operations queries: multi-dimensional clustering and
@@ -228,6 +229,55 @@ object DataOpsQueries {
           .unionAll(prof("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"))
           .withColumn("skew_ppm", expr("max_cnt * n_keys * 1000000 div n_rows"))
           .orderBy("key_name")
+      }),
+
+    Q(
+      "audit_late_arrivals",
+      """Out-of-order ingestion audit — the pre-flight check that sizes
+        |streaming watermarks and backfill windows: within each
+        |(type, day), order events by event time and flag every row
+        |whose ingestion id is below the running max of PRECEDING rows —
+        |meaning some earlier-event-time record was ingested after it
+        |(arrived late). Inversions are measured within the day
+        |partition deliberately: the window key is (type, day), so
+        |partitions stay day-sized at any corpus scale (cross-day
+        |lateness shows up in the day it lands — the operationally
+        |relevant bucket). One windowed scan + one aggregate on the same
+        |key; disorder reported in integer ppm.""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id
+          |  FROM events),
+          |w AS (
+          |  SELECT event_type, d, event_id,
+          |         MAX(event_id) OVER (PARTITION BY event_type, d
+          |                             ORDER BY ts, event_id
+          |                             ROWS BETWEEN UNBOUNDED PRECEDING
+          |                                      AND 1 PRECEDING) AS runmax
+          |  FROM e)
+          |SELECT event_type, d,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(COUNT(*) FILTER (WHERE event_id < runmax) AS BIGINT)
+          |         AS n_late,
+          |       CAST(COUNT(*) FILTER (WHERE event_id < runmax) * 1000000
+          |            // COUNT(*) AS BIGINT) AS late_ppm
+          |FROM w
+          |GROUP BY 1, 2
+          |ORDER BY event_type, d""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("d"),
+            col("ts"), col("event_id"))
+          .withColumn("runmax", max(col("event_id")).over(w))
+          .groupBy("event_type", "d")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("event_id") < col("runmax"), 1L).otherwise(0L))
+              .as("n_late"))
+          .withColumn("late_ppm", expr("n_late * 1000000 div n"))
+          .orderBy("event_type", "d")
       }),
 
     Q(

@@ -178,5 +178,106 @@ object StateQueries {
             col("s1.v").as("v1_micro"), col("s2.v").as("v2_micro"),
             col("s1.eid").as("e1_id"), col("s2.eid").as("e2_id"))
           .orderBy("user_id")
+      }),
+
+    Q(
+      "k_cdc_apply_roundtrip",
+      """MERGE-apply round-trip proof — the other half of the CDC story
+        |(k_snapshot_diff derives a changefeed; this query APPLIES one
+        |and proves the apply operator correct): base = latest purchase
+        |per user at the 01-15 cutoff, delta batch = each user's latest
+        |in (01-15, 01-31], merge = full-outer upsert (delta wins, base
+        |carries), target = the directly-computed 01-31 snapshot. The
+        |output row carries the merge's action counts (insert / update /
+        |carry) AND the mismatch count vs target — 0 by the upsert
+        |identity, and the oracle hash turns any drift in merge
+        |semantics into a red row. Every snapshot is one user-key
+        |struct-max aggregate (map-side combinable); the merge and the
+        |comparison are user-key joins on snapshot-sized frames, so at
+        |100 TB the expensive part stays the scans, never the apply.""".stripMargin,
+      Some(
+        """WITH base AS (
+          |  SELECT user_id,
+          |         max({'ts': ts, 'eid': event_id,
+          |              'v': CAST(floor(value * 1000000) AS BIGINT)}) AS st
+          |  FROM events
+          |  WHERE event_type = 'purchase'
+          |    AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+          |  GROUP BY user_id),
+          |delta AS (
+          |  SELECT user_id,
+          |         max({'ts': ts, 'eid': event_id,
+          |              'v': CAST(floor(value * 1000000) AS BIGINT)}) AS st
+          |  FROM events
+          |  WHERE event_type = 'purchase'
+          |    AND ts > TIMESTAMP '2024-01-15 00:00:00'
+          |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+          |  GROUP BY user_id),
+          |target AS (
+          |  SELECT user_id,
+          |         max({'ts': ts, 'eid': event_id,
+          |              'v': CAST(floor(value * 1000000) AS BIGINT)}) AS st
+          |  FROM events
+          |  WHERE event_type = 'purchase'
+          |    AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+          |  GROUP BY user_id),
+          |merged AS (
+          |  SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+          |         COALESCE(d.st, b.st) AS st,
+          |         CASE WHEN b.user_id IS NULL THEN 'insert'
+          |              WHEN d.user_id IS NULL THEN 'carry'
+          |              ELSE 'update' END AS action
+          |  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id),
+          |cmp AS (
+          |  SELECT m.action,
+          |         CASE WHEN m.st.eid IS DISTINCT FROM t.st.eid
+          |                OR m.st.v IS DISTINCT FROM t.st.v
+          |              THEN 1 ELSE 0 END AS mism
+          |  FROM merged m FULL OUTER JOIN target t ON m.user_id = t.user_id)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_target,
+          |       CAST(COUNT(*) FILTER (WHERE action = 'insert') AS BIGINT)
+          |         AS n_inserts,
+          |       CAST(COUNT(*) FILTER (WHERE action = 'update') AS BIGINT)
+          |         AS n_updates,
+          |       CAST(COUNT(*) FILTER (WHERE action = 'carry') AS BIGINT)
+          |         AS n_carries,
+          |       CAST(SUM(mism) AS BIGINT) AS n_mismatch
+          |FROM cmp
+          |ORDER BY n_target""".stripMargin),
+      (s, dir) => {
+        def snap(lo: Option[String], hi: String) = {
+          val base = Tables.events(s, dir)
+            .filter(col("event_type") === "purchase" &&
+              col("ts") <= expr(s"TIMESTAMP '$hi'"))
+          lo.fold(base)(l => base.filter(col("ts") > expr(s"TIMESTAMP '$l'")))
+            .groupBy("user_id")
+            .agg(max(struct(col("ts"), col("event_id").as("eid"),
+              floor(col("value") * 1000000L).cast("long").as("v"))).as("st"))
+        }
+        val c1 = "2024-01-15 00:00:00"; val c2 = "2024-01-31 00:00:00"
+        val base = snap(None, c1)
+        val delta = snap(Some(c1), c2)
+        val target = snap(None, c2)
+          .select(col("user_id"), col("st").as("tst"))
+        val merged = base.select(col("user_id").as("bu"), col("st").as("bst"))
+          .join(delta.select(col("user_id").as("du"), col("st").as("dst")),
+            col("bu") === col("du"), "full_outer")
+          .select(
+            coalesce(col("du"), col("bu")).as("user_id"),
+            coalesce(col("dst"), col("bst")).as("st"),
+            when(col("bu").isNull, lit("insert"))
+              .when(col("du").isNull, lit("carry"))
+              .otherwise(lit("update")).as("action"))
+        merged.join(target, Seq("user_id"), "full_outer")
+          .select(col("action"),
+            when(expr("not (st.eid <=> tst.eid)") ||
+                 expr("not (st.v <=> tst.v)"), 1L).otherwise(0L).as("mism"))
+          .agg(
+            count(lit(1)).as("n_target"),
+            sum(when(col("action") === "insert", 1L).otherwise(0L)).as("n_inserts"),
+            sum(when(col("action") === "update", 1L).otherwise(0L)).as("n_updates"),
+            sum(when(col("action") === "carry", 1L).otherwise(0L)).as("n_carries"),
+            sum(col("mism")).as("n_mismatch"))
+          .orderBy("n_target")
       }))
 }

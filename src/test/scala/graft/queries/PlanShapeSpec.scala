@@ -231,6 +231,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("equi-depth histogram: cumulative window runs over the checkpointed value frame") {
+    val p = plan("a_equidepth_histogram")
+    // value-frame agg + boundary join + output sort; the global window
+    // over the (dollars, freq) frame sits behind the checkpoint
+    assert(shuffles(p).length <= 4, "a_equidepth_histogram grew a shuffle")
+  }
+
+  test("cdc apply roundtrip: three struct-max snapshot aggs, user-keyed merges, single-row out") {
+    val p = plan("k_cdc_apply_roundtrip")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "snapshots must stay struct-max aggregates, not windows")
+  }
+
+  test("late-arrival audit: runmax window and agg share the (type,day) key") {
+    val p = plan("audit_late_arrivals")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "disorder window must stay (type, day)-partitioned")
+    assert(shuffles(p).length <= 2, "audit_late_arrivals grew a shuffle")
+  }
+
   test("node similarity: degrees broadcast onto the wedge frame") {
     assert(bcasts(plan("g_node_similarity")).nonEmpty,
       "degree tables no longer broadcast")

@@ -674,5 +674,68 @@ object SamplingQueries {
                    |div 1000""".stripMargin.replace("\n", " ")))
           .select("blk", "n_b", "s_b", "loo_mean", "grand_mean", "jk_var_milli")
           .orderBy("blk")
+      }),
+
+    Q(
+      "s_class_rebalance",
+      """Class rebalancing by deterministic oversampling — the
+        |minority-upweighting step before training on an imbalanced mix:
+        |every language is brought up to EXACTLY the majority class's
+        |count. Each doc replicates floor(target/n) times, and the
+        |remainder r goes to the r docs with the smallest md5 rank in
+        |their class (a pure function of doc_id — cluster-rerun-stable
+        |like every sampler here). The replication is generator fan-out
+        |at the scan (explode of a per-row sequence); per-class counts
+        |broadcast, and the ONE shuffle is the class-keyed
+        |remainder-rank window (at 100 TB that becomes a bounded top-r
+        |selection — only the r remainder winners need identifying, not
+        |a full ranking). Output: per language the original count, the
+        |replication parameters, and the post-balance count — equal to
+        |the target for every class BY CONSTRUCTION, with a doc_id-sum
+        |checksum over the replicated stream proving the fan-out exact.""".stripMargin,
+      Some(
+        """WITH n AS (
+          |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_orig
+          |  FROM documents GROUP BY 1),
+          |t AS (SELECT MAX(n_orig) AS target FROM n),
+          |r AS (
+          |  SELECT d.doc_id, d.lang, n.n_orig, t.target,
+          |         t.target // n.n_orig AS base_reps,
+          |         ROW_NUMBER() OVER (PARTITION BY d.lang
+          |                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+          |                                     d.doc_id) AS hrank
+          |  FROM documents d JOIN n ON d.lang = n.lang CROSS JOIN t),
+          |reps AS (
+          |  SELECT doc_id, lang, n_orig, target,
+          |         base_reps + CASE WHEN hrank <= target % n_orig
+          |                          THEN 1 ELSE 0 END AS k
+          |  FROM r),
+          |fan AS (
+          |  SELECT lang, n_orig, target, doc_id
+          |  FROM reps, LATERAL (SELECT unnest(range(k)) AS copy))
+          |SELECT lang, MIN(n_orig) AS n_orig, MIN(target) AS target,
+          |       CAST(COUNT(*) AS BIGINT) AS n_balanced,
+          |       CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+          |FROM fan
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.groupBy("lang").agg(count(lit(1)).as("n_orig"))
+        val t = n.agg(max(col("n_orig")).as("target"))
+        val hw = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(broadcast(n), "lang")
+          .crossJoin(broadcast(t))
+          .withColumn("hrank", row_number().over(hw))
+          .withColumn("k",
+            expr("target div n_orig") +
+              when(col("hrank") <= expr("target % n_orig"), 1L).otherwise(0L))
+          .withColumn("copy", explode(expr("sequence(1, k)")))
+          .groupBy("lang")
+          .agg(min(col("n_orig")).as("n_orig"), min(col("target")).as("target"),
+            count(lit(1)).as("n_balanced"), sum(col("doc_id")).as("doc_sum"))
+          .orderBy("lang")
       }))
 }

@@ -1148,6 +1148,53 @@ object AggWindowQueries {
       }),
 
     Q(
+      "w_burst_detection",
+      """Traffic burst detection against a trailing baseline — the
+        |ops-monitoring sweep (alert when an hour runs >= 1.25x its
+        |trailing-24h average): events collapse to the (type, hour)
+        |count frame FIRST; the trailing baseline is then a 24-row
+        |window over that bounded frame (720 rows per type at any
+        |corpus size), and the burst test cross-multiplies in exact
+        |integers (4*n*24 >= 5*trailing_sum — no fractional average
+        |ever formed). The first 24 hours have no full baseline and are
+        |excluded (warm-up convention). Output: every burst hour with
+        |its count, baseline sum, and ratio in ppm.""".stripMargin,
+      Some(
+        """WITH h AS (
+          |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+          |         CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |w AS (
+          |  SELECT event_type, hour_us, n,
+          |         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour_us
+          |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+          |           AS BIGINT) AS base_sum,
+          |         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_us
+          |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+          |           AS BIGINT) AS base_n
+          |  FROM h)
+          |SELECT event_type, hour_us, n, base_sum,
+          |       CAST(n * base_n * 1000000 // base_sum AS BIGINT) AS ratio_ppm
+          |FROM w
+          |WHERE base_n = 24 AND 4 * n * base_n >= 5 * base_sum
+          |ORDER BY event_type, hour_us""".stripMargin),
+      (s, dir) => {
+        val h = Tables.events(s, dir)
+          .withColumn("hour_us", unix_micros(date_trunc("hour", col("ts"))))
+          .groupBy("event_type", "hour_us")
+          .agg(count(lit(1)).as("n"))
+        val bw = Window.partitionBy("event_type").orderBy("hour_us")
+          .rowsBetween(-24, -1)
+        h.withColumn("base_sum", sum(col("n")).over(bw))
+          .withColumn("base_n", count(lit(1)).over(bw))
+          .filter(col("base_n") === 24 &&
+            col("n") * col("base_n") * 4 >= col("base_sum") * 5)
+          .select(col("event_type"), col("hour_us"), col("n"), col("base_sum"),
+            expr("n * base_n * 1000000 div base_sum").as("ratio_ppm"))
+          .orderBy("event_type", "hour_us")
+      }),
+
+    Q(
       "a_equidepth_histogram",
       """Equi-depth (equi-height) histogram construction — the planner
         |statistic behind selectivity estimation (a_join_size_est's

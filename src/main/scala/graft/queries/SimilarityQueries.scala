@@ -435,6 +435,56 @@ object SimilarityQueries {
       }),
 
     Q(
+      "dd_threshold_sweep",
+      """Near-dup THRESHOLD CALIBRATION curve — the knob-tuning artifact
+        |a semantic-dedup rollout needs before picking its cosine cutoff
+        |(too low: false merges; too high: missed dups): the same
+        |label-blocked pairwise frame as dd_embed_neardup is scored
+        |ONCE, cosines bucket to 2 dp (integer centi-units), and a
+        |cumulative window over the bounded bucket frame (<= 201 rows)
+        |yields, for every candidate threshold, how many candidate pairs
+        |a merge at that threshold would touch.
+        |One pairwise pass serves every threshold — the sweep costs no
+        |more than a single-threshold run; everything after the
+        |blocked scoring is bucket-frame-sized.""".stripMargin,
+      Some(
+        s"""WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+           |         CAST(floor(${duckCos("a.v", "b.v")} * 100) AS BIGINT) AS centi
+           |  FROM b a JOIN b b ON a.label = b.label AND a.vec_id < b.vec_id),
+           |bk AS (
+           |  SELECT centi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |  FROM pairs GROUP BY 1),
+           |c AS (
+           |  SELECT centi, n_pairs,
+           |         CAST(SUM(n_pairs) OVER (ORDER BY centi DESC
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS BIGINT) AS pairs_at_or_above
+           |  FROM bk)
+           |SELECT centi AS threshold_centi, n_pairs, pairs_at_or_above
+           |FROM c
+           |ORDER BY threshold_centi DESC""".stripMargin),
+      (s, dir) => {
+        val b = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val a2 = b.select(col("label"), col("vec_id").as("idb"),
+          col("embedding").as("nv"))
+        val bk = b.select(col("label"), col("vec_id").as("ida"), col("embedding"))
+          .join(a2, Seq("label"))
+          .filter(col("ida") < col("idb"))
+          .select(floor(Vectors.cosine(col("embedding"), col("nv")) * 100)
+            .cast("long").as("centi"))
+          .groupBy("centi").agg(count(lit(1)).as("n_pairs"))
+        val cw = Window.orderBy(col("centi").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bk.withColumn("pairs_at_or_above", sum(col("n_pairs")).over(cw))
+          .select(col("centi").as("threshold_centi"), col("n_pairs"),
+            col("pairs_at_or_above"))
+          .orderBy(col("threshold_centi").desc)
+      }),
+
+    Q(
       "emb_int8_quantize",
       """Symmetric int8 embedding quantization — the storage/serving
         |compression step an ANN index applies before sharding: per

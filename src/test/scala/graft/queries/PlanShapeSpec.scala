@@ -231,6 +231,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("burst detection: baseline window runs over the collapsed hourly frame") {
+    val p = plan("w_burst_detection")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "baseline window must stay type-partitioned")
+    // hourly agg + frame window + output sort
+    assert(shuffles(p).length <= 3, "w_burst_detection grew a shuffle")
+  }
+
   test("equi-depth histogram: cumulative window runs over the checkpointed value frame") {
     val p = plan("a_equidepth_histogram")
     // value-frame agg + boundary join + output sort; the global window

@@ -1148,6 +1148,83 @@ object AggWindowQueries {
       }),
 
     Q(
+      "a_autocorrelation",
+      """Lag-k autocorrelation of the hourly event series — the
+        |seasonality diagnostic (is there an hourly carryover? a daily
+        |cycle?) behind forecast and anomaly models: for k = 1 and 24,
+        |pair each hour's count with its k-hours-later neighbor (LEAD
+        |over the collapsed (type, hour) frame — 720 rows per type at
+        |any corpus size), accumulate the five sufficient statistics in
+        |one aggregate, and emit the SIGNED SQUARED correlation in exact
+        |ppm exactly like a_corr_matrix (cov^2 widened DECIMAL/HUGEINT;
+        |sqrt never runs, so no libm divergence surface). Events shuffle
+        |once into the hourly frame; everything after is frame-sized.""".stripMargin,
+      Some(
+        """WITH h AS (
+          |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+          |         CAST(COUNT(*) AS BIGINT) AS x
+          |  FROM events GROUP BY 1, 2),
+          |k AS (SELECT unnest([1, 24]) AS lag_k),
+          |p AS (
+          |  SELECT h.event_type, k.lag_k, h.x,
+          |         LEAD(h.x, k.lag_k) OVER (PARTITION BY h.event_type, k.lag_k
+          |                                  ORDER BY h.hour_us) AS y
+          |  FROM h CROSS JOIN k),
+          |m AS (
+          |  SELECT event_type, lag_k,
+          |         CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          |         CAST(SUM(x*y) AS BIGINT) AS sxy,
+          |         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+          |  FROM p WHERE y IS NOT NULL GROUP BY 1, 2),
+          |c AS (
+          |  SELECT event_type, lag_k, n,
+          |         n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+          |  FROM m)
+          |SELECT event_type, CAST(lag_k AS INT) AS lag_k, n,
+          |       CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS sgn,
+          |       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+          |            ELSE CAST(CAST(num AS HUGEINT) * num * 1000000
+          |                      // (CAST(dx AS HUGEINT) * dy) AS BIGINT) END
+          |         AS r2_ppm
+          |FROM c
+          |ORDER BY event_type, lag_k""".stripMargin),
+      (s, dir) => {
+        val h = Tables.events(s, dir)
+          .withColumn("hour_us", unix_micros(date_trunc("hour", col("ts"))))
+          .groupBy("event_type", "hour_us")
+          .agg(count(lit(1)).as("x"))
+        val ks = h.sparkSession.range(0, 1)
+          .select(explode(array(lit(1), lit(24))).as("lag_k"))
+        // one LEAD window per (type, lag) over the collapsed hourly frame;
+        // lead distance must be a literal, so the two lags are separate
+        // window columns selected by the exploded lag key
+        val w = Window.partitionBy("event_type", "lag_k").orderBy("hour_us")
+        val p = h.crossJoin(broadcast(ks))
+          .withColumn("y",
+            when(col("lag_k") === 1, lead(col("x"), 1).over(w))
+              .otherwise(lead(col("x"), 24).over(w)))
+          .filter(col("y").isNotNull)
+        val m = p.groupBy("event_type", "lag_k")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x*y")).as("sxy"),
+            sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"))
+        m.select(col("event_type"), col("lag_k").cast("int").as("lag_k"),
+            col("n"),
+            expr("n*sxy - sx*sy").as("num"),
+            expr("n*sxx - sx*sx").as("dx"), expr("n*syy - sy*sy").as("dy"))
+          .select(col("event_type"), col("lag_k"), col("n"),
+            expr("CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END")
+              .as("sgn"),
+            expr("""CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                   |ELSE cast(cast(num as decimal(38,0)) * num * 1000000
+                   |     div (cast(dx as decimal(38,0)) * dy) as bigint)
+                   |END""".stripMargin).as("r2_ppm"))
+          .orderBy("event_type", "lag_k")
+      }),
+
+    Q(
       "w_burst_detection",
       """Traffic burst detection against a trailing baseline — the
         |ops-monitoring sweep (alert when an hour runs >= 1.25x its

@@ -231,6 +231,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("autocorrelation: LEAD windows run over the collapsed hourly frame") {
+    val p = plan("a_autocorrelation")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "lag pairing must stay (type, lag)-partitioned")
+    // hourly agg + frame window + stats agg + output sort
+    assert(shuffles(p).length <= 4, "a_autocorrelation grew a shuffle")
+  }
+
   test("burst detection: baseline window runs over the collapsed hourly frame") {
     val p = plan("w_burst_detection")
     val windows = collectAll(p) {

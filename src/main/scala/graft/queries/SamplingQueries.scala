@@ -677,6 +677,55 @@ object SamplingQueries {
       }),
 
     Q(
+      "s_grouped_kfold",
+      """GROUPED k-fold assignment — the leakage-safe cross-validation
+        |split (near-duplicate documents cluster by source; row-level
+        |folding would leak them across train/eval): the fold is a pure
+        |function of the GROUP key (md5(source || seed) mod 5), so every
+        |document of a source lands in the same fold by construction —
+        |deterministic, cluster-rerun-stable, and assignable at the scan
+        |with zero shuffle. The output carries the proof: per fold the
+        |doc/source counts, plus `n_leaky_sources` — sources observed in
+        |more than one distinct fold — which the construction pins at 0
+        |and the oracle hash turns into a red row if fold assignment
+        |ever becomes row-dependent.""".stripMargin,
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id, source,
+          |         CAST(list_sum(list_transform(range(1, 13),
+          |           i -> (strpos('0123456789abcdef',
+          |                   substr(md5(source || ':kfold'), CAST(i AS INTEGER), 1))
+          |                 - 1) * power(16, 12 - i))) AS BIGINT) % 5 AS fold
+          |  FROM documents),
+           |leak AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_sources FROM (
+           |    SELECT source FROM f GROUP BY source
+           |    HAVING COUNT(DISTINCT fold) > 1))
+           |SELECT fold,
+           |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           |       leak.n_leaky_sources
+           |FROM f, leak
+           |GROUP BY fold, leak.n_leaky_sources
+           |ORDER BY fold""".stripMargin),
+      (s, dir) => {
+        val f = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            (expr("conv(substring(md5(concat(source, ':kfold')), 1, 12), 16, 10)")
+              .cast("long") % 5).as("fold"))
+        val leak = f.groupBy("source")
+          .agg(countDistinct("fold").as("nf"))
+          .filter(col("nf") > 1)
+          .agg(count(lit(1)).as("n_leaky_sources"))
+        f.groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("source").as("n_sources"))
+          .crossJoin(broadcast(leak))
+          .select("fold", "n_docs", "n_sources", "n_leaky_sources")
+          .orderBy("fold")
+      }),
+
+    Q(
       "s_class_rebalance",
       """Class rebalancing by deterministic oversampling — the
         |minority-upweighting step before training on an imbalanced mix:

@@ -1148,6 +1148,114 @@ object AggWindowQueries {
       }),
 
     Q(
+      "w_seasonal_deviation",
+      """Deviation from the seasonal (hour-of-day) profile — burst
+        |detection's calendar-aware sibling: each (type, hour) count is
+        |judged against the mean of ITS OWN hour-of-day across the
+        |corpus (the 8am slot compares to other 8am slots, not to 3am),
+        |so daily cycles stop masquerading as anomalies. The profile is
+        |a (type, hour-of-day) aggregate — 120 rows at any corpus
+        |size — broadcast back onto the collapsed hourly frame; the
+        |deviation test cross-multiplies in exact integers
+        |(2·n·prof_n >= 3·prof_sum, a 1.5x seasonal excess). Output:
+        |every exceeding hour with its count, profile mean context, and
+        |ratio in ppm.""".stripMargin,
+      Some(
+        """WITH h AS (
+          |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+          |         CAST(hour(ts) AS INT) AS hod,
+          |         CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2, 3),
+          |prof AS (
+          |  SELECT event_type, hod,
+          |         CAST(SUM(n) AS BIGINT) AS prof_sum,
+          |         CAST(COUNT(*) AS BIGINT) AS prof_n
+          |  FROM h GROUP BY 1, 2)
+          |SELECT h.event_type, h.hour_us, h.n, p.prof_sum, p.prof_n,
+          |       CAST(h.n * p.prof_n * 1000000 // p.prof_sum AS BIGINT)
+          |         AS ratio_ppm
+          |FROM h JOIN prof p
+          |  ON h.event_type = p.event_type AND h.hod = p.hod
+          |WHERE 2 * h.n * p.prof_n >= 3 * p.prof_sum
+          |ORDER BY h.event_type, hour_us""".stripMargin),
+      (s, dir) => {
+        val h = Tables.events(s, dir)
+          .withColumn("hour_us", unix_micros(date_trunc("hour", col("ts"))))
+          .withColumn("hod", hour(col("ts")).cast("int"))
+          .groupBy("event_type", "hour_us", "hod")
+          .agg(count(lit(1)).as("n"))
+        val prof = h.groupBy("event_type", "hod")
+          .agg(sum(col("n")).as("prof_sum"), count(lit(1)).as("prof_n"))
+        h.join(broadcast(prof), Seq("event_type", "hod"))
+          .filter(col("n") * col("prof_n") * 2 >= col("prof_sum") * 3)
+          .select(col("event_type"), col("hour_us"), col("n"),
+            col("prof_sum"), col("prof_n"),
+            expr("n * prof_n * 1000000 div prof_sum").as("ratio_ppm"))
+          .orderBy("event_type", "hour_us")
+      }),
+
+    Q(
+      "a_ab_readout",
+      """A/B experiment readout — the experimentation primitive: users
+        |assign to arms by a pure hash (md5(user || salt) mod 2 — the
+        |same rerun-stable split discipline as every sampler here), and
+        |per event type the two arms' per-user event rates compare in
+        |exact integer ppm (rate = events·10^6 div users; diff signed).
+        |On this synthetic corpus the arms differ only by sampling noise
+        |— the A/A-test reading, which is itself the standard harness
+        |validation an experimentation platform runs first. Assignment
+        |is scan-side; the readout is one (type, arm) aggregate plus a
+        |2-row-per-type pivot.""".stripMargin,
+      Some(
+        """WITH a AS (
+          |  SELECT user_id, event_type,
+          |         CAST(list_sum(list_transform(range(1, 13),
+          |           i -> (strpos('0123456789abcdef',
+          |                   substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+          |                          CAST(i AS INTEGER), 1))
+          |                 - 1) * power(16, 12 - i))) AS BIGINT) % 2 AS arm
+          |  FROM events),
+          |g AS (
+          |  SELECT event_type, arm,
+          |         CAST(COUNT(*) AS BIGINT) AS n_events,
+          |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          |  FROM a GROUP BY 1, 2),
+          |p AS (
+          |  SELECT event_type,
+          |         MAX(CASE WHEN arm = 0 THEN n_events END) AS ev0,
+          |         MAX(CASE WHEN arm = 0 THEN n_users END) AS u0,
+          |         MAX(CASE WHEN arm = 1 THEN n_events END) AS ev1,
+          |         MAX(CASE WHEN arm = 1 THEN n_users END) AS u1
+          |  FROM g GROUP BY 1)
+          |SELECT event_type, ev0, u0, ev1, u1,
+          |       CAST(ev0 * 1000000 // u0 AS BIGINT) AS rate0_ppm,
+          |       CAST(ev1 * 1000000 // u1 AS BIGINT) AS rate1_ppm,
+          |       CAST(ev1 * 1000000 // u1 - ev0 * 1000000 // u0 AS BIGINT)
+          |         AS diff_ppm
+          |FROM p
+          |ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val a = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            (expr("conv(substring(md5(concat(cast(user_id as string), ':ab'))," +
+              " 1, 12), 16, 10)").cast("long") % 2).as("arm"))
+        val g = a.groupBy("event_type", "arm")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"))
+        g.groupBy("event_type")
+          .agg(
+            max(when(col("arm") === 0, col("n_events"))).as("ev0"),
+            max(when(col("arm") === 0, col("n_users"))).as("u0"),
+            max(when(col("arm") === 1, col("n_events"))).as("ev1"),
+            max(when(col("arm") === 1, col("n_users"))).as("u1"))
+          .select(col("event_type"), col("ev0"), col("u0"), col("ev1"), col("u1"),
+            expr("ev0 * 1000000 div u0").as("rate0_ppm"),
+            expr("ev1 * 1000000 div u1").as("rate1_ppm"),
+            expr("ev1 * 1000000 div u1 - ev0 * 1000000 div u0").as("diff_ppm"))
+          .orderBy("event_type")
+      }),
+
+    Q(
       "a_autocorrelation",
       """Lag-k autocorrelation of the hourly event series — the
         |seasonality diagnostic (is there an hourly carryover? a daily

@@ -231,6 +231,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "5-row calibration join no longer broadcast")
   }
 
+  test("seasonal deviation: the 120-row profile broadcasts onto the hourly frame") {
+    val p = plan("w_seasonal_deviation")
+    assert(bcasts(p).nonEmpty, "hour-of-day profile no longer broadcast")
+    // hourly agg + profile agg + output sort
+    assert(shuffles(p).length <= 3, "w_seasonal_deviation grew a shuffle")
+  }
+
   test("autocorrelation: LEAD windows run over the collapsed hourly frame") {
     val p = plan("a_autocorrelation")
     val windows = collectAll(p) {

@@ -1184,6 +1184,10 @@ object AggWindowQueries {
           .withColumn("hod", hour(col("ts")).cast("int"))
           .groupBy("event_type", "hour_us", "hod")
           .agg(count(lit(1)).as("n"))
+          // materialized once: both the probe side and the profile derive
+          // from this frame — without the checkpoint the profile branch
+          // re-scans the corpus and re-runs the hourly agg
+          .localCheckpoint()
         val prof = h.groupBy("event_type", "hod")
           .agg(sum(col("n")).as("prof_sum"), count(lit(1)).as("prof_n"))
         h.join(broadcast(prof), Seq("event_type", "hod"))

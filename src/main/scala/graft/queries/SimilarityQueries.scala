@@ -402,6 +402,97 @@ object SimilarityQueries {
       }),
 
     Q(
+      "ann_recall_eval",
+      """ANN RECALL evaluation — the metric that decides whether an
+        |approximate index ships: per probe, the LSH-bucketed top-5 is
+        |scored against the brute-force top-5 ground truth
+        |(recall@5), from ONE shared scored frame — the brute ranking
+        |runs over all candidates, the bucketed ranking over the
+        |same-bucket subset of the very same rows, so the eval costs one
+        |brute pass (exactly what an offline recall job pays). Output
+        |per probe: the bucket's candidate count, hits, and recall in
+        |ppm — small buckets expose the recall/bucket-size trade the
+        |index tuner actually navigates. Probes broadcast; everything
+        |after scoring is top-k-frame-sized.""".stripMargin,
+      Some {
+        val duckBucket = lshDims
+          .map(d => s"CASE WHEN embedding[$d] >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v, ($duckBucket) AS bucket
+           |  FROM embeddings),
+           |probes AS (
+           |  SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
+           |  FROM b WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT probe_id, pbucket, b.vec_id AS cand_id, b.bucket,
+           |         ${duckCos("pv", "b.v")} AS cos
+           |  FROM probes JOIN b ON b.vec_id <> probe_id),
+           |brute AS (
+           |  SELECT probe_id, cand_id FROM (
+           |    SELECT probe_id, cand_id,
+           |           ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                              ORDER BY cos DESC, cand_id) AS rn
+           |    FROM scored) WHERE rn <= 5),
+           |lsh AS (
+           |  SELECT probe_id, cand_id FROM (
+           |    SELECT probe_id, cand_id,
+           |           ROW_NUMBER() OVER (PARTITION BY probe_id
+           |                              ORDER BY cos DESC, cand_id) AS rn
+           |    FROM scored WHERE bucket = pbucket) WHERE rn <= 5),
+           |bs AS (
+           |  SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS bucket_size
+           |  FROM scored WHERE bucket = pbucket GROUP BY 1),
+           |hits AS (
+           |  SELECT b.probe_id,
+           |         CAST(COUNT(l.cand_id) AS BIGINT) AS n_hits
+           |  FROM brute b LEFT JOIN lsh l
+           |    ON b.probe_id = l.probe_id AND b.cand_id = l.cand_id
+           |  GROUP BY 1)
+           |SELECT h.probe_id, COALESCE(bs.bucket_size, 0) AS bucket_size,
+           |       h.n_hits,
+           |       CAST(h.n_hits * 1000000 // 5 AS BIGINT) AS recall_ppm
+           |FROM hits h LEFT JOIN bs ON h.probe_id = bs.probe_id
+           |ORDER BY h.probe_id""".stripMargin
+      },
+      (s, dir) => {
+        val b = Tables.embeddings(s, dir).select(
+          col("vec_id"), col("embedding"),
+          Vectors.signBucket(col("embedding"), lshDims).as("bucket"))
+        val probes = b.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+            col("bucket").as("pbucket"))
+        val scored = b
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+            col("bucket"))
+          .crossJoin(broadcast(probes))
+          .filter(col("cand_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("pbucket"), col("cand_id"), col("bucket"),
+            Vectors.cosine(col("pv"), col("cv")).as("cos"))
+          .localCheckpoint() // one scoring pass serves both rankings
+        val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+        val brute = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).select("probe_id", "cand_id")
+        val lsh = scored.filter(col("bucket") === col("pbucket"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("probe_id").as("lp"), col("cand_id").as("lc"))
+        val bs = scored.filter(col("bucket") === col("pbucket"))
+          .groupBy("probe_id").agg(count(lit(1)).as("bucket_size"))
+        brute
+          .join(lsh, col("probe_id") === col("lp") && col("cand_id") === col("lc"),
+            "left")
+          .groupBy("probe_id")
+          .agg(count(col("lc")).as("n_hits"))
+          .join(bs, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("bucket_size"), lit(0L)).as("bucket_size"),
+            col("n_hits"),
+            expr("n_hits * 1000000 div 5").as("recall_ppm"))
+          .orderBy("probe_id")
+      }),
+
+    Q(
       "dd_embed_neardup",
       """Embedding near-dup: nearest same-label neighbor per vector
         |(label is the blocking key bounding the pairwise term, as `source`

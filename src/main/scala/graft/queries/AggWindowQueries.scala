@@ -1387,9 +1387,10 @@ object AggWindowQueries {
       "a_equidepth_histogram",
       """Equi-depth (equi-height) histogram construction — the planner
         |statistic behind selectivity estimation (a_join_size_est's
-        |sibling): 8 buckets over l_extendedprice cents where each holds
-        |~N/8 rows. Same collapsed-frame discipline as the weighted
-        |median: values collapse to the (cents, freq) frame first, the
+        |sibling): 8 buckets over whole-dollar l_extendedprice values
+        |where each holds ~N/8 rows. Same collapsed-frame discipline as
+        |the weighted median: values collapse to the (dollars, freq)
+        |frame first, the
         |cumulative window runs over that bounded frame, and boundary k
         |is the smallest value with cum*8 >= k*N — integer
         |cross-multiplication, no float quantiles. Emits each boundary
@@ -1428,7 +1429,7 @@ object AggWindowQueries {
           .withColumn("cum", sum(col("freq")).over(cw))
           .withColumn("n", sum(col("freq")).over(
             Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-          .localCheckpoint() // value frame: |distinct cents| rows, built once
+          .localCheckpoint() // value frame: |distinct dollars| rows, built once
         val k = c.sparkSession.range(1, 9).select(col("id").as("bucket"))
         val b = broadcast(k).join(c, col("cum") * 8 >= col("bucket") * col("n"))
           .groupBy("bucket").agg(min(col("dollars")).as("boundary_dollars"))

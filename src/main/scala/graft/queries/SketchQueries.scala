@@ -215,8 +215,12 @@ object SketchQueries {
            |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
            |ha AS (SELECT ${duckHash48("CAST(user_id AS VARCHAR)")} AS v, f FROM fa),
            |hb AS (SELECT ${duckHash48("CAST(user_id AS VARCHAR)")} AS v, f FROM fb),
-           |ra AS (SELECT v, f, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM ha),
-           |rb AS (SELECT v, f, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM hb),
+           |-- ORDER BY v, f: deterministic at the k-th boundary even if two
+           |-- distinct keys collide on the 48-bit hash — matches the Spark
+           |-- heap's tie rule, which ranks the packed id v*2^15+f (f < 2^15,
+           |-- so (v, f) lexicographic == packed-id numeric order).
+           |ra AS (SELECT v, f, ROW_NUMBER() OVER (ORDER BY v, f) AS rn FROM ha),
+           |rb AS (SELECT v, f, ROW_NUMBER() OVER (ORDER BY v, f) AS rn FROM hb),
            |sa AS (SELECT v, f FROM ra WHERE rn <= $KmvK),
            |sb AS (SELECT v, f FROM rb WHERE rn <= $KmvK),
            |ta AS (SELECT COALESCE(MAX(CASE WHEN rn = $KmvK THEN v END),

@@ -29,9 +29,14 @@ import org.apache.spark.sql.SparkSession
   * instead of asserted. Either env set to 0 disables that pass.
   *
   * Streaming point: a `"streaming"` block times the REST cardex DSv2
-  * source in micro-batch mode (Trigger.AvailableNow draining published
-  * pages under admission control) — rows/s and per-batch wall times, the
+  * source in micro-batch mode (draining published pages under admission
+  * control) — whole-run AND steady-state rows/s (first batch excluded,
+  * batch-duration denominator) plus a `wide` 10k-rows/page point, the
   * §2.9 surface the batch queries never exercise.
+  *
+  * The complete JSON line is also written to SPARK_GRAFT_BENCH_OUT
+  * (default /root/repo/BENCHFULL.json) — the stdout capture keeps only a
+  * tail, and round 8 lost its main pass to that truncation.
   */
 object Bench {
   /** The scale-curve subset: the scan/join/agg/dedup/text/ann/pipeline
@@ -122,14 +127,26 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
-      // one (name, samples, lastErr) per query; errors keep class+message
+      // one (name, samples, loadavgs, lastErr) per query; errors keep
+      // class+message. Each sample carries the 1-min system loadavg read
+      // just before it started: the driver box self-contends during the
+      // ~hour-long full pass (round-8 verdict adjudicated four apparent
+      // 2x regressions as contention), and the load column lets a
+      // consumer discount contaminated rows instead of guessing. A query
+      // whose fastest sample is still >= 5 s gets ONE adaptive extra run
+      // — min-of-2 absorbs spikes but not sustained load, and the slow
+      // queries are exactly where contention moves the round-over-round
+      // comparison most.
       def runSet(dir: String,
                  qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-                 tag: String): Seq[(String, Seq[Double], Option[String])] =
+                 tag: String): Seq[(String, Seq[Double], Seq[Double], Option[String])] =
         qs.map { case (name, fn) =>
           var lastErr: Option[String] = None
-          val samples = (1 to scaleRuns).flatMap { i =>
-            System.err.println(s"[bench] $tag(${copies}x) $name ($i/$scaleRuns)")
+          var loads = Vector.empty[Double]
+          def sample(i: Int, n: Int): Option[Double] = {
+            System.err.println(s"[bench] $tag(${copies}x) $name ($i/$n)")
+            loads :+= java.lang.management.ManagementFactory
+              .getOperatingSystemMXBean.getSystemLoadAverage
             val t0 = System.nanoTime()
             try {
               fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -139,7 +156,10 @@ object Bench {
                 s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
               System.err.println(s"[bench] $tag $name failed: $e"); None }
           }
-          (name, samples, lastErr)
+          var samples = (1 to scaleRuns).flatMap(sample(_, scaleRuns))
+          if (samples.nonEmpty && samples.min >= 5.0)
+            samples ++= sample(scaleRuns + 1, scaleRuns + 1)
+          (name, samples, loads, lastErr)
         }
       // per-run unique dirs under tmpdir (cwd-independent, and two
       // concurrent benches can't clobber each other's replica mid-read);
@@ -165,17 +185,25 @@ object Bench {
             (merged, merged.filter(r => failedNames.contains(r._1) && r._2.nonEmpty).map(_._1))
           }
         val good = scaled.filter(_._2.nonEmpty)
-        val sqs = good.map { case (k, ss, _) => s"\"" + k + "\":" + ss.min }
+        val sqs = good.map { case (k, ss, _, _) => s"\"" + k + "\":" + ss.min }
           .mkString("{", ",", "}")
+        // full sample + loadavg vectors: min-of-N hides the spread; the
+        // raw arrays let a round-over-round consumer see whether a slow
+        // min came with a loaded box
+        val sraw = good.map { case (k, ss, _, _) =>
+          s"\"" + k + "\":[" + ss.mkString(",") + "]" }.mkString("{", ",", "}")
+        val sload = good.map { case (k, _, ls, _) =>
+          s"\"" + k + "\":[" + ls.map(l => f"$l%.2f").mkString(",") + "]"
+        }.mkString("{", ",", "}")
         val failed = scaled.filter(_._2.isEmpty)
-          .map { case (k, _, err) =>
+          .map { case (k, _, _, err) =>
             s"""{"name":"$k","err":"${escJson(err.getOrElse("unknown"))}"}""" }
           .mkString("[", ",", "]")
-        val partial = good.filter(_._2.length < scaleRuns)
-          .map { case (k, ss, _) => s"\"" + k + s"\":[${ss.length},$scaleRuns]" }
+        val partial = good.filter(r => r._2.length < scaleRuns)
+          .map { case (k, ss, _, _) => s"\"" + k + s"\":[${ss.length},$scaleRuns]" }
           .mkString("{", ",", "}")
         val retriedJson = rescued.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s"""{"copies":$copies,"value":${good.map(_._2.min).sum},"queries":$sqs,"failed":$failed,"partial":$partial,"retried":$retriedJson}"""
+        s"""{"copies":$copies,"value":${good.map(_._2.min).sum},"queries":$sqs,"raw":$sraw,"load":$sload,"failed":$failed,"partial":$partial,"retried":$retriedJson}"""
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaledDir))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(retryDir)); ()
@@ -204,48 +232,66 @@ object Bench {
         System.err.println(s"[bench] scale-curve pass skipped: $e"); ""
     }
 
-    // streaming throughput point: drain P published pages of the REST
-    // cardex source under Trigger.AvailableNow with admission control
-    // (maxPagesPerTrigger) — rows/s plus per-batch wall times. fail-soft
-    // like the scale curve.
+    // streaming throughput points: drain P published pages of the REST
+    // cardex source in micro-batch mode with admission control
+    // (maxPagesPerTrigger). Round-8 lesson: a 64-page drain finishes in
+    // ~1.8 s, of which batch-0 warmup (state-store + sink init, first
+    // codegen) is ~30% — the aggregate rows/s swung ±50% run to run and
+    // produced an unreproducible headline number. So each point now
+    // drains enough batches to amortize warmup AND reports a warm/steady
+    // split: `rows_per_sec` is the whole-run figure, `steady_rows_per_sec`
+    // excludes the first non-empty batch and divides by the SUM OF BATCH
+    // DURATIONS (not wall time, so inter-batch scheduling gaps don't
+    // count as throughput). A second `wide` point at 10k rows/page
+    // separates per-batch overhead from per-row cost. fail-soft like the
+    // scale curve.
+    def streamPoint(pages: Int, rowsPerPage: Int, perTrigger: Int): String = {
+      val runId = s"bench-${java.util.UUID.randomUUID()}"
+      graft.sources.rest.FakeCardexApi.publishPages(runId, pages)
+      val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-bench-stream-${java.util.UUID.randomUUID()}").getAbsolutePath
+      try {
+        // default ProcessingTime(0) trigger, NOT AvailableNow: the
+        // source honors maxPagesPerTrigger only outside AvailableNow
+        // (which by contract drains to its pinned offset in one go), and
+        // the admission-controlled multi-batch path is the one worth
+        // timing — it is how a rate-limited API is actually consumed
+        val t0 = System.nanoTime()
+        val q = spark.readStream
+          .format("graft.sources.rest.RestCardexSource")
+          .option("pages", pages)
+          .option("rowsPerPage", rowsPerPage)
+          .option("apiRunId", runId)
+          .option("maxPagesPerTrigger", perTrigger)
+          .load()
+          .writeStream
+          .format("noop")
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progress = q.recentProgress.filter(_.numInputRows > 0)
+        q.stop()
+        val rows = progress.map(_.numInputRows).sum
+        val ms = progress.map(_.batchDuration.toString).mkString("[", ",", "]")
+        val steady = progress.drop(1)
+        val steadyRows = steady.map(_.numInputRows).sum
+        val steadyMs = steady.map(_.batchDuration).sum
+        val steadyRps =
+          if (steadyMs <= 0) 0.0 else steadyRows * 1000.0 / steadyMs
+        s"""{"pages":$pages,"rows_per_page":$rowsPerPage,"rows":$rows,"batches":${progress.length},"sec":$sec,"rows_per_sec":${rows / math.max(sec, 1e-9)},"steady_rows":$steadyRows,"steady_ms":$steadyMs,"steady_rows_per_sec":$steadyRps,"batch_ms":$ms}"""
+      } finally {
+        graft.sources.rest.FakeCardexApi.resetRun(runId)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)); ()
+      }
+    }
     val streamingJson = try {
-      val pages = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAGES", "64").toInt
+      val pages = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAGES", "512").toInt
       if (pages <= 0) "" else {
-        val rowsPerPage = 2000
-        val perTrigger = 8
-        val runId = s"bench-${java.util.UUID.randomUUID()}"
-        graft.sources.rest.FakeCardexApi.publishPages(runId, pages)
-        val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-bench-stream-${java.util.UUID.randomUUID()}").getAbsolutePath
-        try {
-          // default ProcessingTime(0) trigger, NOT AvailableNow: the
-          // source honors maxPagesPerTrigger only outside AvailableNow
-          // (which by contract drains to its pinned offset in one go), and
-          // the admission-controlled multi-batch path is the one worth
-          // timing — it is how a rate-limited API is actually consumed
-          val t0 = System.nanoTime()
-          val q = spark.readStream
-            .format("graft.sources.rest.RestCardexSource")
-            .option("pages", pages)
-            .option("rowsPerPage", rowsPerPage)
-            .option("apiRunId", runId)
-            .option("maxPagesPerTrigger", perTrigger)
-            .load()
-            .writeStream
-            .format("noop")
-            .option("checkpointLocation", ckpt)
-            .start()
-          q.processAllAvailable()
-          val sec = (System.nanoTime() - t0) / 1e9
-          val progress = q.recentProgress.filter(_.numInputRows > 0)
-          q.stop()
-          val rows = progress.map(_.numInputRows).sum
-          val ms = progress.map(_.batchDuration.toString).mkString("[", ",", "]")
-          s""","streaming":{"pages":$pages,"rows":$rows,"batches":${progress.length},"sec":$sec,"rows_per_sec":${rows / math.max(sec, 1e-9)},"batch_ms":$ms}"""
-        } finally {
-          graft.sources.rest.FakeCardexApi.resetRun(runId)
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)); ()
-        }
+        val main = streamPoint(pages, rowsPerPage = 2000, perTrigger = 8)
+        val wide = streamPoint(math.max(pages / 4, 8), rowsPerPage = 10000,
+          perTrigger = 8)
+        s""","streaming":${main.stripSuffix("}")},"wide":$wide}"""
       }
     } catch {
       case e: Throwable =>
@@ -254,6 +300,17 @@ object Bench {
 
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"raw":$raw,"sf":$sfNum$scaledJson$streamingJson}"""
+    // Persist the FULL line as a file artifact too: the harness that
+    // captures stdout keeps only a 2,000-char tail, which in round 8
+    // silently dropped the entire main pass and the 10x headline block
+    // from BENCH_r08. The committed BENCHFULL file is what makes rounds
+    // comparable from artifacts alone. fail-soft: a read-only cwd must
+    // not cost the stdout line.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCHFULL.json")),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCHFULL write skipped: $e") }
     // Stop Spark BEFORE printing so shutdown logging cannot interleave
     // with (or follow) the result line; the JSON is the final stdout line.
     spark.stop()

@@ -28,13 +28,33 @@ def norm_cell(v):
 
 
 def main():
-    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sfdir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    outdir = argv[1] if len(argv) > 1 else "/tmp/verify_out"
+    report = {}
+
+    def record(name, status, rows=None, detail=None):
+        report[name] = {"status": status}
+        if rows is not None:
+            report[name]["rows"] = rows
+        if detail is not None:
+            report[name]["detail"] = detail
+
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            # Spark-written replica dirs (ScaleVerify) vs the driver's
+            # single-file testdata: glob the part files inside.
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = n_noracle = 0
     for d in sorted(glob.glob(os.path.join(outdir, "*"))):
@@ -43,7 +63,9 @@ def main():
         name = os.path.basename(d)
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         if name not in oracle:
-            print(f"  [rows-only] {name}: {len(spark_rel.fetchall())} rows")
+            nrows = len(spark_rel.fetchall())
+            print(f"  [rows-only] {name}: {nrows} rows")
+            record(name, "rows-only", rows=nrows)
             n_noracle += 1
             continue
         try:
@@ -56,6 +78,7 @@ def main():
             if nonscalar:
                 print(f"  FAIL {name}: non-scalar output columns {nonscalar} "
                       f"(driver's pandas sort would throw)")
+                record(name, "fail", detail=f"non-scalar columns {nonscalar}")
                 n_fail += 1
                 continue
             duck_rel = con.sql(oracle[name])
@@ -63,6 +86,7 @@ def main():
             d_cols = sorted(duck_rel.columns)
             if s_cols != d_cols:
                 print(f"  FAIL {name}: columns {s_cols} != {d_cols}")
+                record(name, "fail", detail=f"columns {s_cols} != {d_cols}")
                 n_fail += 1
                 continue
             # The driver hashes TYPED values, so a DuckDB HUGEINT (int
@@ -78,6 +102,7 @@ def main():
                 print(f"  FAIL {name}: driver-hash type mismatch "
                       f"(spark vs oracle): {type_bad} — CAST the oracle "
                       f"expression to the Spark type")
+                record(name, "fail", detail=f"type mismatch {type_bad}")
                 n_fail += 1
                 continue
             s_rows = sorted(
@@ -90,6 +115,8 @@ def main():
                 key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
             if len(s_rows) != len(d_rows):
                 print(f"  FAIL {name}: rows {len(s_rows)} != {len(d_rows)}")
+                record(name, "fail",
+                       detail=f"rows {len(s_rows)} != {len(d_rows)}")
                 n_fail += 1
                 continue
             bad = None
@@ -100,14 +127,25 @@ def main():
             if bad:
                 i, a, b = bad
                 print(f"  FAIL {name}: first diff at sorted row {i}\n    spark={a}\n    duck ={b}")
+                record(name, "fail",
+                       detail=f"value diff at sorted row {i}: "
+                              f"spark={a!r} duck={b!r}"[:400])
                 n_fail += 1
             else:
                 print(f"  PASS {name}: {len(s_rows)} rows, cols={s_cols}")
+                record(name, "pass", rows=len(s_rows))
                 n_pass += 1
         except Exception as e:
             print(f"  FAIL {name}: oracle error: {e}")
+            record(name, "fail", detail=f"oracle error: {e}"[:400])
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sfdir, "out_dir": outdir,
+                       "pass": n_pass, "fail": n_fail,
+                       "rows_only": n_noracle, "queries": report},
+                      f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 

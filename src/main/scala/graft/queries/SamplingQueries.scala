@@ -613,6 +613,85 @@ object SamplingQueries {
       }),
 
     Q(
+      "corpus_pipeline_incremental",
+      """The ARRIVAL increment of the corpus build, proven equal to the
+        |from-scratch rebuild by the oracle itself: the Spark side runs
+        |the incremental composition — historical manifest (quality gate
+        |+ per-key exact-dedup winner over the epoch-0 corpus), key index
+        |of kept keys, then the new batch (epoch 1, the doc_id % 5 == 0
+        |slice) gated, anti-joined against the index (dup_history drop),
+        |within-batch winner picked, and APPENDED — while the DuckDB side
+        |rebuilds the manifest from scratch on the union with the
+        |first-arrived-wins rule (winner per key = min (epoch, doc_id)
+        |among gate-passers). A hash match IS the exactly-once proof: the
+        |append path and the rebuild path produce the identical manifest,
+        |the streaming analog of the reference's dispatch loop
+        |(dags/dag_bakery_system_to_jde.py:309-320, where the
+        |unique_transaction_id state table makes re-delivery idempotent).
+        |Scale shape: the history side shuffles once on norm_key (window
+        |+ index are the same partitioning), the index is kept-key-sized,
+        |and only the small arriving batch moves through the anti-join —
+        |at cluster scale the index lives bucketed by key and the
+        |increment never rescans the corpus.""".stripMargin,
+      Some(
+        """WITH stats AS (
+          |  SELECT doc_id, source,
+          |         len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+          |         CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS DOUBLE)
+          |           / len(string_split(lower(trim(text)), ' ')) AS ttr,
+          |         md5(array_to_string(list_sort(list_distinct(
+          |           string_split(lower(trim(text)), ' '))), ' ')) AS norm_key,
+          |         CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS epoch
+          |  FROM documents),
+          |q AS (SELECT * FROM stats WHERE n_tokens >= 15 AND ttr >= 0.25),
+          |w AS (
+          |  SELECT doc_id, norm_key, source, n_tokens, epoch,
+          |         MIN(epoch) OVER (PARTITION BY norm_key) AS min_epoch
+          |  FROM q),
+          |w2 AS (
+          |  SELECT *, MIN(CASE WHEN epoch = min_epoch THEN doc_id END)
+          |              OVER (PARTITION BY norm_key) AS win_id
+          |  FROM w)
+          |SELECT doc_id, norm_key, source, n_tokens, epoch
+          |FROM w2 WHERE epoch = min_epoch AND doc_id = win_id
+          |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val toks = Text.tokens(col("text"))
+        val nTokens = size(toks)
+        val ttr = size(array_distinct(toks)).cast("double") / nTokens
+        val stats = Tables.documents(s, dir).select(
+            col("doc_id"), col("source"),
+            nTokens.as("n_tokens"), ttr.as("ttr"),
+            Text.normalizedKey(col("text")).as("norm_key"))
+          .withColumn("qual",
+            Corpus.qualityGate(col("n_tokens"), col("ttr"), 15, 0.25))
+        val keyWin = Window.partitionBy("norm_key")
+        // epoch 0: the persisted state — manifest + key index
+        val histManifest = stats.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("winner", col("qual") &&
+            col("doc_id") === min(when(col("qual"), col("doc_id"))).over(keyWin))
+          .filter(col("winner"))
+          .select(col("doc_id"), col("norm_key"), col("source"),
+            col("n_tokens"), lit(0L).as("epoch"))
+          // consumed twice (manifest branch + key index): materialize once
+          // instead of re-scanning the corpus per branch — in production
+          // this frame IS the persisted state table, so one derivation is
+          // also the honest cost model
+          .localCheckpoint()
+        val keyIndex = histManifest.select("norm_key").distinct()
+        // epoch 1: the arriving batch — gate, drop dup_history via the
+        // index, keep the within-batch first per key, append
+        val increment = stats.filter(col("doc_id") % 5 === 0)
+          .filter(col("qual"))
+          .join(keyIndex, Seq("norm_key"), "left_anti")
+          .withColumn("first_id", min("doc_id").over(keyWin))
+          .filter(col("doc_id") === col("first_id"))
+          .select(col("doc_id"), col("norm_key"), col("source"),
+            col("n_tokens"), lit(1L).as("epoch"))
+        histManifest.unionByName(increment).orderBy("doc_id")
+      }),
+
+    Q(
       "s_jackknife_blocks",
       """Block-jackknife variance estimation — the error bar a corpus
         |statistic needs before anyone trusts it (delete-one-block

@@ -890,4 +890,93 @@ class PlanShapeSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, "snapshot diff must not plan a window")
   }
+
+  test("incremental corpus build: key index broadcast into the anti-join, dedup windows stay keyed") {
+    val p = plan("corpus_pipeline_incremental")
+    // the arriving batch must probe the (small, kept-key-sized) index via
+    // a broadcast LEFT ANTI — a shuffled anti-join here would move the
+    // corpus to drop duplicates, the exact thing the index exists to avoid
+    assert(bcasts(p).nonEmpty, "key index lost its broadcast anti-join")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "winner windows must stay partitioned by norm_key")
+    // batch winner window + union/output sort stages; the history side is
+    // checkpoint-materialized once (manifest + index share one derivation)
+    assert(shuffles(p).length <= 5, "incremental pipeline grew a shuffle")
+  }
+
+  test("bfs levels / k-core peel: iterations checkpoint-bounded, final plan window-free") {
+    // each frontier/peel round collapses through localCheckpoint, so the
+    // executed plan must stay small and must NOT contain a window — a
+    // window appearing here means an iteration regressed to a global rank
+    Seq(("g_bfs_levels", 2), ("g_kcore_peel", 4)).foreach { case (q, n) =>
+      withClue(q) {
+        val p = plan(q)
+        assert(collectAll(p) {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }.isEmpty, s"$q planned a window")
+        assert(shuffles(p).length <= n, s"$q grew a shuffle")
+      }
+    }
+  }
+
+  test("scd2 interval build / gap interpolation: every window keyed on the entity") {
+    // lag/lead run-detection must partition by user — an empty
+    // partitionSpec would serialize the whole event stream through one
+    // task, the classic window scale-killer
+    Seq(("k_scd2_intervals", 3), ("a_gap_interpolate", 3)).foreach { case (q, n) =>
+      withClue(q) {
+        val p = plan(q)
+        val windows = collectAll(p) {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+          s"$q has a global (unpartitioned) window")
+        assert(shuffles(p).length <= n, s"$q grew a shuffle")
+      }
+    }
+  }
+
+  test("chi-square: global windows only over the collapsed contingency frame") {
+    val p = plan("a_chi_square")
+    // the (type × dow) contingency table is an aggregate BEFORE any
+    // window; a global window is fine over that bounded frame but must
+    // never see raw events — assert every unpartitioned window has an
+    // aggregate beneath it
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "a_chi_square lost its windows")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(collectAll(w.child) {
+        case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+      }.nonEmpty, "global window runs over raw rows, not the contingency frame")
+    }
+  }
+
+  test("ab readout: pure aggregate ladder — no window, no join") {
+    val p = plan("a_ab_readout")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "a_ab_readout must not plan a window")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "a_ab_readout must not plan a join")
+    assert(shuffles(p).length <= 5, "a_ab_readout grew a shuffle")
+  }
+
+  test("gdpr erasure audit: every join broadcasts a bounded side (no shuffled join)") {
+    val p = plan("audit_gdpr_erasure")
+    // the audit composes one-row rollups and an erased-key probe; a
+    // SortMergeJoin/ShuffledHashJoin appearing means a corpus-sized side
+    // started shuffling for what must stay a broadcast of bounded state
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "audit_gdpr_erasure grew a sort-merge join")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, "audit_gdpr_erasure grew a shuffled hash join")
+  }
 }

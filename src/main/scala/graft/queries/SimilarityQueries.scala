@@ -622,6 +622,70 @@ object SimilarityQueries {
       }),
 
     Q(
+      "emb_hamming_topk",
+      """Binary (sign-bit) embedding search — the most aggressive ANN
+        |compression tier (1 bit/dim, 64× below float32; the Hamming
+        |stage ITQ/LSH-style systems use to pre-rank before exact
+        |re-scoring): each vector sign-quantizes to two packed 32-bit
+        |blocks at the scan (63-bit-block rule — the sign bit stays
+        |clear in BOTH engines), the 10 probe codes broadcast, and
+        |distance is two XOR+popcounts on longs — no float math in the
+        |hot loop at all, the property that makes a billion-candidate
+        |Hamming sweep memory-bandwidth-bound rather than FLOP-bound.
+        |Top-5 per probe, tie-broken by candidate id; the candidate side
+        |never shuffles (probe broadcast + per-probe rank window over
+        |scored pairs, the ann_bruteforce shape on 16 bytes/vector
+        |instead of 512).""".stripMargin,
+      Some(
+        """WITH codes AS (
+          |  SELECT vec_id,
+          |         CAST(list_sum([CASE WHEN embedding[i + 1] >= 0 THEN 1::BIGINT << i
+          |                             ELSE 0 END for i in range(32)]) AS BIGINT) AS c0,
+          |         CAST(list_sum([CASE WHEN embedding[i + 33] >= 0 THEN 1::BIGINT << i
+          |                             ELSE 0 END for i in range(32)]) AS BIGINT) AS c1
+          |  FROM embeddings),
+          |probes AS (
+          |  SELECT vec_id AS probe_id, c0 AS p0, c1 AS p1 FROM codes
+          |  WHERE vec_id < 10),
+          |scored AS (
+          |  SELECT probe_id, vec_id AS cand_id,
+          |         CAST(bit_count(xor(p0, c0)) + bit_count(xor(p1, c1))
+          |              AS INTEGER) AS hamming_d
+          |  FROM probes, codes WHERE vec_id <> probe_id)
+          |SELECT probe_id, cand_id, hamming_d, rn FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+          |                               ORDER BY hamming_d, cand_id) AS rn
+          |  FROM scored)
+          |WHERE rn <= 5
+          |ORDER BY probe_id, rn""".stripMargin),
+      (s, dir) => {
+        // pack bits [lo, lo+32) of the sign pattern into one long; each
+        // pack is a single self-contained fold referenced once per
+        // projection (the CollapseProject HOF rule)
+        def pack(lo: Int) = expr(
+          s"""aggregate(sequence(0, 31), 0L,
+             |  (acc, i) -> acc + IF(element_at(embedding, i + ${lo + 1}) >= 0D,
+             |                       shiftleft(1L, i), 0L))""".stripMargin
+            .replace("\n", " "))
+        val codes = Tables.embeddings(s, dir)
+          .select(col("vec_id"), pack(0).as("c0"), pack(32).as("c1"))
+        val probes = codes.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"),
+            col("c0").as("p0"), col("c1").as("p1"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("hamming_d"), col("cand_id"))
+        codes.select(col("vec_id").as("cand_id"), col("c0"), col("c1"))
+          .crossJoin(broadcast(probes))
+          .filter(col("cand_id") =!= col("probe_id"))
+          .withColumn("hamming_d",
+            (bit_count(expr("p0 ^ c0")) + bit_count(expr("p1 ^ c1"))).cast("int"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("probe_id", "cand_id", "hamming_d", "rn")
+          .orderBy("probe_id", "rn")
+      }),
+
+    Q(
       "emb_avg_pool",
       """Chunk→document embedding mean-pooling — how a pipeline that embeds
         |fixed-size text chunks produces one vector per document (4

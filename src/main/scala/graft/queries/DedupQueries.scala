@@ -339,6 +339,85 @@ object DedupQueries {
       }),
 
     Q(
+      "dd_minhash_incremental",
+      """NEAR-dup arrival increment — the LSH analog of
+        |corpus_pipeline_incremental's exact-key index: the persisted
+        |state is a BAND INDEX (distinct (band_id, band_key) of the
+        |historical corpus with its first-seen doc), and each arriving
+        |document (the doc_id % 5 == 0 slice) probes it with its own 2×4
+        |band keys. Verdict per new doc: near_dup_history if ANY band
+        |collides with history (with the earliest colliding historical
+        |doc as evidence), else new. Signatures are row-local folds; the
+        |probe is a key-shuffle join on band_key — the index is
+        |band-group-sized, lives bucketed by band key at cluster scale,
+        |and the arriving batch is the only small side in motion. This is
+        |the daily-crawl dedup shape: history is never re-paired against
+        |itself, cost is |batch| × band fan-out.""".stripMargin,
+      Some {
+        val mins = (0 until nSeeds)
+          .map(i => s"list_min(list_transform(toks, w -> md5('$i|' || w))) AS h$i")
+          .mkString(",\n         ")
+        val b0 = (0 until bandSize).map(i => s"h$i").mkString(" || ")
+        val b1 = (bandSize until nSeeds).map(i => s"h$i").mkString(" || ")
+        s"""WITH sig AS (
+           |  SELECT doc_id,
+           |         $mins
+           |  FROM (SELECT doc_id,
+           |               list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+           |        FROM documents)),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band_id, md5($b0) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band_id, md5($b1) AS band_key FROM sig),
+           |idx AS (
+           |  SELECT band_id, band_key, MIN(doc_id) AS first_hist
+           |  FROM bands WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+           |probe AS (
+           |  SELECT doc_id, band_id, band_key FROM bands WHERE doc_id % 5 = 0),
+           |hits AS (
+           |  SELECT p.doc_id,
+           |         CAST(COUNT(i.first_hist) AS BIGINT) AS n_hit_bands,
+           |         MIN(i.first_hist) AS first_hist_match
+           |  FROM probe p LEFT JOIN idx i USING (band_id, band_key)
+           |  GROUP BY p.doc_id)
+           |SELECT doc_id, n_hit_bands, first_hist_match,
+           |       CASE WHEN n_hit_bands > 0 THEN 'near_dup_history'
+           |            ELSE 'new' END AS verdict
+           |FROM hits ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val toks = array_distinct(Text.tokens(col("text")))
+        def minHash(seed: Int) =
+          array_min(transform(toks, w => md5(concat(lit(s"$seed|"), w)))).as(s"h$seed")
+        val sig = Tables.documents(s, dir)
+          .select(col("doc_id") +: (0 until nSeeds).map(minHash): _*)
+        val band0 = md5(concat((0 until bandSize).map(i => col(s"h$i")): _*))
+        val band1 = md5(concat((bandSize until nSeeds).map(i => col(s"h$i")): _*))
+        val bands = sig
+          .select(col("doc_id"), lit(0).as("band_id"), band0.as("band_key"))
+          .unionAll(sig
+            .select(col("doc_id"), lit(1).as("band_id"), band1.as("band_key")))
+          // consumed twice (index build + probe side): materialize the
+          // signatures once instead of re-folding the corpus per branch —
+          // in production the index IS persisted state, so this is also
+          // the honest cost model
+          .localCheckpoint()
+        val idx = bands.filter(col("doc_id") % 5 =!= 0)
+          .groupBy("band_id", "band_key")
+          .agg(min("doc_id").as("first_hist"))
+        bands.filter(col("doc_id") % 5 === 0)
+          .select("doc_id", "band_id", "band_key")
+          .join(idx, Seq("band_id", "band_key"), "left")
+          .groupBy("doc_id")
+          .agg(count(col("first_hist")).as("n_hit_bands"),
+            min(col("first_hist")).as("first_hist_match"))
+          .select(col("doc_id"), col("n_hit_bands"), col("first_hist_match"),
+            when(col("n_hit_bands") > 0, "near_dup_history")
+              .otherwise("new").as("verdict"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
       "dd_conn_components",
       """Dedup CLUSTER formation — connected components over the union of
         |two similarity edge sets (same normalized token-set key, same

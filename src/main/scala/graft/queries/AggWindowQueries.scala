@@ -890,6 +890,120 @@ object AggWindowQueries {
       }),
 
     Q(
+      "w_rfm_segments",
+      """RFM segmentation — the classic customer-value cube (Recency /
+        |Frequency / Monetary), median-split into 8 segments: per user,
+        |days since last purchase (against the corpus max-timestamp
+        |anchor), purchase count, and monetary total in exact floor-micro
+        |units; each dimension splits at its own weighted median
+        |(collapsed-frame cumulative window — the a_weighted_median
+        |discipline, so the median scan runs over |distinct values| rows,
+        |never |users|), and a user's segment is the three >=/<= median
+        |bits. Output: the 8 segment rows with user counts, total
+        |frequency, total monetary, and the three medians carried as
+        |calibration evidence. Scale shape: ONE user-keyed aggregate over
+        |events; three value-collapsed median frames; medians broadcast
+        |back as one-row frames; the segment rollup is an 8-group
+        |aggregate.""".stripMargin,
+      Some(
+        """WITH u AS (
+          |  SELECT user_id,
+          |         CAST(COUNT(*) AS BIGINT) AS freq,
+          |         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |           AS mon_micro,
+          |         CAST(MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS last_s
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |a AS (SELECT CAST(MAX(last_s) AS BIGINT) AS anchor_s FROM u),
+          |r AS (
+          |  SELECT user_id, (a.anchor_s - last_s) // 86400 AS rec_days,
+          |         freq, mon_micro
+          |  FROM u, a),
+          |mr AS (
+          |  SELECT MIN(v) AS r_med FROM (
+          |    SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+          |           CAST(SUM(c) OVER () AS BIGINT) AS n
+          |    FROM (SELECT rec_days AS v, CAST(COUNT(*) AS BIGINT) AS c
+          |          FROM r GROUP BY 1))
+          |  WHERE 2 * cum >= n),
+          |mf AS (
+          |  SELECT MIN(v) AS f_med FROM (
+          |    SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+          |           CAST(SUM(c) OVER () AS BIGINT) AS n
+          |    FROM (SELECT freq AS v, CAST(COUNT(*) AS BIGINT) AS c
+          |          FROM r GROUP BY 1))
+          |  WHERE 2 * cum >= n),
+          |mm AS (
+          |  SELECT MIN(v) AS m_med FROM (
+          |    SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+          |           CAST(SUM(c) OVER () AS BIGINT) AS n
+          |    FROM (SELECT mon_micro AS v, CAST(COUNT(*) AS BIGINT) AS c
+          |          FROM r GROUP BY 1))
+          |  WHERE 2 * cum >= n),
+          |seg AS (
+          |  SELECT 'R' || CAST(CASE WHEN rec_days <= r_med THEN 1 ELSE 0 END AS VARCHAR)
+          |      || 'F' || CAST(CASE WHEN freq >= f_med THEN 1 ELSE 0 END AS VARCHAR)
+          |      || 'M' || CAST(CASE WHEN mon_micro >= m_med THEN 1 ELSE 0 END AS VARCHAR)
+          |           AS segment,
+          |         freq, mon_micro, r_med, f_med, m_med
+          |  FROM r, mr, mf, mm)
+          |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+          |       CAST(SUM(freq) AS BIGINT) AS total_freq,
+          |       CAST(SUM(mon_micro) AS BIGINT) AS total_mon_micro,
+          |       MIN(r_med) AS r_med_days, MIN(f_med) AS f_med,
+          |       MIN(m_med) AS m_med_micro
+          |FROM seg GROUP BY 1
+          |ORDER BY segment""".stripMargin),
+      (s, dir) => {
+        def median(df: org.apache.spark.sql.DataFrame, c: String, as: String) = {
+          val cw = Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val tw = Window
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          df.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum(col("c")).over(cw))
+            .withColumn("n", sum(col("c")).over(tw))
+            .filter(col("cum") * 2 >= col("n"))
+            .agg(min(col("v")).as(as))
+        }
+        val u = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("freq"),
+            sum(floor(col("value") * 1000000L).cast("long")).as("mon_micro"),
+            max(floor(expr("unix_timestamp(ts)")).cast("long")).as("last_s"))
+        val anchor = u.agg(max("last_s").as("anchor_s"))
+        val r = u.crossJoin(broadcast(anchor))
+          .select(col("user_id"),
+            expr("(anchor_s - last_s) div 86400").as("rec_days"),
+            col("freq"), col("mon_micro"))
+          // four consumers (three median frames + the segment pass):
+          // materialize the user frame once
+          .localCheckpoint()
+        val seg = r
+          .crossJoin(broadcast(median(r, "rec_days", "r_med")))
+          .crossJoin(broadcast(median(r, "freq", "f_med")))
+          .crossJoin(broadcast(median(r, "mon_micro", "m_med")))
+          .select(
+            concat(lit("R"),
+              when(col("rec_days") <= col("r_med"), 1).otherwise(0).cast("string"),
+              lit("F"),
+              when(col("freq") >= col("f_med"), 1).otherwise(0).cast("string"),
+              lit("M"),
+              when(col("mon_micro") >= col("m_med"), 1).otherwise(0).cast("string"))
+              .as("segment"),
+            col("freq"), col("mon_micro"),
+            col("r_med"), col("f_med"), col("m_med"))
+        seg.groupBy("segment")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("freq")).as("total_freq"),
+            sum(col("mon_micro")).as("total_mon_micro"),
+            min(col("r_med")).as("r_med_days"),
+            min(col("f_med")).as("f_med"),
+            min(col("m_med")).as("m_med_micro"))
+          .orderBy("segment")
+      }),
+
+    Q(
       "a_group_regression",
       """Group-wise least-squares trend — drift detection per event type:
         |the closed-form slope (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) of value

@@ -57,7 +57,10 @@ object Bench {
     // round-8 third/fourth-wave families: fingerprint dedup (decode-heavy),
     // register sketches, frontier iteration, interval binning
     "mm_phash_dedup", "w_hll_sliding_distinct", "g_bfs_levels",
-    "j_interval_overlap")
+    "j_interval_overlap",
+    // round-9: incremental state-probe shapes + binary ANN
+    "corpus_pipeline_incremental", "dd_minhash_incremental",
+    "emb_hamming_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -137,6 +137,57 @@ object DataOpsQueries {
       }),
 
     Q(
+      "audit_zone_map_pruning",
+      """Zone-map (data-skipping) statistics audit — the min/max-per-file
+        |metadata that lets a 100 TB scan skip row groups wholesale
+        |(parquet column statistics, Delta/Iceberg file stats, the
+        |mechanism behind PushedFilters actually paying off): per
+        |(event_type, day) zone, row count and the value column's
+        |min/max in exact floor-micro units, plus the pruning verdict a
+        |`value >= 250` high-value scan would reach (scan the zone iff
+        |zone_max >= the predicate bound) and the resulting global scan
+        |fraction in ppm — the number a table-layout tuner watches when
+        |deciding whether clustering by value would pay. ONE
+        |zone-keyed aggregate over the scan; the ppm rollup is a global
+        |window over the collapsed (types × days) zone frame.""".stripMargin,
+      Some(
+        """WITH z AS (
+          |  SELECT event_type,
+          |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+          |           AS day_id,
+          |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |         CAST(MIN(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |           AS vmin_micro,
+          |         CAST(MAX(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |           AS vmax_micro
+          |  FROM events GROUP BY 1, 2),
+          |f AS (SELECT *, vmax_micro >= 250000000 AS would_scan FROM z)
+          |SELECT event_type, day_id, n_rows, vmin_micro, vmax_micro, would_scan,
+          |       CAST(SUM(CASE WHEN would_scan THEN n_rows ELSE 0 END) OVER ()
+          |            AS BIGINT) * 1000000
+          |         // CAST(SUM(n_rows) OVER () AS BIGINT) AS scan_ppm
+          |FROM f
+          |ORDER BY event_type, day_id""".stripMargin),
+      (s, dir) => {
+        val tw = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(date_trunc('DAY', ts)) div 86400").as("day_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(floor(col("value") * 1000000L).cast("long")).as("vmin_micro"),
+            max(floor(col("value") * 1000000L).cast("long")).as("vmax_micro"))
+          .withColumn("would_scan", col("vmax_micro") >= 250000000L)
+          .withColumn("scanned",
+            sum(when(col("would_scan"), col("n_rows")).otherwise(lit(0L))).over(tw))
+          .withColumn("total", sum(col("n_rows")).over(tw))
+          .select(col("event_type"), col("day_id"), col("n_rows"),
+            col("vmin_micro"), col("vmax_micro"), col("would_scan"),
+            expr("scanned * 1000000 div total").as("scan_ppm"))
+          .orderBy("event_type", "day_id")
+      }),
+
+    Q(
       "audit_range_checksums",
       """Anti-entropy range checksums — the replica-divergence /
         |migration-audit primitive (Cassandra repair, Delta table-clone

@@ -827,6 +827,109 @@ object TextQueries {
           .withColumn("fertility_ppm",
             expr("n_subwords * 1000000 div n_words"))
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "t_dup_span_removal",
+      """Duplicated-span REMOVAL — the step after dd_substring_spans'
+        |detection (Lee et al. 2022 cut the repeated substring out of the
+        |corpus, not just count it): every 8-token window whose hash
+        |appears in >= 2 distinct documents marks its [start, start+8)
+        |token interval; intervals MERGE per document (running-max-end
+        |window — overlapping windows coalesce into maximal spans) and
+        |the output is each document's cleaning manifest: token count,
+        |merged span count, covered tokens, surviving tokens, and removed
+        |ppm. Scale shape: duplicate-hash doc-frequency runs on the
+        |(hash, doc) pair frame (map-side position dedup), the join back
+        |carries ONLY duplicated hashes (collision-sized, bucketable by
+        |hash), and the merge windows partition by doc_id — nothing
+        |global, nothing corpus × corpus.""".stripMargin,
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |  FROM documents
+          |  WHERE text IS NOT NULL
+          |    AND len(string_split(lower(trim(text)), ' ')) >= 8),
+          |w AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+          |         md5(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3],
+          |                            toks[i+4], toks[i+5], toks[i+6],
+          |                            toks[i+7], toks[i+8])) AS h
+          |  FROM t, LATERAL (SELECT unnest(range(len(toks) - 7)) AS i)),
+          |d AS (
+          |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+          |  WHERE nd >= 2),
+          |dw AS (SELECT w.doc_id, w.start FROM w JOIN d ON w.h = d.h),
+          |m AS (
+          |  SELECT doc_id, start,
+          |         MAX(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |  FROM dw),
+          |g AS (
+          |  SELECT doc_id, start,
+          |         CAST(SUM(CASE WHEN pmax IS NULL OR start >= pmax THEN 1 ELSE 0 END)
+          |              OVER (PARTITION BY doc_id ORDER BY start
+          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS grp
+          |  FROM m),
+          |sp AS (
+          |  SELECT doc_id, grp, MIN(start) AS s0, MAX(start) + 8 AS e0
+          |  FROM g GROUP BY 1, 2),
+          |cov AS (
+          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          |         CAST(SUM(e0 - s0) AS BIGINT) AS covered_tokens
+          |  FROM sp GROUP BY 1),
+          |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+          |SELECT n.doc_id, n.n_tokens,
+          |       COALESCE(cov.n_spans, 0) AS n_spans,
+          |       COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+          |       n.n_tokens - COALESCE(cov.covered_tokens, 0) AS clean_tokens,
+          |       COALESCE(cov.covered_tokens, 0) * 1000000 // n.n_tokens
+          |         AS removed_ppm
+          |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
+          |ORDER BY n.doc_id""".stripMargin),
+      (s, dir) => {
+        // toks arrays feed both the window fan-out and the per-doc token
+        // count: materialize once (tokenize is the expensive half)
+        val t = Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .filter(col("text").isNotNull && size(col("toks")) >= 8)
+          .select(col("doc_id"), col("toks"))
+          .localCheckpoint()
+        val w = t
+          .select(col("doc_id"),
+            posexplode(transform(Text.shinglesOfTokens(col("toks"), 8),
+              sh => md5(sh))))
+          .select(col("doc_id"), col("pos").cast("bigint").as("start"),
+            col("col").as("h"))
+        // duplicated-hash set from the (hash, doc) pair frame — map-side
+        // partials collapse positions, and only nd >= 2 hashes join back
+        val d = w.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+          .groupBy("h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val byDoc = Window.partitionBy("doc_id").orderBy("start")
+        val dw = w.join(d, "h")
+          .withColumn("pmax", max(col("start") + 8)
+            .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("grp",
+            sum(when(col("pmax").isNull || col("start") >= col("pmax"), 1L)
+              .otherwise(0L))
+              .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val cov = dw.groupBy("doc_id", "grp")
+          .agg(min("start").as("s0"), (max(col("start")) + 8).as("e0"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e0") - col("s0")).as("covered_tokens"))
+        t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+          .join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+            (col("n_tokens") - coalesce(col("covered_tokens"), lit(0L)))
+              .as("clean_tokens"),
+            expr("coalesce(covered_tokens, 0L) * 1000000 div n_tokens")
+              .as("removed_ppm"))
+          .orderBy("doc_id")
       }))
 
   /** The shared BPE-training oracle CTE chain: word frequencies ->

@@ -967,6 +967,62 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).length <= 5, "a_ab_readout grew a shuffle")
   }
 
+  test("hamming ann: probe codes broadcast, rank windows stay per-probe") {
+    val p = plan("emb_hamming_topk")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "probe codes lost their broadcast")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "top-k rank window must stay partitioned by probe")
+  }
+
+  test("minhash incremental: window-free probe — index join + per-doc aggregate only") {
+    val p = plan("dd_minhash_incremental")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "the band probe must stay a join + aggregate, not a window")
+    assert(shuffles(p).length <= 5, "dd_minhash_incremental grew a shuffle")
+  }
+
+  test("rfm segments: medians broadcast back; global windows only over collapsed value frames") {
+    val p = plan("w_rfm_segments")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.length >= 3, "median one-row frames lost their broadcast")
+    collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(collectAll(w.child) {
+        case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+      }.nonEmpty, "a global median window runs over raw users, not the value frame")
+    }
+  }
+
+  test("zone-map audit: one zone aggregate; ppm window over the collapsed zone frame") {
+    val p = plan("audit_zone_map_pruning")
+    assert(shuffles(p).length <= 3, "audit_zone_map_pruning grew a shuffle")
+    collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(collectAll(w.child) {
+        case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+      }.nonEmpty, "scan-fraction window runs over raw events, not zones")
+    }
+  }
+
+  test("dup-span removal: merge windows stay per-doc") {
+    val p = plan("t_dup_span_removal")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "interval-merge windows must stay partitioned by doc_id")
+    assert(shuffles(p).length <= 7, "t_dup_span_removal grew a shuffle")
+  }
+
   test("gdpr erasure audit: every join broadcasts a bounded side (no shuffled join)") {
     val p = plan("audit_gdpr_erasure")
     // the audit composes one-row rollups and an erased-key probe; a

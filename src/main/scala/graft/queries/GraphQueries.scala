@@ -345,6 +345,83 @@ object GraphQueries {
       }),
 
     Q(
+      "g_modularity",
+      """Newman modularity of the NATION partition over the trade graph —
+        |the community-quality score every clustering/community-detection
+        |pass needs before anyone trusts its labels (here the communities
+        |are the customer/supplier nations, so the score reads "how much
+        |does trade stay within a nation"). Directed-double formulation:
+        |per community c, q_c = intra_c/E − (d_c/E)², with E the directed
+        |edge count (= 2m), d_c the degree mass, intra_c the
+        |same-community directed edges; everything in floor-division ppm
+        |with the d_c² term HUGEINT/DECIMAL-widened (d_c² × 10⁶ crosses
+        |2⁶³ at bench replicas). Scale shape: the node→community map is
+        |the (customer ∪ supplier) DIMENSION — broadcast onto the edge
+        |list twice (src and dst side), so the edges never shuffle to be
+        |labeled; ONE community-keyed aggregate; the E rollup is a global
+        |window over the ≤|nations| community frame.""".stripMargin,
+      Some(
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT o_custkey AS c, $SupplierOffset + l_suppkey AS s
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (
+           |  SELECT c AS src, s AS dst FROM pairs
+           |  UNION ALL SELECT s, c FROM pairs),
+           |comm AS (
+           |  SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS comm
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT $SupplierOffset + s_suppkey, CAST(s_nationkey AS BIGINT)
+           |  FROM supplier),
+           |j AS (
+           |  SELECT cs.comm AS comm_src, cd.comm AS comm_dst
+           |  FROM e JOIN comm cs ON e.src = cs.id JOIN comm cd ON e.dst = cd.id),
+           |agg AS (
+           |  SELECT comm_src AS community,
+           |         CAST(COUNT(*) AS BIGINT) AS deg_sum,
+           |         CAST(COUNT(*) FILTER (WHERE comm_src = comm_dst) AS BIGINT)
+           |           AS intra_directed
+           |  FROM j GROUP BY 1),
+           |tot AS (
+           |  SELECT community, deg_sum, intra_directed,
+           |         CAST(SUM(deg_sum) OVER () AS BIGINT) AS e_directed
+           |  FROM agg)
+           |SELECT community, deg_sum, intra_directed, e_directed,
+           |       intra_directed * 1000000 // e_directed
+           |         - CAST(CAST(deg_sum AS HUGEINT) * deg_sum * 1000000
+           |                // (CAST(e_directed AS HUGEINT) * e_directed)
+           |             AS BIGINT) AS q_ppm
+           |FROM tot
+           |ORDER BY community""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val comm = Tables.customer(s, dir)
+          .select(col("c_custkey").as("id"),
+            col("c_nationkey").cast("long").as("comm"))
+          .unionAll(Tables.supplier(s, dir)
+            .select((lit(SupplierOffset) + col("s_suppkey")).as("id"),
+              col("s_nationkey").cast("long").as("comm")))
+        val cs = comm.select(col("id").as("src"), col("comm").as("comm_src"))
+        val cd = comm.select(col("id").as("dst"), col("comm").as("comm_dst"))
+        val tw = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        tradeEdges(s, dir)
+          .join(broadcast(cs), "src")
+          .join(broadcast(cd), "dst")
+          .groupBy(col("comm_src").as("community"))
+          .agg(count(lit(1)).as("deg_sum"),
+            sum(when(col("comm_src") === col("comm_dst"), 1L).otherwise(0L))
+              .as("intra_directed"))
+          .withColumn("e_directed", sum(col("deg_sum")).over(tw))
+          .withColumn("q_ppm",
+            expr("""intra_directed * 1000000 div e_directed
+                   |- cast(cast(deg_sum as decimal(38,0)) * deg_sum * 1000000
+                   |       div (cast(e_directed as decimal(38,0)) * e_directed)
+                   |    as bigint)""".stripMargin.replace("\n", " ")))
+          .orderBy("community")
+      }),
+
+    Q(
       "g_kcore_peel",
       """k-core decomposition by iterated peeling (k=3, 3 rounds) on the
         |part co-purchase graph — the density-filtering primitive

@@ -434,5 +434,81 @@ object StreamingQueries {
         } finally {
           org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
         }
+      }),
+
+    Q(
+      "j_stream_static_enrich",
+      """STREAM-STATIC join under the watermark — the fifth streaming
+        |operator class through the gate (after windowed agg, both
+        |stream-stream joins, arbitrary state, and dedup state), and the
+        |most common production shape of all: an event stream enriched by
+        |a broadcast dimension (user → nation) before a stateful windowed
+        |aggregation. The stream-static join itself is STATELESS (the dim
+        |is a batch side, re-joined per micro-batch, no eviction) — what
+        |the oracle proves is that the join composes correctly with the
+        |two-watermark algebra around it: events replay OUT of order
+        |(batch = event_id % 4, as in w_watermark_late_drop), every
+        |event row advances the watermark whether or not it matches a
+        |customer (orphan user_ids exist by construction — the
+        |audit_referential evidence), the late filter applies at the
+        |aggregation AFTER enrichment, and append mode emits exactly the
+        |windows the final watermark closed, now keyed (window, nation).
+        |Identical-per-batch dim snapshots make the replay deterministic;
+        |at cluster scale the dim rides broadcast, so enrichment adds
+        |zero shuffle to the streaming plan.""".stripMargin,
+      Some(
+        s"""WITH e AS (
+           |  SELECT event_id % $ReplayBatches AS b, user_id,
+           |         epoch_us(ts) // 1000 AS ts_ms,
+           |         date_trunc('hour', ts) AS wstart
+           |  FROM events WHERE ts IS NOT NULL),
+           |wm AS (
+           |  SELECT b,
+           |         GREATEST(COALESCE(
+           |           MAX(max_ms) OVER (ORDER BY b
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           |           - $DelayMs, 0), 0) AS w_ms
+           |  FROM (SELECT b, MAX(ts_ms) AS max_ms FROM e GROUP BY b)),
+           |kept AS (
+           |  SELECT e.wstart, e.user_id
+           |  FROM e JOIN wm USING (b)
+           |  WHERE epoch_us(e.wstart + INTERVAL 1 HOUR) // 1000 > wm.w_ms),
+           |fin AS (SELECT MAX(ts_ms) - $DelayMs AS w_ms FROM e),
+           |j AS (
+           |  SELECT k.wstart, CAST(c.c_nationkey AS BIGINT) AS nation
+           |  FROM kept k JOIN customer c ON k.user_id = c.c_custkey)
+           |SELECT wstart AS window_start,
+           |       wstart + INTERVAL 1 HOUR AS window_end,
+           |       nation, COUNT(*) AS n_events
+           |FROM j, fin
+           |WHERE epoch_us(wstart + INTERVAL 1 HOUR) // 1000 <= fin.w_ms
+           |GROUP BY 1, 2, 3
+           |ORDER BY window_start, nation""".stripMargin),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ssenrich").toFile
+        try {
+          val ev = Tables.events(s, dir)
+            .filter(col("ts").isNotNull)
+            .select(col("event_id"), col("user_id"), col("ts"))
+          val dim = Tables.customer(s, dir)
+            .select(col("c_custkey").as("user_id"),
+              col("c_nationkey").cast("long").as("nation"))
+          runReplay(s, tmp, "j_stream_static_sink",
+            Seq((ev, pmod(col("event_id"), lit(ReplayBatches)), "in")),
+            { case Seq(stream) =>
+              stream
+                .withWatermark("ts", s"${DelayMs / 1000} seconds")
+                .join(broadcast(dim), "user_id") // stream-static inner
+                .groupBy(window(col("ts"), "1 hour"), col("nation"))
+                .agg(count(lit(1)).as("n_events"))
+            })
+            .select(
+              col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("nation"), col("n_events"))
+            .orderBy("window_start", "nation")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+        }
       }))
 }

@@ -464,6 +464,55 @@ object CurationQueries {
       }),
 
     Q(
+      "a_group_percentiles",
+      """Per-group exact p50/p90/p99 — the latency-dashboard staple
+        |(SLO tails per service; here value tails per event type), and
+        |the multi-cut generalization of a_weighted_median: values
+        |collapse to the (type, floor-micro value) frequency frame
+        |FIRST, ONE cumulative window per type runs over that bounded
+        |frame, and all three cutoffs read off the same pass via
+        |conditional MIN (cum·100 >= p·n, integer cross-multiplication —
+        |no interpolation, the lower percentile on both engines). The
+        |window cost is |distinct values| per group regardless of row
+        |count — the property that keeps a p99-per-service query
+        |runnable over a 100 TB event log.""".stripMargin,
+      Some(
+        """WITH f AS (
+          |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vm,
+          |         CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, 2),
+          |c AS (
+          |  SELECT event_type, vm, c,
+          |         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY vm
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS cum,
+          |         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          |  FROM f)
+          |SELECT event_type, MIN(n) AS n_rows,
+          |       MIN(CASE WHEN cum * 100 >= 50 * n THEN vm END) AS p50_micro,
+          |       MIN(CASE WHEN cum * 100 >= 90 * n THEN vm END) AS p90_micro,
+          |       MIN(CASE WHEN cum * 100 >= 99 * n THEN vm END) AS p99_micro
+          |FROM c GROUP BY 1
+          |ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val f = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            floor(col("value") * 1000000L).cast("long").as("vm"))
+          .agg(count(lit(1)).as("c"))
+        val cumW = Window.partitionBy("event_type").orderBy("vm")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy("event_type")
+        f.withColumn("cum", sum(col("c")).over(cumW))
+          .withColumn("n", sum(col("c")).over(totW))
+          .groupBy("event_type")
+          .agg(min(col("n")).as("n_rows"),
+            min(when(col("cum") * 100 >= col("n") * 50, col("vm"))).as("p50_micro"),
+            min(when(col("cum") * 100 >= col("n") * 90, col("vm"))).as("p90_micro"),
+            min(when(col("cum") * 100 >= col("n") * 99, col("vm"))).as("p99_micro"))
+          .orderBy("event_type")
+      }),
+
+    Q(
       "a_gini_concentration",
       """Source-concentration Gini per language — the corpus-governance
         |diversity metric (is one crawl source dominating the training

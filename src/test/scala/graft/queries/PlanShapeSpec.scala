@@ -1023,6 +1023,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).length <= 7, "t_dup_span_removal grew a shuffle")
   }
 
+  test("modularity: community labels broadcast onto the edges; E rollup over the community frame") {
+    val p = plan("g_modularity")
+    // the node->community dimension rides broadcast on BOTH edge sides —
+    // a shuffled label join would move the edge list twice
+    assert(bcasts(p).length >= 2, "community labels lost their broadcast")
+    collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(collectAll(w.child) {
+        case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+      }.nonEmpty, "E rollup window runs over edges, not the community frame")
+    }
+  }
+
+  test("group percentiles: one collapsed-frame pass, windows stay per-type") {
+    val p = plan("a_group_percentiles")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "percentile windows must stay partitioned by event_type")
+    // value-collapse agg + the shared window exchange + output sort
+    assert(shuffles(p).length <= 3, "a_group_percentiles grew a shuffle")
+  }
+
   test("gdpr erasure audit: every join broadcasts a bounded side (no shuffled join)") {
     val p = plan("audit_gdpr_erasure")
     // the audit composes one-row rollups and an erased-key probe; a

@@ -80,9 +80,16 @@ object SamplingQueries {
           |GROUP BY source
           |ORDER BY source""".stripMargin),
       (s, dir) => {
-        import s.implicits._
+        // the weights dim is DATA-DRIVEN (distinct sources + the mod-4
+        // rate rule), not a hardcoded src0..src19 literal: round 9's
+        // 5x scale-verify caught the literal dim dropping every row of
+        // the key-shifted replica (sources are suffixed there) — the
+        // exact silent-inner-join-miss failure a production mix table
+        // must survive. Still broadcast, still source-cardinality-sized.
         val weights = broadcast(
-          (0 to 19).map(n => (s"src$n", mixThresholds(n % 4))).toDF("source", "thr"))
+          Tables.documents(s, dir).select("source").distinct()
+            .withColumn("thr", element_at(typedLit(mixThresholds),
+              expr("cast(regexp_extract(source, '[0-9]+', 0) as int) % 4"))))
         val b = substring(
           md5(concat(col("source"), lit(":"), col("doc_id").cast("string"), lit(":mix-seed-7"))),
           1, 2)

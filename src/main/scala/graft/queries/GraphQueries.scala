@@ -437,31 +437,31 @@ object GraphQueries {
         |round (1-3) or 0 for the 3-core survivors — a total (node)
         |order.""".stripMargin,
       Some(
-        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-          |e0 AS (
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |e0 AS MATERIALIZED (
           |  SELECT a.p AS u, b.p AS v
           |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-          |ed0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-          |d0 AS (SELECT u AS node, COUNT(*) AS d FROM ed0 GROUP BY 1),
-          |p1 AS (SELECT node FROM d0 WHERE d < 3),
-          |ed1 AS (
+          |ed0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+          |d0 AS MATERIALIZED (SELECT u AS node, COUNT(*) AS d FROM ed0 GROUP BY 1),
+          |p1 AS MATERIALIZED (SELECT node FROM d0 WHERE d < 3),
+          |ed1 AS MATERIALIZED (
           |  SELECT u, v FROM ed0
           |  WHERE u NOT IN (SELECT node FROM p1)
           |    AND v NOT IN (SELECT node FROM p1)),
-          |d1 AS (SELECT u AS node, COUNT(*) AS d FROM ed1 GROUP BY 1),
-          |p2 AS (
+          |d1 AS MATERIALIZED (SELECT u AS node, COUNT(*) AS d FROM ed1 GROUP BY 1),
+          |p2 AS MATERIALIZED (
           |  SELECT node FROM d1 WHERE d < 3
           |  UNION ALL
           |  SELECT node FROM d0
           |  WHERE node NOT IN (SELECT node FROM p1)
           |    AND node NOT IN (SELECT node FROM d1)),
-          |ed2 AS (
+          |ed2 AS MATERIALIZED (
           |  SELECT u, v FROM ed1
           |  WHERE u NOT IN (SELECT node FROM p2)
           |    AND v NOT IN (SELECT node FROM p2)),
-          |d2 AS (SELECT u AS node, COUNT(*) AS d FROM ed2 GROUP BY 1),
-          |p3 AS (
+          |d2 AS MATERIALIZED (SELECT u AS node, COUNT(*) AS d FROM ed2 GROUP BY 1),
+          |p3 AS MATERIALIZED (
           |  SELECT node FROM d2 WHERE d < 3
           |  UNION ALL
           |  SELECT node FROM d1

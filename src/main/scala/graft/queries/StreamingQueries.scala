@@ -437,6 +437,88 @@ object StreamingQueries {
       }),
 
     Q(
+      "w_stream_update_replay",
+      """UPDATE-mode emission semantics, oracle-checked — the output mode
+        |the append-mode rows never exercise: the same out-of-order
+        |replay and hourly windowed count as w_watermark_late_drop, but
+        |the sink receives EVERY revision — one row per (window,
+        |micro-batch) in which the window absorbed at least one kept
+        |event, carrying the post-batch running count. The oracle
+        |reproduces the full emission LOG: per batch, rows kept by that
+        |batch's late-event watermark (the two-watermark algebra again)
+        |group to (window, batch) deltas, and the emitted count is the
+        |cumulative sum over batches within the window. Counts strictly
+        |increase per window, so (window, count) identifies each
+        |emission and the output sorts totally without a batch column.
+        |This is the dashboard-feeding mode (upsert sinks keyed on
+        |window) — proving its revision history matches batch arithmetic
+        |is what makes such a sink trustworthy.""".stripMargin,
+      Some(
+        s"""WITH e AS (
+           |  SELECT event_id % $ReplayBatches AS b,
+           |         epoch_us(ts) // 1000 AS ts_ms,
+           |         date_trunc('hour', ts) AS wstart
+           |  FROM events WHERE ts IS NOT NULL),
+           |wm AS (
+           |  SELECT b,
+           |         GREATEST(COALESCE(
+           |           MAX(max_ms) OVER (ORDER BY b
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           |           - $DelayMs, 0), 0) AS w_ms
+           |  FROM (SELECT b, MAX(ts_ms) AS max_ms FROM e GROUP BY b)),
+           |kept AS (
+           |  SELECT e.wstart, e.b
+           |  FROM e JOIN wm USING (b)
+           |  WHERE epoch_us(e.wstart + INTERVAL 1 HOUR) // 1000 > wm.w_ms),
+           |g AS (SELECT wstart, b, CAST(COUNT(*) AS BIGINT) AS c
+           |      FROM kept GROUP BY 1, 2)
+           |SELECT wstart AS window_start,
+           |       wstart + INTERVAL 1 HOUR AS window_end,
+           |       CAST(SUM(c) OVER (PARTITION BY wstart ORDER BY b
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |         AS BIGINT) AS n_events
+           |FROM g
+           |ORDER BY window_start, n_events""".stripMargin),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ssupd").toFile
+        try {
+          val ev = Tables.events(s, dir)
+            .filter(col("ts").isNotNull)
+            .select(col("event_id"), col("ts"))
+          val streamDir = new File(tmp, "in")
+          streamDir.mkdirs()
+          writeReplayBatches(ev, pmod(col("event_id"), lit(ReplayBatches)),
+            streamDir, tmp)
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(streamDir.getAbsolutePath)
+          s.catalog.dropTempView("w_stream_update_sink")
+          val q = stream
+            .withWatermark("ts", s"${DelayMs / 1000} seconds")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n_events"))
+            .writeStream
+            .format("memory")
+            .queryName("w_stream_update_sink")
+            .outputMode("update") // the one mode the other replays never use
+            .option("checkpointLocation",
+              new File(tmp, "ckpt-update").getAbsolutePath)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table("w_stream_update_sink")
+            .select(
+              col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("n_events"))
+            .orderBy("window_start", "n_events")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+        }
+      }),
+
+    Q(
       "j_stream_static_enrich",
       """STREAM-STATIC join under the watermark — the fifth streaming
         |operator class through the gate (after windowed agg, both

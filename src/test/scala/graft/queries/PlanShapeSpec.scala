@@ -612,9 +612,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("sampling/mixing/split are scan-side: at most one agg shuffle + output sort") {
-    Seq("s_hash_split", "s_weighted_mix").foreach { q =>
-      withClue(q) { assert(shuffles(plan(q)).length <= 2, s"$q grew a shuffle") }
-    }
+    assert(shuffles(plan("s_hash_split")).length <= 2, "s_hash_split grew a shuffle")
+    // the weights dim is data-driven since round 9 (the 5x scale-verify
+    // caught the hardcoded literal dim dropping the replica): its
+    // distinct-sources build adds ONE source-cardinality-sized exchange
+    // on top of the mix agg + output sort
+    assert(shuffles(plan("s_weighted_mix")).length <= 3,
+      "s_weighted_mix grew a shuffle")
     // the mix's weights dim must broadcast, never shuffle the corpus
     assert(bcasts(plan("s_weighted_mix")).nonEmpty, "weights dim lost its broadcast")
   }

@@ -10,7 +10,8 @@ object Catalog {
       ScalarQueries.qs ++ TextQueries.qs ++ DedupQueries.qs ++ SimilarityQueries.qs ++
       NestedQueries.qs ++ MultimodalQueries.qs ++ ScaleQueries.qs ++ AsofRangeQueries.qs ++
       SamplingQueries.qs ++ StateQueries.qs ++ ClusterQueries.qs ++ CurationQueries.qs ++
-      StreamingQueries.qs ++ SketchQueries.qs ++ GraphQueries.qs ++ DataOpsQueries.qs
+      StreamingQueries.qs ++ SketchQueries.qs ++ GraphQueries.qs ++ DataOpsQueries.qs ++
+      SubqueryQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1064,4 +1064,75 @@ class PlanShapeSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }.isEmpty, "audit_gdpr_erasure grew a shuffled hash join")
   }
+
+  private def joinTypes(p: SparkPlan): Seq[String] = collectAll(p) {
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
+  }
+
+  test("correlated scalar subquery decorrelates: one per-key aggregate, lineitem scanned exactly twice") {
+    val p = plan("sq_scalar_small_qty")
+    // per-row evaluation would appear as a nested-loop over the fact; the
+    // decorrelated form is lineitem(outer) + lineitem(agg) + part = 3 scans
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 3,
+      s"expected 3 parquet scans (lineitem x2 + part), got ${scans.length} — " +
+        "the correlated subquery stopped decorrelating into a single aggregate")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "correlated subquery fell back to a nested loop")
+  }
+
+  test("EXISTS / NOT EXISTS chain decorrelates to semi + anti joins with the non-equality residual") {
+    val p = plan("sq_exists_only_late")
+    val types = joinTypes(p)
+    assert(types.contains("LeftSemi"), "EXISTS lost its semi join")
+    assert(types.contains("LeftAnti"), "NOT EXISTS lost its anti join")
+    // the suppkey<>suppkey correlation must ride the join as a residual
+    // condition, not force a cartesian
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "EXISTS chain fell back to a nested loop")
+  }
+
+  test("nullable NOT IN plans as a null-aware anti join (3VL without a nested loop)") {
+    // the three counts are scalar subqueries in the SELECT list, so their
+    // plans hang off expressions — and under AQE each level re-nests, so
+    // gather every reachable plan (children, adaptive executedPlans, and
+    // expression subqueries, recursively) before collecting
+    def allPlans(p: SparkPlan): Seq[SparkPlan] = {
+      val adaptees = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      val subs = (p +: adaptees).flatMap(_.subqueriesAll)
+      p +: (adaptees ++ subs).flatMap(allPlans)
+    }
+    val naaj = allPlans(plan("sq_not_in_3vl")).flatMap(collectAll(_) {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+    })
+    assert(naaj.nonEmpty,
+      "the nullable NOT IN lost its null-aware anti join — 3VL is either " +
+        "wrong or running as a per-row nested loop")
+  }
+
+  test("nested IN + window threshold: semi join on the part family, window over the aggregated dimension frame") {
+    val p = plan("sq_nested_in_topshare")
+    assert(joinTypes(p).contains("LeftSemi"), "partkey IN lost its semi join")
+    // the global window runs over the ALREADY-AGGREGATED supplier frame —
+    // its child must contain the supplier-key aggregate, never raw lineitem
+    collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(collectAll(w.child) {
+        case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+      }.nonEmpty, "share window must run over the aggregated supplier frame")
+    }
+  }
+
+  test("scalar-stats + NOT EXISTS: anti join present, stats ride a one-row broadcast") {
+    val p = plan("sq_exists_segment")
+    assert(joinTypes(p).contains("LeftAnti"), "NOT EXISTS lost its anti join")
+    assert(collectAll(p) {
+      case e: BroadcastExchangeExec => e
+    }.nonEmpty, "the one-row stats frame lost its broadcast")
+  }
 }

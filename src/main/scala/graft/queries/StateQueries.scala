@@ -279,5 +279,86 @@ object StateQueries {
             sum(when(col("action") === "carry", 1L).otherwise(0L)).as("n_carries"),
             sum(col("mism")).as("n_mismatch"))
           .orderBy("n_target")
+      }),
+
+    Q(
+      "k_fifo_costing",
+      """FIFO inventory valuation — the ledger semantics behind an ERP
+        |cardex (the reference's inventory movements are exactly such a
+        |ledger): receipts per part consume in ship-date order, 60% of each
+        |part's received quantity is issued, and cost of goods issued is
+        |allocated layer by layer. The classic formulation iterates the
+        |layers per issue; the scale formulation here is the running-sum
+        |interval intersection — each receipt layer occupies
+        |[cum_end-qty, cum_end) of the part's cumulative axis, the issued
+        |total occupies [0, issued), and the consumed overlap is
+        |GREATEST(0, LEAST(cum_end, issued)-(cum_end-qty)) — one window
+        |pass, no iteration. All arithmetic is integer (quantities are
+        |integral; costs in cents; layer cost prorated with truncating
+        |div, identical to DuckDB's //), so the oracle is hash-exact at
+        |any scale. One l_partkey shuffle serves both windows AND the
+        |per-part rollup; the brand dimension rides broadcast.""".stripMargin,
+      Some(
+        """WITH r AS (
+          |  SELECT l_partkey,
+          |         CAST(l_quantity AS BIGINT) AS qty,
+          |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cost_c,
+          |         CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+          |              ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end,
+          |         CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS BIGINT) AS total_qty
+          |  FROM lineitem),
+          |a AS (
+          |  SELECT l_partkey, qty, cost_c, cum_end, total_qty,
+          |         (3 * total_qty) // 5 AS issued
+          |  FROM r),
+          |f AS (
+          |  SELECT l_partkey,
+          |         MAX(total_qty) AS total_qty,
+          |         MAX(issued) AS issued,
+          |         CAST(SUM((cost_c * GREATEST(0, LEAST(cum_end, issued) - (cum_end - qty))) // qty) AS BIGINT) AS cogs_c
+          |  FROM a
+          |  GROUP BY l_partkey)
+          |SELECT p_brand,
+          |       COUNT(*) AS n_parts,
+          |       CAST(SUM(issued) AS BIGINT) AS issued_qty,
+          |       CAST(SUM(cogs_c) AS BIGINT) AS cogs_cents,
+          |       CAST(SUM(total_qty - issued) AS BIGINT) AS remaining_qty
+          |FROM f JOIN part ON p_partkey = l_partkey
+          |GROUP BY p_brand
+          |ORDER BY p_brand""".stripMargin),
+      (s, dir) => {
+        import graft.functions.Num.dec
+        val wOrd = Window.partitionBy("l_partkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("l_partkey")
+        val layers = Tables.lineitem(s, dir)
+          .select(
+            col("l_partkey"),
+            col("l_quantity").cast("bigint").as("qty"),
+            (dec(col("l_extendedprice")) * lit(100)).cast("bigint").as("cost_c"),
+            col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("cum_end", sum("qty").over(wOrd))
+          .withColumn("total_qty", sum("qty").over(wAll))
+          .withColumn("issued", expr("(3 * total_qty) div 5"))
+          // interval intersection of this layer with [0, issued) on the
+          // part's cumulative-quantity axis; truncating div matches //
+          .withColumn("consumed",
+            greatest(lit(0L), least(col("cum_end"), col("issued")) - (col("cum_end") - col("qty"))))
+          .withColumn("cogs_c", expr("(cost_c * consumed) div qty"))
+        val perPart = layers.groupBy("l_partkey").agg(
+          max("total_qty").as("total_qty"),
+          max("issued").as("issued"),
+          sum("cogs_c").as("cogs_c"))
+        perPart
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n_parts"),
+            sum("issued").as("issued_qty"),
+            sum("cogs_c").as("cogs_cents"),
+            sum(col("total_qty") - col("issued")).as("remaining_qty"))
+          .orderBy("p_brand")
       }))
 }

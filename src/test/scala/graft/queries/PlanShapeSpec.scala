@@ -1128,6 +1128,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("FIFO costing: one partkey shuffle serves both windows AND the per-part rollup") {
+    val p = plan("k_fifo_costing")
+    // partkey exchange + brand agg exchange + output sort = 3; a fourth
+    // means the per-part aggregate stopped reusing the window partitioning
+    assert(shuffles(p).length <= 3, "k_fifo_costing grew a shuffle")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "FIFO windows must stay partitioned by part")
+    assert(bcasts(p).nonEmpty, "brand dimension lost its broadcast")
+  }
+
   test("scalar-stats + NOT EXISTS: anti join present, stats ride a one-row broadcast") {
     val p = plan("sq_exists_segment")
     assert(joinTypes(p).contains("LeftAnti"), "NOT EXISTS lost its anti join")

@@ -262,5 +262,46 @@ object LookupQueries {
             expr("__p div 1000000000000").as("nn_dist"),
             expr("__p % 1000000000000").as("nn_id"))
           .orderBy("custkey")
+      }),
+
+    Q(
+      "j_null_safe_join",
+      """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two keyed
+        |rollups of the event stream whose key is nullable (bucket 0 is
+        |nullified — an unknown-attribution bucket, the shape every CRM/ERP
+        |reconciliation hits), joined so that NULL matches NULL exactly once
+        |instead of dropping. Plain equi-join semantics silently lose the
+        |unknown bucket; the null-safe join keeps it, and the oracle hash
+        |proves both engines agree on the single NULL=NULL row. Spark plans
+        |EqualNullSafe as ordinary hash-join keys (ExtractEquiJoinKeys
+        |coalesces them) — pinned: no nested-loop fallback. Output surfaces
+        |the bucket as -1 so the result schema stays NULL-free for the
+        |driver's sorter.""".stripMargin,
+      Some(
+        """WITH a AS (
+          |  SELECT NULLIF(user_id % 100, 0) AS k, COUNT(*) AS n_purch,
+          |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purch_value
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |b AS (
+          |  SELECT NULLIF(user_id % 100, 0) AS k, COUNT(*) AS n_click
+          |  FROM events WHERE event_type = 'click' GROUP BY 1)
+          |SELECT COALESCE(a.k, -1) AS key_bucket, n_purch, purch_value, n_click
+          |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+          |ORDER BY key_bucket""".stripMargin),
+      (s, dir) => {
+        import graft.functions.Num.{d, dec}
+        val ev = Tables.events(s, dir)
+          .withColumn("k", expr("nullif(user_id % 100, 0)"))
+        val a = ev.filter(col("event_type") === "purchase")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_purch"), d(sum(dec(col("value")))).as("purch_value"))
+        val b = ev.filter(col("event_type") === "click")
+          .groupBy(col("k").as("bk"))
+          .agg(count(lit(1)).as("n_click"))
+        a.join(b, col("k") <=> col("bk"))
+          .select(
+            coalesce(col("k"), lit(-1L)).as("key_bucket"),
+            col("n_purch"), col("purch_value"), col("n_click"))
+          .orderBy("key_bucket")
       }))
 }

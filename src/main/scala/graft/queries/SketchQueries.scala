@@ -669,5 +669,60 @@ object SketchQueries {
             (col("est") - col("n_exact")).as("overest"),
             expr("(est - n_exact) * 1000000 div n_exact").as("err_ppm"))
           .orderBy("k")
+      }),
+
+    Q(
+      "a_bitmap_distinct",
+      """EXACT distinct counting by bitmap — the deterministic companion to
+        |the HLL/KMV estimators: dense integer ids land in 63-bit blocks
+        |(block = id div 63, bit = 1 << (id mod 63); 63 keeps the sign bit
+        |clear so DuckDB's checked shift and Spark agree), blocks OR together
+        |with bit_or, and the distinct count is the popcount sum. This is the
+        |roaring-bitmap idea reduced to its relational core: the shuffle
+        |carries (key, block) -> one long instead of every raw id, so the
+        |reduction is ~63x smaller than count(distinct)'s expand-exchange,
+        |and blocks distribute — no single reducer sees a whole key. The
+        |exact COUNT(DISTINCT) runs side-by-side and diff_vs_exact pins the
+        |bitmap count to it (0 everywhere); ids are asserted non-negative
+        |(raise_error), since a negative id would flip the shift semantics.""".stripMargin,
+      Some(
+        """WITH blocks AS (
+          |  -- ids asserted >= 0 on the Spark side (raise_error); negative
+          |  -- ids would make div/mod and the shift diverge cross-engine
+          |  SELECT event_type, CAST(ts AS DATE) AS day, user_id // 63 AS blk,
+          |         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+          |  FROM events GROUP BY 1, 2, 3),
+          |bm AS (
+          |  SELECT event_type, day, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bitmap,
+          |         COUNT(*) AS n_blocks
+          |  FROM blocks GROUP BY 1, 2),
+          |ex AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         COUNT(DISTINCT user_id) AS n_exact
+          |  FROM events GROUP BY 1, 2)
+          |SELECT bm.event_type, bm.day, n_bitmap, n_blocks, n_exact,
+          |       n_bitmap - n_exact AS diff_vs_exact
+          |FROM bm JOIN ex ON bm.event_type = ex.event_type AND bm.day = ex.day
+          |ORDER BY bm.event_type, bm.day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_type"), col("ts").cast("date").as("day"),
+          when(col("user_id") >= 0, col("user_id")).otherwise(raise_error(concat(
+            lit("a_bitmap_distinct: negative user_id "), col("user_id").cast("string"),
+            lit(" breaks the div/mod block encoding")))).as("uid"))
+        val bm = ev
+          .groupBy(col("event_type"), col("day"), expr("uid div 63").as("blk"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(uid % 63 AS INT)))").as("bits"))
+          .groupBy("event_type", "day")
+          .agg(
+            sum(bit_count(col("bits"))).cast("bigint").as("n_bitmap"),
+            count(lit(1)).as("n_blocks"))
+        val ex = ev.groupBy("event_type", "day")
+          .agg(countDistinct(col("uid")).as("n_exact"))
+        bm.join(ex, Seq("event_type", "day"))
+          .select(
+            col("event_type"), col("day"), col("n_bitmap"), col("n_blocks"),
+            col("n_exact"), (col("n_bitmap") - col("n_exact")).as("diff_vs_exact"))
+          .orderBy("event_type", "day")
       }))
 }

@@ -1141,6 +1141,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "brand dimension lost its broadcast")
   }
 
+  test("null-safe join plans as a hash join (EqualNullSafe coalesced into keys, no nested loop)") {
+    val p = plan("j_null_safe_join")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty && collectAll(p) {
+      case j: org.apache.spark.sql.execution.CoGroupExec => j
+    }.isEmpty, "null-safe equality stopped planning as an equi-join")
+    assert(bcasts(p).nonEmpty, "the keyed rollup join lost its broadcast")
+  }
+
+  test("bitmap distinct: block rollups join broadcast; bounded shuffles (blocks, not raw ids, cross the wire)") {
+    val p = plan("a_bitmap_distinct")
+    // bitmap two-level agg (2) + countDistinct expand pair (2) + output
+    // sort (1); a sixth shuffle means a rollup stopped being partial
+    assert(shuffles(p).length <= 5, "a_bitmap_distinct grew a shuffle")
+    assert(bcasts(p).nonEmpty, "the per-key rollup join lost its broadcast")
+  }
+
   test("scalar-stats + NOT EXISTS: anti join present, stats ride a one-row broadcast") {
     val p = plan("sq_exists_segment")
     assert(joinTypes(p).contains("LeftAnti"), "NOT EXISTS lost its anti join")

@@ -155,7 +155,33 @@ object SubqueryQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Correlated LATERAL derived table with ORDER BY + LIMIT: per-part
+    * latest-3 shipments. The per-row reading ("for each part, run this
+    * ordered limited scan") is the nested-loop trap; Spark's
+    * DecorrelateInnerQuery rewrites the correlated LIMIT into a rank
+    * window partitioned by the correlation key — one lineitem shuffle on
+    * l_partkey, identical to the hand-written w1 top-k. The probe-set
+    * filter (every 101st part) keeps the output bounded at any SF. */
+  private val lateralTopkSql: String =
+    """SELECT p.p_partkey, t.l_orderkey, t.l_linenumber, t.ship_day
+      |FROM part p,
+      |LATERAL (SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day
+      |         FROM lineitem l
+      |         WHERE l.l_partkey = p.p_partkey
+      |         ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+      |         LIMIT 3) t
+      |WHERE p.p_partkey % 101 = 0
+      |ORDER BY p.p_partkey, t.ship_day DESC, t.l_orderkey DESC, t.l_linenumber DESC""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    sqlQ(
+      "sq_lateral_topk",
+      """Correlated LATERAL subquery with ORDER BY + LIMIT (per-part latest-3
+        |shipments). Catalyst decorrelates the correlated LIMIT into a rank
+        |window partitioned by the correlation key — the per-row ordered scan
+        |the SQL describes never happens; the plan is the same single-shuffle
+        |top-k as the hand-written window form.""".stripMargin,
+      lateralTopkSql),
     sqlQ(
       "sq_scalar_small_qty",
       """Correlated scalar subquery (TPC-H Q17 shape): per-brand small-quantity

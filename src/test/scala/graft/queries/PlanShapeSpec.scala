@@ -1141,6 +1141,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcasts(p).nonEmpty, "brand dimension lost its broadcast")
   }
 
+  test("lateral ORDER BY+LIMIT decorrelates to a rank window partitioned by the correlation key") {
+    val p = plan("sq_lateral_topk")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the correlated LIMIT lost its per-key rank window")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "lateral subquery fell back to a per-row nested loop")
+  }
+
   test("null-safe join plans as a hash join (EqualNullSafe coalesced into keys, no nested loop)") {
     val p = plan("j_null_safe_join")
     assert(collectAll(p) {

@@ -31,9 +31,15 @@ import java.io.File
   *    1-day batch later) — emitted counts equal the duplicate-free
   *    windowed aggregation.
   *
-  * Together the four rows cover every stateful streaming operator class
-  * (windowed agg, stream-stream join, arbitrary state, dedup state)
-  * with driver-hash-compared evidence, not only ScalaTest.
+  * Later rounds widened the set: `j_stream_outer_replay` (outer
+  * stream-stream join nulls), `w_stream_update_replay` (update-mode
+  * revision history), `j_stream_static_enrich` (stream-static dimension
+  * join), and `w_transform_state_replay` (the transformWithState typed
+  * state API on RocksDB). Together the rows cover every stateful
+  * streaming operator class AND all four stateful API generations
+  * (windowed agg, stream-stream inner+outer joins, flatMapGroupsWithState,
+  * dropDuplicatesWithinWatermark, transformWithState) with
+  * driver-hash-compared evidence, not only ScalaTest.
   *
   * Determinism contract (what makes an oracle possible at all):
   *  - replay order: one parquet file per micro-batch, written
@@ -514,6 +520,77 @@ object StreamingQueries {
               col("n_events"))
             .orderBy("window_start", "n_events")
         } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+        }
+      }),
+
+    Q(
+      "w_transform_state_replay",
+      """The transformWithState API (Spark 4.x's typed-state successor to
+        |flatMapGroupsWithState) through the oracle gate, on the RocksDB
+        |state store provider the API requires: a per-user running purchase
+        |counter (ValueState) plus a distinct-day registry (MapState with a
+        |ValueState count), emitting one row per (user, micro-batch) with
+        |the post-batch running totals. In-order 8-day-epoch replay makes
+        |the full emission history pure integer arithmetic: n_in_batch is
+        |the user's count in that epoch, cum_after its running sum, and
+        |days_so_far the running count of first-seen purchase days
+        |(first-seen = MIN(epoch) per day — exactly how MapState dedups).
+        |Proves cross-batch state propagation, typed state composition,
+        |and per-batch append emission for the fourth stateful API
+        |generation; TimeMode.None keeps the replay clock-free.""".stripMargin,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id,
+          |         epoch_us(ts) // 691200000000 AS ep,
+          |         epoch_us(ts) // 86400000000 AS day
+          |  FROM events
+          |  WHERE ts IS NOT NULL AND event_type = 'purchase'),
+          |b AS (
+          |  SELECT user_id, ep, COUNT(*) AS n_in_batch FROM e GROUP BY 1, 2),
+          |d AS (
+          |  SELECT user_id, day, MIN(ep) AS fep FROM e GROUP BY 1, 2),
+          |nd AS (
+          |  SELECT user_id, fep AS ep, COUNT(*) AS new_days FROM d GROUP BY 1, 2)
+          |SELECT b.user_id, b.ep, b.n_in_batch,
+          |       CAST(SUM(b.n_in_batch) OVER (PARTITION BY b.user_id ORDER BY b.ep
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_after,
+          |       CAST(SUM(COALESCE(nd.new_days, 0)) OVER (PARTITION BY b.user_id ORDER BY b.ep
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS days_so_far
+          |FROM b LEFT JOIN nd ON b.user_id = nd.user_id AND b.ep = nd.ep
+          |ORDER BY b.user_id, b.ep""".stripMargin),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-tws").toFile
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = s.conf.getOption(providerKey)
+        try {
+          s.conf.set(providerKey,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ev = Tables.events(s, dir)
+            .filter(col("ts").isNotNull && col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"))
+          val epoch8d = expr("unix_micros(ts) div 691200000000") // 8-day epochs, integer-exact
+          runReplay(s, tmp, "w_transform_state_sink",
+            Seq((ev, epoch8d, "in")),
+            { case Seq(stream) =>
+              import s.implicits._
+              stream
+                .select(col("user_id").as("userId"),
+                  expr("unix_micros(ts)").as("tsMicros"))
+                .as[graft.streaming.RunningCounter.Tick]
+                .groupByKey(_.userId)
+                .transformWithState(
+                  new graft.streaming.RunningCounterProcessor,
+                  org.apache.spark.sql.streaming.TimeMode.None(),
+                  org.apache.spark.sql.streaming.OutputMode.Append())
+                .toDF()
+            })
+            .orderBy("user_id", "ep")
+        } finally {
+          prevProvider match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None => s.conf.unset(providerKey)
+          }
           org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
         }
       }),

@@ -130,9 +130,10 @@ object Multimodal {
     * nearest — so the output is closed-form and oracle-checkable
     * (verified exhaustively over the synthesis space). Fractional ratios
     * route through fixed-point vs float stepping loops that pick
-    * DIFFERENT pixels near integer boundaries — real resampling, but not
-    * bit-reproducible across render paths, which an oracle-checked
-    * pipeline cannot accept. Partition-local, no shuffle. */
+    * DIFFERENT pixels near integer boundaries — not bit-reproducible
+    * across JAVA2D render paths; [[resizeFractionalStats]] handles any
+    * ratio with our own integer-exact resampler instead.
+    * Partition-local, no shuffle. */
   def resizeImageStats(media: Dataset[PngAsset]): Dataset[ResizedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -160,6 +161,66 @@ object Multimodal {
           y += 1
         }
         ResizedImage(r.media_id, dw, dh, sum)
+      }
+    }
+  }
+
+  case class FracResizedImage(media_id: Long, out_w: Int, out_h: Int,
+                              px_sum_nearest: Long, px_sum_bilinear: Long)
+
+  /** FRACTIONAL-ratio image resize — closing the limitation
+    * [[resizeImageStats]] documents: Java2D's blit paths are not
+    * bit-reproducible at non-integer ratios, so this method does not use
+    * them. The resampler is OURS, defined in integer arithmetic over the
+    * decoded pixels, which makes any ratio deterministic by construction:
+    *
+    *  - destination pixel centers map to source coordinates with the
+    *    standard `(x+0.5)*sw/dw - 0.5` rule, carried EXACTLY as the
+    *    integer pair `nx = (2x+1)*sw - dw` over denominator `Dx = 2*dw`;
+    *  - NEAREST picks `sx = ((2x+1)*sw) div (2*dw)` (pixel-center
+    *    nearest, the same rule the 2x path reduces to);
+    *  - BILINEAR blends the 2x2 neighborhood with the exact fixed-point
+    *    weights `fx = nx mod Dx` (truncating final division, identical to
+    *    DuckDB `//`), edge-clamped like every mainstream resampler.
+    *
+    * Ratios 2:3 horizontally and 3:5 vertically are genuinely fractional
+    * for this synthesis space (w in {4,6,8,10}, h in {4,6,8}).
+    * Partition-local, no shuffle; decode cost scans with the corpus. */
+  def resizeFractionalStats(media: Dataset[PngAsset]): Dataset[FracResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      useMemoryCachedImageIO()
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null, s"undecodable image blob for media_id=${r.media_id}")
+        val w = img.getWidth; val h = img.getHeight
+        val dw = math.max(1, (2 * w) / 3)
+        val dh = math.max(1, (3 * h) / 5)
+        def gray(x: Int, y: Int): Long = (img.getRGB(x, y) & 0xff).toLong
+        val Dx = 2L * dw; val Dy = 2L * dh
+        var sn = 0L; var sb = 0L
+        var y = 0
+        while (y < dh) {
+          val sy = ((2 * y + 1) * h) / (2 * dh)
+          val ny = (2L * y + 1) * h - dh
+          val y0 = (ny / Dy).toInt; val fy = ny % Dy
+          val y1 = math.min(y0 + 1, h - 1)
+          var x = 0
+          while (x < dw) {
+            val sx = ((2 * x + 1) * w) / (2 * dw)
+            sn += gray(sx, sy)
+            val nx = (2L * x + 1) * w - dw
+            val x0 = (nx / Dx).toInt; val fx = nx % Dx
+            val x1 = math.min(x0 + 1, w - 1)
+            sb += (gray(x0, y0) * (Dx - fx) * (Dy - fy)
+              + gray(x1, y0) * fx * (Dy - fy)
+              + gray(x0, y1) * (Dx - fx) * fy
+              + gray(x1, y1) * fx * fy) / (Dx * Dy)
+            x += 1
+          }
+          y += 1
+        }
+        FracResizedImage(r.media_id, dw, dh, 3 * sn, 3 * sb)
       }
     }
   }

@@ -128,6 +128,68 @@ object MultimodalQueries {
           .toDF().orderBy("media_id")),
 
     Q(
+      "mm_resize_fractional",
+      """FRACTIONAL-ratio image resize (2:3 horizontal, 3:5 vertical),
+        |oracle-checked — closing the 2x-only limitation: Java2D blit paths
+        |are not bit-reproducible at non-integer ratios, so the resampler
+        |here is our own, defined in integer arithmetic over the DECODED
+        |pixels (Multimodal.resizeFractionalStats). Pixel centers carry as
+        |the exact pair nx=(2x+1)*w-dw over Dx=2*dw; NEAREST picks
+        |((2x+1)*w) div (2*dw); BILINEAR blends the edge-clamped 2x2
+        |neighborhood with fixed-point weights and one truncating division
+        |— deterministic at ANY ratio by construction. The oracle predicts
+        |both sums arithmetically from the closed-form pixels; equality
+        |proves decode AND both resamplers pixel-exact. Partition-local,
+        |no shuffle.""".stripMargin,
+      Some(
+        """WITH g AS (
+          |  SELECT doc_id,
+          |         2 * (2 + doc_id % 4) AS w,
+          |         2 * (2 + doc_id % 3) AS h
+          |  FROM documents),
+          |d AS (
+          |  SELECT doc_id, w, h,
+          |         GREATEST(1, (2*w) // 3) AS dw,
+          |         GREATEST(1, (3*h) // 5) AS dh
+          |  FROM g),
+          |px AS (
+          |  SELECT d.*, t.j FROM d,
+          |  LATERAL (SELECT unnest(range(d.dw * d.dh)) AS j) t),
+          |e AS (
+          |  SELECT doc_id, w, h, dw, dh,
+          |         ((2*(j % dw)+1)*w) // (2*dw) AS sx,
+          |         ((2*(j // dw)+1)*h) // (2*dh) AS sy,
+          |         (2*(j % dw)+1)*w - dw AS nx,
+          |         (2*(j // dw)+1)*h - dh AS ny,
+          |         2*dw AS bx, 2*dh AS by
+          |  FROM px),
+          |f AS (
+          |  SELECT doc_id, w, h, dw, dh, sx, sy, bx, by,
+          |         nx // bx AS x0, nx % bx AS fx,
+          |         ny // by AS y0, ny % by AS fy,
+          |         LEAST(nx // bx + 1, w-1) AS x1,
+          |         LEAST(ny // by + 1, h-1) AS y1
+          |  FROM e),
+          |v AS (
+          |  SELECT doc_id, dw, dh,
+          |         (doc_id*31 + sy*w + sx) % 256 AS vn,
+          |         (  ((doc_id*31 + y0*w + x0) % 256) * (bx-fx) * (by-fy)
+          |          + ((doc_id*31 + y0*w + x1) % 256) * fx * (by-fy)
+          |          + ((doc_id*31 + y1*w + x0) % 256) * (bx-fx) * fy
+          |          + ((doc_id*31 + y1*w + x1) % 256) * fx * fy) // (bx*by) AS vb
+          |  FROM f)
+          |SELECT doc_id AS media_id,
+          |       CAST(dw AS INT) AS out_w, CAST(dh AS INT) AS out_h,
+          |       CAST(3 * SUM(vn) AS BIGINT) AS px_sum_nearest,
+          |       CAST(3 * SUM(vb) AS BIGINT) AS px_sum_bilinear
+          |FROM v GROUP BY 1, 2, 3
+          |ORDER BY media_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.resizeFractionalStats(
+          Multimodal.synthesizePngs2x(Tables.documents(s, dir)))
+          .toDF().orderBy("media_id")),
+
+    Q(
       "mm_phash_dedup",
       """Perceptual-hash IMAGE DEDUP — the multimodal twin of the text
         |near-dup family: assets are REAL PNGs where docs sharing a class

@@ -13,6 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object DataOpsQueries {
 
+  /** The lazy DPP join for `j_dynamic_partition_prune` (factored out so
+    * PlanShapeSpec can pin the dynamicpruning partition filter on the live
+    * scan before the temp table is cleaned up): round-trip events through a
+    * REAL day-partitioned parquet write under `tmp`, then join against the
+    * aggregate-derived above-average-signup-days dimension. */
+  private[queries] def buildDppJoin(s: org.apache.spark.sql.SparkSession,
+                                    dir: String, tmp: java.io.File): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("day_id", expr("unix_timestamp(date_trunc('DAY', ts)) div 86400"))
+      .select("event_type", "value", "day_id")
+    val factPath = new java.io.File(tmp, "fact").getAbsolutePath
+    ev.write.partitionBy("day_id").mode("overwrite").parquet(factPath)
+    val fact = s.read.parquet(factPath)
+    // above-average signup days: an aggregate-derived dim — static
+    // constraint inference cannot reach it, so pruning MUST be dynamic
+    val sd = ev.filter(col("event_type") === "signup")
+      .groupBy("day_id").agg(count(lit(1)).as("n"))
+    val tw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dim = sd
+      .withColumn("t", sum("n").over(tw))
+      .withColumn("k", count(lit(1)).over(tw))
+      .filter(col("n") * col("k") > col("t"))
+      .select(col("day_id").cast("int").as("dim_day"))
+    fact.join(broadcast(dim), fact("day_id") === col("dim_day"))
+      .groupBy("event_type")
+      .agg(
+        countDistinct(fact("day_id")).as("n_days"),
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 1000000L).cast("long")).as("v_sum_micro"))
+      .orderBy("event_type")
+  }
+
   /** Bit-interleave (Morton/Z-order) of two 10-bit values as a SQL
     * expression string; `divOp` is the engine's integer-division operator
     * ("div" for Spark, "//" for DuckDB) — both truncate toward zero, and
@@ -185,6 +217,55 @@ object DataOpsQueries {
             col("vmin_micro"), col("vmax_micro"), col("would_scan"),
             expr("scanned * 1000000 div total").as("scan_ppm"))
           .orderBy("event_type", "day_id")
+      }),
+
+    Q(
+      "j_dynamic_partition_prune",
+      """Dynamic partition pruning — the runtime-filter mechanism a 100 TB
+        |date-partitioned lake lives on: the fact table is round-tripped
+        |through a REAL day-partitioned parquet write, the qualifying-day
+        |dimension is an AGGREGATE (above-average signup days — a set no
+        |static rule can infer, so the pruning genuinely happens at
+        |runtime), and the join compiles to a scan whose PartitionFilters
+        |carry a dynamicpruning subquery: only qualifying day directories
+        |are listed and read. PlanShapeSpec pins the dynamicpruning
+        |expression on the scan. The oracle computes the same join on the
+        |original table — equality proves the partitioned round-trip AND
+        |the pruned scan lose nothing. At scale this is the difference
+        |between reading 3 days and reading 10 years.""".stripMargin,
+      Some(
+        """WITH ev AS (
+          |  SELECT event_type, value,
+          |         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS day_id
+          |  FROM events),
+          |sd AS (
+          |  SELECT day_id, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k FROM sd),
+          |dim AS (
+          |  SELECT day_id FROM sd, tot WHERE n * k > t)
+          |SELECT f.event_type,
+          |       COUNT(DISTINCT f.day_id) AS n_days,
+          |       COUNT(*) AS n_rows,
+          |       CAST(SUM(CAST(floor(f.value * 1000000) AS BIGINT)) AS BIGINT) AS v_sum_micro
+          |FROM ev f JOIN dim ON f.day_id = dim.day_id
+          |GROUP BY f.event_type
+          |ORDER BY f.event_type""".stripMargin),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toFile
+        try {
+          val res = buildDppJoin(s, dir, tmp)
+          // materialize the event_type-sized rollup (bounded, <=5 rows)
+          // BEFORE the temp table is deleted — the returned frame must not
+          // re-scan files the finally block removes
+          val out = s.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
+            res.schema)
+          out.orderBy("event_type")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+        }
       }),
 
     Q(

@@ -1153,6 +1153,23 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "lateral subquery fell back to a per-row nested loop")
   }
 
+  test("dynamic partition pruning: the fact scan's PartitionFilters carry a runtime dynamicpruning subquery") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp-spec").toFile
+    try {
+      val p = DataOpsQueries.buildDppJoin(spark, sfSmoke, tmp)
+        .queryExecution.executedPlan
+      val prunedScans = collectAll(p) {
+        case scan: org.apache.spark.sql.execution.FileSourceScanExec
+          if scan.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")) => scan
+      }
+      assert(prunedScans.nonEmpty,
+        "the day-partitioned fact scan lost its dynamicpruning partition filter — " +
+          "the join reads every day directory instead of the qualifying subset")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+    }
+  }
+
   test("null-safe join plans as a hash join (EqualNullSafe coalesced into keys, no nested loop)") {
     val p = plan("j_null_safe_join")
     assert(collectAll(p) {

@@ -360,5 +360,69 @@ object StateQueries {
             sum("cogs_c").as("cogs_cents"),
             sum(col("total_qty") - col("issued")).as("remaining_qty"))
           .orderBy("p_brand")
+      }),
+
+    Q(
+      "k_schema_evolution",
+      """Schema evolution on read (mergeSchema) — the K8 schema-snapshot
+        |story exercised on REAL files: batch 1 is written with the v1
+        |schema, batch 2 with v2 (an added `channel` column), both under
+        |one table root; the merged read reconciles the footers and
+        |null-fills the legacy rows, and the aggregate groups on the
+        |evolved column with COALESCE('legacy') — the exact shape every
+        |long-lived lake table hits when a producer adds a field. The
+        |oracle emulates the evolution as UNION ALL with NULL, so the
+        |hash proves the round-trip (write v1 + write v2 + merged read)
+        |loses nothing and types reconcile identically. Bounded 3-row
+        |rollup materialized before the temp table is cleaned up.""".stripMargin,
+      Some(
+        """WITH v1 AS (
+          |  SELECT event_id, user_id,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS vmicro,
+          |         NULL AS channel
+          |  FROM events WHERE event_type = 'click'),
+          |v2 AS (
+          |  SELECT event_id, user_id,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS vmicro,
+          |         CASE WHEN user_id % 2 = 0 THEN 'web' ELSE 'app' END AS channel
+          |  FROM events WHERE event_type = 'purchase'),
+          |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+          |SELECT COALESCE(channel, 'legacy') AS channel,
+          |       COUNT(*) AS n_rows,
+          |       CAST(SUM(vmicro) AS BIGINT) AS v_sum_micro,
+          |       COUNT(DISTINCT user_id) AS n_users
+          |FROM u GROUP BY 1
+          |ORDER BY channel""".stripMargin),
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-schevo").toFile
+        try {
+          val ev = Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              floor(col("value") * 1000000L).cast("long").as("vmicro"))
+          val root = new java.io.File(tmp, "t").getAbsolutePath
+          // v1 producer: no channel column yet
+          ev.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "vmicro")
+            .write.mode("overwrite").parquet(root + "/batch=1")
+          // v2 producer: schema evolved with a channel column
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("vmicro"),
+              when(col("user_id") % 2 === 0, "web").otherwise("app").as("channel"))
+            .write.mode("overwrite").parquet(root + "/batch=2")
+          val merged = s.read.option("mergeSchema", "true").parquet(root)
+          val res = merged
+            .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("vmicro")).as("v_sum_micro"),
+              countDistinct(col("user_id")).as("n_users"))
+            .orderBy("channel")
+          val out = s.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
+            res.schema)
+          out.orderBy("channel")
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp); ()
+        }
       }))
 }

@@ -60,7 +60,10 @@ object Bench {
     "j_interval_overlap",
     // round-9: incremental state-probe shapes + binary ANN
     "corpus_pipeline_incremental", "dd_minhash_incremental",
-    "emb_hamming_topk")
+    "emb_hamming_topk",
+    // round-9 second wave: decorrelated-subquery agg join, double-window
+    // FIFO allocation, bitmap-vs-expand distinct
+    "sq_scalar_small_qty", "k_fifo_costing", "a_bitmap_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -190,14 +190,19 @@ object GraphQueries {
          |`cnt*100 + (99-lbl)` key — hub nodes are safe because the
          |(node,label) count and the packed max both partial-aggregate
          |map-side; no per-node sort anywhere. Labels are asserted < 100
-         |(raise_error), so the pack cannot collide. Output: the final
-         |community size per label split by node side, plus the last
-         |round's churn — the convergence reading. Like the other graph
-         |rows this is a fixed-iteration chained join+agg, bucketable by
-         |node id at cluster scale.""".stripMargin,
+         |(raise_error), so the pack cannot collide. Node ids use PARITY
+         |encoding (customer 2k, supplier 2k+1) instead of an additive
+         |offset: the 5x key-shifted replica moves keys by copy*10^8, and
+         |an offset discriminator misclassifies shifted customers as
+         |suppliers — the raise_error guard caught exactly that in
+         |scale-verify; parity is collision-proof at any key range.
+         |Output: the final community size per label split by node side,
+         |plus the last round's churn — the convergence reading. Like the
+         |other graph rows this is a fixed-iteration chained join+agg,
+         |bucketable by node id at cluster scale.""".stripMargin,
       Some(
         s"""WITH pairs AS MATERIALIZED (
-           |  SELECT DISTINCT o.o_custkey AS c, $SupplierOffset + l.l_suppkey AS s
+           |  SELECT DISTINCT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s
            |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
            |edges AS MATERIALIZED (
            |  SELECT c AS src, s AS dst FROM pairs
@@ -207,60 +212,70 @@ object GraphQueries {
            |-- labels stay < 100 (nation keys) so cnt*100+(99-lbl) packs safely
            |lab0 AS MATERIALIZED (
            |  SELECT n.id,
-           |         CAST(CASE WHEN n.id >= $SupplierOffset THEN s.s_nationkey
+           |         CAST(CASE WHEN n.id % 2 = 1 THEN s.s_nationkey
            |                   ELSE c.c_nationkey END AS BIGINT) AS lbl
            |  FROM nodes n
-           |  LEFT JOIN customer c ON n.id = c.c_custkey
-           |  LEFT JOIN supplier s ON n.id - $SupplierOffset = s.s_suppkey),
+           |  LEFT JOIN customer c ON n.id = 2 * c.c_custkey
+           |  LEFT JOIN supplier s ON n.id = 2 * s.s_suppkey + 1),
            |c1 AS MATERIALIZED (
            |  SELECT e.dst AS id, l.lbl, COUNT(*) AS cnt
            |  FROM edges e JOIN lab0 l ON e.src = l.id GROUP BY 1, 2),
            |lab1 AS MATERIALIZED (
-           |  SELECT id, 99 - (MAX(cnt*100 + (99 - lbl)) % 100) AS lbl
+           |  SELECT id, 8589934591 - (MAX(cnt*8589934592 + (8589934591 - lbl)) % 8589934592) AS lbl
            |  FROM c1 GROUP BY id),
            |c2 AS MATERIALIZED (
            |  SELECT e.dst AS id, l.lbl, COUNT(*) AS cnt
            |  FROM edges e JOIN lab1 l ON e.src = l.id GROUP BY 1, 2),
            |lab2 AS MATERIALIZED (
-           |  SELECT id, 99 - (MAX(cnt*100 + (99 - lbl)) % 100) AS lbl
+           |  SELECT id, 8589934591 - (MAX(cnt*8589934592 + (8589934591 - lbl)) % 8589934592) AS lbl
            |  FROM c2 GROUP BY id),
            |c3 AS MATERIALIZED (
            |  SELECT e.dst AS id, l.lbl, COUNT(*) AS cnt
            |  FROM edges e JOIN lab2 l ON e.src = l.id GROUP BY 1, 2),
            |lab3 AS MATERIALIZED (
-           |  SELECT id, 99 - (MAX(cnt*100 + (99 - lbl)) % 100) AS lbl
+           |  SELECT id, 8589934591 - (MAX(cnt*8589934592 + (8589934591 - lbl)) % 8589934592) AS lbl
            |  FROM c3 GROUP BY id),
            |churn AS MATERIALIZED (
            |  SELECT CAST(COUNT(*) FILTER (WHERE a.lbl <> b.lbl) AS BIGINT) AS n_changed
            |  FROM lab3 a JOIN lab2 b ON a.id = b.id)
            |SELECT lab3.lbl AS label,
            |       COUNT(*) AS n_nodes,
-           |       CAST(SUM(CASE WHEN lab3.id >= $SupplierOffset THEN 0 ELSE 1 END)
+           |       CAST(SUM(CASE WHEN lab3.id % 2 = 1 THEN 0 ELSE 1 END)
            |         AS BIGINT) AS n_customers,
-           |       CAST(SUM(CASE WHEN lab3.id >= $SupplierOffset THEN 1 ELSE 0 END)
+           |       CAST(SUM(CASE WHEN lab3.id % 2 = 1 THEN 1 ELSE 0 END)
            |         AS BIGINT) AS n_suppliers,
            |       churn.n_changed
            |FROM lab3, churn
            |GROUP BY lab3.lbl, churn.n_changed
            |ORDER BY label""".stripMargin),
       (s, dir) => {
-        val edges = tradeEdges(s, dir).localCheckpoint()
+        // parity-encoded trade edges (customer 2k, supplier 2k+1):
+        // collision-proof under the scale replica's copy*10^8 key shifts,
+        // unlike the additive-offset encoding the rank queries use
+        val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+          .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+          .localCheckpoint()
         val nodes = edges.select(col("src").as("id")).distinct()
         val rawLbl = nodes
           .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
-            col("id") === col("c_custkey"), "left")
+            col("id") === col("c_custkey") * 2, "left")
           .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
-            col("id") - SupplierOffset === col("s_suppkey"), "left")
+            col("id") === col("s_suppkey") * 2 + 1, "left")
           .select(col("id"),
-            when(col("id") >= SupplierOffset, col("s_nationkey"))
+            when(col("id") % 2 === 1, col("s_nationkey"))
               .otherwise(col("c_nationkey")).cast("bigint").as("lbl0"))
         // pack invariant asserted, not assumed: a label outside [0,99]
         // would collide with the count digits and elect the wrong majority
         var labels = rawLbl.select(col("id"),
-          when(col("lbl0").between(0, 99), col("lbl0"))
+          when(col("lbl0").between(0, 8589934591L), col("lbl0"))
             .otherwise(raise_error(concat(
               lit("g_label_propagation pack overflow: label "),
-              col("lbl0").cast("string"), lit(" outside [0,99]")))).as("lbl"))
+              col("lbl0").cast("string"), lit(" outside [0,2^33)")))).as("lbl"))
           .localCheckpoint()
         var prev = labels
         (1 to Iters).foreach { _ =>
@@ -270,7 +285,7 @@ object GraphQueries {
             .groupBy(col("dst").as("id"), col("lbl"))
             .agg(count(lit(1)).as("cnt"))
           labels = counts.groupBy("id")
-            .agg((lit(99) - (max(col("cnt") * 100 + (lit(99) - col("lbl"))) % 100)).as("lbl"))
+            .agg((lit(8589934591L) - (max(col("cnt") * 8589934592L + (lit(8589934591L) - col("lbl"))) % 8589934592L)).as("lbl"))
             .localCheckpoint()
         }
         val churn = labels.select(col("id"), col("lbl").as("new_lbl"))
@@ -280,8 +295,8 @@ object GraphQueries {
           .groupBy(col("lbl").as("label"))
           .agg(
             count(lit(1)).as("n_nodes"),
-            sum(when(col("id") >= SupplierOffset, 0L).otherwise(1L)).as("n_customers"),
-            sum(when(col("id") >= SupplierOffset, 1L).otherwise(0L)).as("n_suppliers"))
+            sum(when(col("id") % 2 === 1, 0L).otherwise(1L)).as("n_customers"),
+            sum(when(col("id") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
           .crossJoin(broadcast(churn))
           .orderBy("label")
       }),

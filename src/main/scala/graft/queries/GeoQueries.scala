@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Geospatial operators — the domain the catalog did not yet cover.
+  *
+  * The test tables carry no coordinates, so points are CLOSED-FORM
+  * functions of the keys (the same trick the multimodal family uses for
+  * pixels): `x = ((k % 1000003) * 48271) % 1000000`, and similarly for
+  * `y` with an independent prime/multiplier. Both engines evaluate the
+  * identical integer arithmetic, so the oracle "knows" every location
+  * without any data exchange — the hash compare then proves the SPATIAL
+  * machinery (grid bucketing, neighbor expansion, distance predicates,
+  * trajectory windows), not the synthetic geometry.
+  *
+  * Scale notes that apply to the whole family:
+  *  - all geometry is integer micro-degrees on a 10^6 x 10^6 grid; no
+  *    floating point, no trig (great-circle math would drag libm in —
+  *    planar L2/L1 metrics carry the same plan shapes);
+  *  - the multiplies stay far below 2^63 because keys are reduced mod a
+  *    ~10^6 prime BEFORE scaling (replica key shifts of copy*10^8 simply
+  *    redistribute the points);
+  *  - every query is either scan-side + one keyed aggregate or one
+  *    window over a user-keyed partition — the shapes that bucket
+  *    cleanly on a 1000-executor cluster.
+  */
+object GeoQueries {
+
+  /** micro-degree x coordinate of an integer key (both engines). */
+  private def gxSql(k: String) = s"(($k % 1000003) * 48271) % 1000000"
+  private def gySql(k: String) = s"(($k % 999983) * 69621) % 1000000"
+
+  private val CellSz = 100000L          // grid cell edge; >= radius, so 3x3 covers
+  private val R2 = 3600000000L          // radius 60000 micro-degrees, squared
+  private val PackK = 100000000000L     // 10^11: d2-dominant (d2, suppkey) pack
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "geo_grid_join",
+      """Spatial radius join via grid-cell bucketing — the canonical
+        |distributed alternative to an all-pairs distance join: every
+        |supplier point is replicated into its 3x3 cell neighborhood
+        |(cell edge >= radius, so no within-radius pair can escape the
+        |neighborhood), customers probe their OWN cell only, and the
+        |exact squared-distance predicate runs on the collision-sized
+        |candidate set. Per customer with >= 1 supplier inside 60k
+        |micro-degrees: neighbor count, exact min squared distance, and
+        |the nearest supplier (min-pack argmin, d2-dominant with suppkey
+        |tiebreak; pack in DECIMAL(38,0)/HUGEINT since d2*10^11 exceeds
+        |2^63, suppkey asserted < 10^11 by raise_error). Scale shape:
+        |candidate pairs are bounded by cell co-location (never |C|x|S|);
+        |here the 9x-replicated supplier side broadcasts; at equal-sized
+        |sides the same plan becomes a cell-keyed shuffle join — the
+        |standard spatial-join recipe either way.""".stripMargin,
+      Some(
+        s"""WITH c AS (
+           |  SELECT c_custkey,
+           |         ${gxSql("c_custkey")} AS cx, ${gySql("c_custkey")} AS cy
+           |  FROM customer),
+           |s AS (
+           |  SELECT s_suppkey,
+           |         ${gxSql("s_suppkey")} AS sx, ${gySql("s_suppkey")} AS sy
+           |  FROM supplier),
+           |sg AS (
+           |  SELECT s_suppkey, sx, sy,
+           |         ((sx // $CellSz) + dx.d) * 1000 + ((sy // $CellSz) + dy.d) AS cell
+           |  FROM s
+           |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+           |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+           |pairs AS (
+           |  SELECT c.c_custkey, sg.s_suppkey,
+           |         (c.cx - sg.sx) * (c.cx - sg.sx)
+           |           + (c.cy - sg.sy) * (c.cy - sg.sy) AS d2
+           |  FROM c JOIN sg
+           |    ON (c.cx // $CellSz) * 1000 + (c.cy // $CellSz) = sg.cell
+           |  WHERE (c.cx - sg.sx) * (c.cx - sg.sx)
+           |          + (c.cy - sg.sy) * (c.cy - sg.sy) <= $R2)
+           |SELECT c_custkey,
+           |       CAST(COUNT(*) AS BIGINT) AS n_near,
+           |       CAST(MIN(CAST(d2 AS HUGEINT) * $PackK + s_suppkey)
+           |              // $PackK AS BIGINT) AS min_d2,
+           |       CAST(MIN(CAST(d2 AS HUGEINT) * $PackK + s_suppkey)
+           |              % $PackK AS BIGINT) AS nearest_supp
+           |FROM pairs
+           |GROUP BY 1
+           |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).select(
+          col("c_custkey"),
+          expr(gxSql("c_custkey")).as("cx"),
+          expr(gySql("c_custkey")).as("cy"))
+        val supp = Tables.supplier(s, dir).select(
+          // pack safety: suppkey must stay below the 10^11 pack modulus
+          // (replica shifts add copy*10^8 — an order of magnitude of slack)
+          when(col("s_suppkey") >= 0 && col("s_suppkey") < PackK, col("s_suppkey"))
+            .otherwise(raise_error(concat(
+              lit("geo_grid_join pack overflow: s_suppkey "), col("s_suppkey"))))
+            .as("s_suppkey"),
+          expr(gxSql("s_suppkey")).as("sx"),
+          expr(gySql("s_suppkey")).as("sy"))
+        val sg = supp
+          .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+          .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+          .withColumn("cell",
+            expr(s"((sx div $CellSz) + dx) * 1000 + ((sy div $CellSz) + dy)"))
+        val probe = cust.withColumn("cell",
+          expr(s"(cx div $CellSz) * 1000 + (cy div $CellSz)"))
+        probe.join(broadcast(sg), "cell")
+          .withColumn("d2",
+            (col("cx") - col("sx")) * (col("cx") - col("sx"))
+              + (col("cy") - col("sy")) * (col("cy") - col("sy")))
+          .filter(col("d2") <= R2)
+          .withColumn("pack",
+            col("d2").cast("decimal(38,0)") * PackK + col("s_suppkey"))
+          .groupBy("c_custkey")
+          .agg(
+            count(lit(1)).as("n_near"),
+            min(col("pack")).as("pack"))
+          .select(
+            col("c_custkey"),
+            col("n_near"),
+            expr(s"cast(pack div $PackK as bigint)").as("min_d2"),
+            expr(s"cast(pack % $PackK as bigint)").as("nearest_supp"))
+          .orderBy("c_custkey")
+      }),
+
+    Q(
+      "geo_trajectory_stats",
+      """Trajectory analytics — the spatio-temporal window pass a
+        |mobility pipeline runs per entity: each event is a timestamped
+        |point (location a closed-form function of user_id and event_id
+        |on a 1000x1000 grid), ordered per user by (ts, event_id); a lag
+        |window yields consecutive steps, and one user-keyed aggregate
+        |emits points, moves, total L1 (Manhattan) path length, longest
+        |single step, and bounding-box area — all exact integers (L1
+        |avoids sqrt; an L2 path would be irrational and un-hashable).
+        |Scale shape: ONE user-keyed shuffle serves both the lag window
+        |and the final aggregate; no self-joins, no per-user iteration —
+        |the partition-window-aggregate shape that buckets cleanly.""".stripMargin,
+      Some(
+        """WITH pts AS (
+          |  SELECT user_id, ts, event_id,
+          |         ((user_id * 31 + event_id * 17) % 1000003) % 1000 AS x,
+          |         ((user_id * 13 + event_id * 7) % 999983) % 1000 AS y
+          |  FROM events),
+          |steps AS (
+          |  SELECT user_id, x, y,
+          |         LAG(x) OVER w AS lx, LAG(y) OVER w AS ly
+          |  FROM pts
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT user_id,
+          |       CAST(COUNT(*) AS BIGINT) AS n_points,
+          |       CAST(COUNT(lx) AS BIGINT) AS n_moves,
+          |       CAST(COALESCE(SUM(ABS(x - lx) + ABS(y - ly)), 0) AS BIGINT) AS path_l1,
+          |       CAST(COALESCE(MAX(ABS(x - lx) + ABS(y - ly)), 0) AS BIGINT) AS max_step,
+          |       CAST((MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS BIGINT) AS bbox_area
+          |FROM steps
+          |GROUP BY 1
+          |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("((user_id * 31 + event_id * 17) % 1000003) % 1000").as("x"),
+            expr("((user_id * 13 + event_id * 7) % 999983) % 1000").as("y"))
+          .withColumn("lx", lag("x", 1).over(w))
+          .withColumn("ly", lag("y", 1).over(w))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_points"),
+            count(col("lx")).as("n_moves"),
+            coalesce(sum(abs(col("x") - col("lx")) + abs(col("y") - col("ly"))), lit(0L))
+              .cast("long").as("path_l1"),
+            coalesce(max(abs(col("x") - col("lx")) + abs(col("y") - col("ly"))), lit(0L))
+              .cast("long").as("max_step"),
+            ((max("x") - min("x")) * (max("y") - min("y"))).cast("long").as("bbox_area"))
+          .orderBy("user_id")
+      })
+  )
+}

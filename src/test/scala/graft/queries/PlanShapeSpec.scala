@@ -1195,4 +1195,24 @@ class PlanShapeSpec extends SparkSpec {
       case e: BroadcastExchangeExec => e
     }.nonEmpty, "the one-row stats frame lost its broadcast")
   }
+
+  test("grid spatial join: cell-bucketed candidates ride a broadcast equi-join, never a distance nested loop") {
+    val p = plan("geo_grid_join")
+    assert(bcasts(p).nonEmpty, "the 9x-replicated supplier side lost its broadcast")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "spatial join degraded to an all-pairs nested loop")
+    // per-customer aggregate + output sort only
+    assert(shuffles(p).length <= 2, "geo_grid_join grew a shuffle")
+  }
+
+  test("trajectory stats: one user-keyed shuffle serves the lag window and the aggregate") {
+    val p = plan("geo_trajectory_stats")
+    assert(shuffles(p).length <= 2, "geo_trajectory_stats grew a shuffle") // user key + output sort
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the lag window must stay partitioned per user (a global window would serialize the corpus)")
+  }
 }

@@ -24,6 +24,61 @@ object TextQueries {
 
   val qs: Seq[Q] = Seq(
     Q(
+      "t_tfidf_topterms",
+      """TF-IDF term ranking — the relevance-scoring pass an index or
+        |keyword-extraction pipeline makes over the corpus: per document,
+        |the top-3 terms by tf x idf where idf is the floor-log2 of
+        |N/df computed EXACTLY as length(bin(N div df)) - 1 (bin() emits
+        |no leading zeros in either engine, so no libm log ever runs and
+        |the scores hash bit-identically; the quantized idf's frequent
+        |ties break on term text). tf and df ride along so the evidence
+        |shows the full statistic, not just the winner. Scale shape: the
+        |(doc, term) tf aggregate, the term-partitioned df window, and
+        |the doc-partitioned rank window are three key-bucketed
+        |shuffles — vocabulary- and corpus-bucketable, never global; N
+        |is a one-row broadcast.""".stripMargin,
+      Some(
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+          |n AS (SELECT COUNT(*) AS n_docs FROM d),
+          |tok AS (SELECT doc_id,
+          |               unnest(string_split(lower(trim(text)), ' ')) AS token
+          |        FROM d),
+          |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          |       FROM tok GROUP BY 1, 2),
+          |wdf AS (SELECT doc_id, token, tf,
+          |               CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df
+          |        FROM tf),
+          |sc AS (SELECT doc_id, token, tf, df,
+          |              tf * (length(bin((SELECT n_docs FROM n) // df)) - 1) AS score
+          |       FROM wdf),
+          |rk AS (SELECT doc_id, token, tf, df, score,
+          |              CAST(row_number() OVER (PARTITION BY doc_id
+          |                     ORDER BY score DESC, token) AS BIGINT) AS rank
+          |       FROM sc)
+          |SELECT doc_id, rank, token, tf, df, CAST(score AS BIGINT) AS score
+          |FROM rk
+          |WHERE rank <= 3
+          |ORDER BY doc_id, rank""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+        val nDocs = d.agg(count(lit(1)).as("n_docs"))
+        val tf = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"))
+        val wTok = Window.partitionBy("token")
+        val wDoc = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+        tf.withColumn("df", count(lit(1)).over(wTok))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score", col("tf") * (length(expr("bin(n_docs div df)")) - 1))
+          .withColumn("rank", row_number().over(wDoc).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+            col("df"), col("score").cast("long").as("score"))
+          .orderBy("doc_id", "rank")
+      }),
+
+    Q(
       "t_token_quality",
       """Token counting + quality scoring per document: token count,
         |distinct-token count, type-token ratio, average token length,

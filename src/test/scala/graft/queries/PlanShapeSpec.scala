@@ -1196,6 +1196,24 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, "the one-row stats frame lost its broadcast")
   }
 
+  test("tfidf: key-bucketed shuffles only (tf agg, df window, rank window, sort); both windows stay partitioned") {
+    val p = plan("t_tfidf_topterms")
+    // tf partial->final agg + df token window + rank doc window + output
+    // sort + the ONE-ROW n_docs count's own final-agg exchange = 5; the
+    // rank<=3 predicate rides WindowGroupLimit into the doc shuffle
+    assert(shuffles(p).length <= 5, "t_tfidf_topterms grew a shuffle")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, "the top-3 rank filter lost its WindowGroupLimit pushdown")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "tfidf windows must stay partitioned (term / doc) — a global window would serialize the vocab")
+    assert(collectAll(p) { case e: BroadcastExchangeExec => e }.nonEmpty,
+      "the one-row N frame lost its broadcast")
+  }
+
   test("grid spatial join: cell-bucketed candidates ride a broadcast equi-join, never a distance nested loop") {
     val p = plan("geo_grid_join")
     assert(bcasts(p).nonEmpty, "the 9x-replicated supplier side lost its broadcast")

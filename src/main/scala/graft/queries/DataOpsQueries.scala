@@ -59,6 +59,73 @@ object DataOpsQueries {
 
   val qs: Seq[Q] = Seq(
     Q(
+      "k_ivm_aggregate",
+      """Incremental view maintenance with retractions — the delta-merge
+        |behind every materialized-view engine: a COUNT/SUM-per-key view
+        |is built over the base (orders with orderkey%10 != 0), then a
+        |CDC-shaped delta batch arrives in ONE scan (%10==0 inserts,
+        |%10==5 price revisions emitted as -old/+new retraction pairs,
+        |%10==7 deletes) with signed multiplicities; maintenance is
+        |delta-aggregate -> full-outer merge -> coalesced sums, keys
+        |whose support reaches zero vanish, and negative support raises
+        |(a retraction without its base row is corruption, not data).
+        |The DuckDB oracle REBUILDS the view from scratch on the
+        |post-delta state, so the hash match IS the maintenance-
+        |correctness proof. Scale shape: the delta aggregate shuffles
+        |delta-sized data; the merge joins on the view key (bucketed
+        |view -> co-located, and here the groupBy's partitioning is
+        |reused — no extra exchange); money in exact integer cents.""".stripMargin,
+      Some(
+        """WITH o AS (
+          |  SELECT o_orderkey, o_custkey,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM orders),
+          |cur AS (
+          |  SELECT o_custkey,
+          |         CASE WHEN o_orderkey % 10 = 5
+          |              THEN cents + cents // 10 ELSE cents END AS cents
+          |  FROM o
+          |  WHERE o_orderkey % 10 <> 7)
+          |SELECT o_custkey AS custkey,
+          |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+          |       CAST(SUM(cents) AS BIGINT) AS total_cents
+          |FROM cur
+          |GROUP BY 1
+          |ORDER BY custkey""".stripMargin),
+      (s, dir) => {
+        val ord = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey").as("custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val view0 = ord.filter(expr("o_orderkey % 10 <> 0"))
+          .groupBy("custkey")
+          .agg(count(lit(1)).as("n0"), sum("cents").as("c0"))
+        // the CDC feed: one scan, signed (multiplicity, cents) rows
+        val delta = ord.filter(expr("o_orderkey % 10 IN (0, 5, 7)"))
+          .select(col("custkey"), explode(expr(
+            """CASE WHEN o_orderkey % 10 = 0
+              |     THEN array(named_struct('m', 1L, 'c', cents))
+              |     WHEN o_orderkey % 10 = 5
+              |     THEN array(named_struct('m', -1L, 'c', cents),
+              |                named_struct('m', 1L, 'c', cents + cents div 10))
+              |     ELSE array(named_struct('m', -1L, 'c', cents))
+              |END""".stripMargin)).as("mc"))
+          .select(col("custkey"), col("mc.m").as("m"), col("mc.c").as("c"))
+        val dAgg = delta.groupBy("custkey")
+          .agg(sum("m").as("dn"), sum(col("m") * col("c")).as("dc"))
+        view0.join(dAgg, Seq("custkey"), "full_outer")
+          .select(
+            col("custkey"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+            (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_cents"))
+          .withColumn("n_orders",
+            when(col("n_orders") >= 0, col("n_orders"))
+              .otherwise(raise_error(concat(
+                lit("IVM negative support for custkey "), col("custkey")))))
+          .filter(col("n_orders") > 0)
+          .orderBy("custkey")
+      }),
+
+    Q(
       "k_zorder_cluster",
       """Z-order (Morton) clustering over two dimensions — the
         |multi-dimensional data-skipping layout: interleave the low 10

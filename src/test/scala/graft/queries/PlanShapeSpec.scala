@@ -1196,6 +1196,14 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, "the one-row stats frame lost its broadcast")
   }
 
+  test("IVM merge: the full-outer join reuses both aggregates' custkey partitioning (3 exchanges total)") {
+    val p = plan("k_ivm_aggregate")
+    // base-view agg + delta agg + output sort; a 4th exchange means the
+    // merge join stopped reusing the aggregates' hash partitioning
+    assert(shuffles(p).length <= 3, "k_ivm_aggregate's merge grew an exchange")
+    assert(joinTypes(p).contains("FullOuter"), "IVM merge lost its full-outer join")
+  }
+
   test("tfidf: key-bucketed shuffles only (tf agg, df window, rank window, sort); both windows stay partitioned") {
     val p = plan("t_tfidf_topterms")
     // tf partial->final agg + df token window + rank doc window + output

@@ -57,7 +57,96 @@ object DataOpsQueries {
         s"(($y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
     }.mkString(" + ")
 
+  /** Benford first-digit expectations log10(1 + 1/d) in exact ppm
+    * (literals, so no libm log runs in either engine; they sum to
+    * exactly 10^6). */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
   val qs: Seq[Q] = Seq(
+    Q(
+      "audit_benford_digits",
+      """Benford's-law first-digit audit — the forensic-accounting sweep
+        |over a monetary column: the leading digit of every order total
+        |(exact cents, extracted lexically so no float log runs) is
+        |tallied against the Benford expectation log10(1+1/d), carried
+        |as exact ppm LITERALS that sum to 10^6. Per digit: observed
+        |count, observed ppm (floor), expected ppm, absolute deviation,
+        |and the chi-square term in exact micro-units ((O-E)^2/E with
+        |O,E in 10^-6 counts — squares widened through DECIMAL(38,0)/
+        |HUGEINT since they pass 2^63 at the replica scale), plus the
+        |whole-frame chi-square total every row carries (window over the
+        |9-row digit frame). Synthetic prices are NOT Benford-shaped —
+        |exactly what the audit exists to flag; the evidence is the
+        |deviation report itself. Scale shape: one scan-side digit
+        |extraction, one 9-key aggregate with map-side partials, then
+        |arithmetic over a 9-row frame.""".stripMargin,
+      Some {
+        val values = BenfordPpm.map { case (d, p) => s"($d, ${p})" }.mkString(", ")
+        s"""WITH v AS (
+           |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders WHERE o_totalprice > 0),
+           |dg AS (
+           |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM v),
+           |e(digit, exp_ppm) AS (VALUES $values),
+           |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM dg GROUP BY 1),
+           |j AS (
+           |  -- cents >= 1 always leads with 1..9, so the digit frame's own
+           |  -- window sum IS the total count: one scan serves O and N both
+           |  SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+           |         CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           |         CAST(SUM(COALESCE(o.n_obs, 0)) OVER () AS BIGINT) AS n_total
+           |  FROM e LEFT JOIN o ON e.digit = o.digit),
+           |r AS (
+           |  SELECT digit, n_obs,
+           |         CAST(n_obs * 1000000 // n_total AS BIGINT) AS obs_ppm,
+           |         exp_ppm,
+           |         CAST((CAST(n_obs AS HUGEINT) * 1000000
+           |                 - CAST(exp_ppm AS HUGEINT) * n_total)
+           |              * (CAST(n_obs AS HUGEINT) * 1000000
+           |                 - CAST(exp_ppm AS HUGEINT) * n_total)
+           |              // (CAST(exp_ppm AS HUGEINT) * n_total) AS BIGINT) AS chi2_micro
+           |  FROM j)
+           |SELECT digit, n_obs, obs_ppm, exp_ppm,
+           |       ABS(obs_ppm - exp_ppm) AS dev_ppm,
+           |       chi2_micro,
+           |       CAST(SUM(chi2_micro) OVER () AS BIGINT) AS chi2_total_micro
+           |FROM r
+           |ORDER BY digit""".stripMargin
+      },
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val digits = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 0)
+          .select(substring(floor(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+        val obs = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val e = s.createDataFrame(BenfordPpm).toDF("digit", "exp_ppm")
+          .select(col("digit").cast("long").as("digit"), col("exp_ppm"))
+        val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val r = e
+          .join(obs, Seq("digit"), "left")
+          .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+          // cents >= 1 always leads with 1..9: the 9-row frame's own window
+          // sum IS the total count — one scan serves O and N both
+          .withColumn("n_total", sum("n_obs").over(wAll).cast("long"))
+          .withColumn("obs_ppm", expr("(n_obs * 1000000) div n_total"))
+          .withColumn("omicro", expr("cast(n_obs as decimal(19,0)) * 1000000"))
+          .withColumn("emicro", expr("cast(exp_ppm as decimal(19,0)) * n_total"))
+          .withColumn("chi2_micro",
+            expr("cast(((omicro - emicro) * (omicro - emicro)) div emicro as bigint)"))
+        r.select(
+          col("digit"), col("n_obs"), col("obs_ppm"), col("exp_ppm"),
+          abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"),
+          col("chi2_micro"),
+          sum("chi2_micro").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .cast("long").as("chi2_total_micro"))
+          .orderBy("digit")
+      }),
+
     Q(
       "k_ivm_aggregate",
       """Incremental view maintenance with retractions — the delta-merge

@@ -1196,6 +1196,17 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, "the one-row stats frame lost its broadcast")
   }
 
+  test("benford audit: one corpus scan, 9-key aggregate; all frame math over the digit frame") {
+    val p = plan("audit_benford_digits")
+    // digit agg + single-partition 9-row frame + output sort
+    assert(shuffles(p).length <= 3, "audit_benford_digits grew a shuffle")
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.length <= 1, "benford must derive N from the digit frame, not a second scan")
+  }
+
   test("IVM merge: the full-outer join reuses both aggregates' custkey partitioning (3 exchanges total)") {
     val p = plan("k_ivm_aggregate")
     // base-view agg + delta agg + output sort; a 4th exchange means the

@@ -82,6 +82,84 @@ object DedupQueries {
 
   val qs: Seq[Q] = Seq(
     Q(
+      "dd_entity_resolution",
+      """Entity resolution end-to-end — the MDM composition: (1) BLOCK
+        |customer records on (nationkey, name[1:17]) so candidate pairs
+        |form only inside tiny blocks, never all-pairs; (2) SCORE pairs
+        |with the banded levenshtein(.,.,1) (early-exit codegen; the
+        |oracle computes the full distance and filters — the band is
+        |semantics-neutral); (3) CLOSE transitively with the same
+        |min-label connected-components fixpoint the dedup clusters use
+        |(A~B, B~C => one entity even when A,C were never compared);
+        |(4) ELECT the golden record: the min-custkey member is the
+        |entity id, and the merged attribute (max member balance, exact
+        |cents) propagates to every member. Output: every member of a
+        |multi-member entity with its entity id, size, merged balance,
+        |and canonical flag. Scale shape: pair generation is
+        |block-bounded equi-join work; the closure is the star-edge
+        |fixpoint (log-diameter rounds of key-shuffle join+min-agg);
+        |election is one entity-keyed aggregate joined back.""".stripMargin,
+      Some(
+        """WITH c AS (
+          |  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nk,
+          |         substr(c_name, 1, 17) AS bk,
+          |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+          |  FROM customer),
+          |pairs AS MATERIALIZED (
+          |  SELECT a.id AS u, b.id AS v
+          |  FROM c a JOIN c b ON a.nk = b.nk AND a.bk = b.bk AND a.id < b.id
+          |  WHERE levenshtein(a.nm, b.nm) <= 1),
+          |edges AS MATERIALIZED (
+          |  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+          |reach AS (
+          |  WITH RECURSIVE r(a, b) AS (
+          |    SELECT id, id FROM c
+          |    UNION
+          |    SELECT r.a, e.v FROM r JOIN edges e ON r.b = e.u
+          |  ) SELECT * FROM r),
+          |lab AS (SELECT a AS id, MIN(b) AS entity_id FROM reach GROUP BY a),
+          |ent AS (
+          |  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+          |         CAST(MAX(c.bal) AS BIGINT) AS max_bal_cents
+          |  FROM lab JOIN c USING (id) GROUP BY entity_id)
+          |SELECT lab.id AS custkey, lab.entity_id, ent.n_members,
+          |       ent.max_bal_cents,
+          |       CAST(CASE WHEN lab.id = lab.entity_id THEN 1 ELSE 0 END AS BIGINT)
+          |         AS is_canonical
+          |FROM lab JOIN ent USING (entity_id)
+          |WHERE ent.n_members >= 2
+          |ORDER BY custkey""".stripMargin),
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          substring(col("c_name"), 1, 17).as("bk"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal"))
+        val a = c.select(col("c_custkey").as("u"), col("c_name").as("un"),
+          col("c_nationkey").as("nk"), col("bk"))
+        val b = c.select(col("c_custkey").as("v"), col("c_name").as("vn"),
+          col("c_nationkey").as("nk"), col("bk"))
+        val pairs = a.join(b, Seq("nk", "bk"))
+          .filter(col("u") < col("v") &&
+            levenshtein(col("un"), col("vn"), 1) >= 0)
+          .select(col("u"), col("v"))
+        val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+          .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        val (labels, rounds) = graft.ops.ConnectedComponents.run(
+          c.select(col("c_custkey")), edges, "c_custkey")
+        Console.err.println(s"[dd_entity_resolution] closure in $rounds rounds")
+        val ent = labels.join(c, "c_custkey")
+          .groupBy(col("component").as("entity_id"))
+          .agg(count(lit(1)).as("n_members"), max("bal").as("max_bal_cents"))
+          .filter(col("n_members") >= 2)
+        labels.select(col("c_custkey").as("custkey"), col("component").as("entity_id"))
+          .join(ent, "entity_id")
+          .select(col("custkey"), col("entity_id"), col("n_members"),
+            col("max_bal_cents"),
+            when(col("custkey") === col("entity_id"), 1L).otherwise(0L).as("is_canonical"))
+          .orderBy("custkey")
+      }),
+
+    Q(
       "dd_exact_groups",
       """Exact + normalized dedup: md5 over the raw text (byte identity)
         |and over the sorted distinct token set (word-order-insensitive).

@@ -1196,6 +1196,14 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, "the one-row stats frame lost its broadcast")
   }
 
+  test("entity resolution: pair generation rides the blocking equi-join, never an all-pairs nested loop") {
+    val p = plan("dd_entity_resolution")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "ER pair generation degraded to all-pairs — the blocking key stopped driving the join")
+  }
+
   test("benford audit: one corpus scan, 9-key aggregate; all frame math over the digit frame") {
     val p = plan("audit_benford_digits")
     // digit agg + single-partition 9-row frame + output sort

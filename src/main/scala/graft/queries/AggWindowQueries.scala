@@ -42,6 +42,78 @@ object AggWindowQueries {
 
   val qs: Seq[Q] = Seq(
     Q(
+      "w_pattern_match",
+      """Row-pattern recognition (the MATCH_RECOGNIZE shape): per user,
+        |detect V patterns — a strict dip-and-recovery where an event's
+        |value sits below BOTH neighbors by at least 20 units — over the
+        |(ts, event_id)-ordered stream, values in exact floor-micro
+        |units. One lag+lead window pass marks pattern bottoms; a
+        |user-keyed aggregate reports matches, the deepest dip, and the
+        |deepest bottom's event (min-pack argmin: depth is maximized, so
+        |the pack is (10^9-depth)-dominant with event_id tiebreak,
+        |widened through DECIMAL(38,0)/HUGEINT since the pack passes
+        |2^63; depth < 10^9 micro and event_id < 10^10 asserted). Scale shape: ONE user-keyed shuffle serves the
+        |window and the aggregate — the same partition-window-aggregate
+        |recipe a MATCH_RECOGNIZE engine compiles simple patterns to;
+        |no self-joins, no per-user iteration.""".stripMargin,
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, ts, event_id,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS vm
+          |  FROM events),
+          |n AS (
+          |  SELECT user_id, event_id, vm,
+          |         LAG(vm) OVER w AS pv, LEAD(vm) OVER w AS nv
+          |  FROM v
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |hits AS (
+          |  SELECT user_id, event_id,
+          |         CASE WHEN pv - vm < nv - vm THEN pv - vm ELSE nv - vm END AS depth
+          |  FROM n
+          |  WHERE pv IS NOT NULL AND nv IS NOT NULL
+          |    AND pv - vm >= 20000000 AND nv - vm >= 20000000)
+          |SELECT user_id,
+          |       CAST(COUNT(*) AS BIGINT) AS n_vshapes,
+          |       CAST(MAX(depth) AS BIGINT) AS max_depth_micro,
+          |       CAST(MIN(CAST(1000000000 - depth AS HUGEINT) * 10000000000
+          |                  + event_id)
+          |              % 10000000000 AS BIGINT) AS deepest_event
+          |FROM hits
+          |GROUP BY 1
+          |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val n = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"),
+            // pack invariant: depth < 10^9 micro (values < 1000) and
+            // event_id < 10^10 even after replica key shifts — asserted,
+            // or the (-depth, event_id) pack mis-splits
+            when(col("event_id") >= 0 && col("event_id") < 10000000000L, col("event_id"))
+              .otherwise(raise_error(concat(
+                lit("w_pattern_match pack overflow: event_id "), col("event_id"))))
+              .as("event_id"),
+            floor(col("value") * 1000000L).cast("long").as("vm"))
+          .withColumn("pv", lag("vm", 1).over(w))
+          .withColumn("nv", lead("vm", 1).over(w))
+        n.filter(col("pv").isNotNull && col("nv").isNotNull &&
+            col("pv") - col("vm") >= 20000000L && col("nv") - col("vm") >= 20000000L)
+          .withColumn("depth",
+            least(col("pv") - col("vm"), col("nv") - col("vm")))
+          .withColumn("depth",
+            when(col("depth") < 1000000000L, col("depth"))
+              .otherwise(raise_error(concat(
+                lit("w_pattern_match pack overflow: depth "), col("depth")))))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_vshapes"),
+            max("depth").as("max_depth_micro"),
+            expr("cast(min(cast(1000000000 - depth as decimal(38,0)) * 10000000000 "
+              + "+ event_id) % 10000000000 as bigint)").as("deepest_event"))
+          .orderBy("user_id")
+      }),
+
+    Q(
       "w_funnel_conversion",
       """Weekly funnel conversion — the view→purchase analysis a product
         |pipeline runs over the event stream: per (user, week), the

@@ -1196,6 +1196,16 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, "the one-row stats frame lost its broadcast")
   }
 
+  test("pattern match: one user-keyed shuffle serves the lag/lead window and the aggregate") {
+    val p = plan("w_pattern_match")
+    assert(shuffles(p).length <= 2, "w_pattern_match grew a shuffle") // user key + output sort
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the lag/lead window must stay partitioned per user")
+  }
+
   test("entity resolution: pair generation rides the blocking equi-join, never an all-pairs nested loop") {
     val p = plan("dd_entity_resolution")
     assert(collectAll(p) {

@@ -63,7 +63,10 @@ object Bench {
     "emb_hamming_topk",
     // round-9 second wave: decorrelated-subquery agg join, double-window
     // FIFO allocation, bitmap-vs-expand distinct
-    "sq_scalar_small_qty", "k_fifo_costing", "a_bitmap_distinct")
+    "sq_scalar_small_qty", "k_fifo_costing", "a_bitmap_distinct",
+    // round-9 third wave: grid spatial join, vocab-bucketed tf-idf,
+    // blocked ER with CC closure
+    "geo_grid_join", "t_tfidf_topterms", "dd_entity_resolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

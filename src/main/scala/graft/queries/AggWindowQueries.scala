@@ -42,6 +42,120 @@ object AggWindowQueries {
 
   val qs: Seq[Q] = Seq(
     Q(
+      "w_range_frame_sum",
+      """Value-based RANGE window frames — the trailing-7-DAY (not
+        |7-ROW) rolling sum: on a sparse daily frame the two frame
+        |modes genuinely differ, because RANGE bounds the frame by the
+        |ORDER-BY VALUE (day_id distance <= 6) and silently absent days
+        |shrink the frame, while ROWS would reach 7 physical rows back
+        |across the gap. The trailing7_days count rides along as the
+        |frame-size evidence (< 7 exactly where the calendar is
+        |sparse). Runs on the (type, day) collapsed frame — the window
+        |cost is calendar-sized at any event count; exact floor-micro
+        |sums.""".stripMargin,
+      Some(
+        """WITH d AS (
+          |  SELECT event_type,
+          |         epoch_us(date_trunc('day', ts)) // 86400000000 AS day_id,
+          |         CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |           AS v_micro
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, day_id, n, v_micro,
+          |       CAST(SUM(n) OVER w AS BIGINT) AS trailing7_n,
+          |       CAST(SUM(v_micro) OVER w AS BIGINT) AS trailing7_v,
+          |       CAST(COUNT(*) OVER w AS BIGINT) AS trailing7_days
+          |FROM d
+          |WINDOW w AS (PARTITION BY event_type ORDER BY day_id
+          |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_type, day_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.events(s, dir).select(
+          col("event_type"),
+          expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day_id"),
+          col("value"))
+          .groupBy("event_type", "day_id")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000000L).cast("long")).as("v_micro"))
+        val w = Window.partitionBy("event_type").orderBy("day_id")
+          .rangeBetween(-6, Window.currentRow)
+        d.select(col("event_type"), col("day_id"), col("n"), col("v_micro"),
+          sum("n").over(w).cast("long").as("trailing7_n"),
+          sum("v_micro").over(w).cast("long").as("trailing7_v"),
+          count(lit(1)).over(w).cast("long").as("trailing7_days"))
+          .orderBy("event_type", "day_id")
+      }),
+
+    Q(
+      "w_dense_calendar_fill",
+      """Calendar-spine densification — the gap-filling pass every
+        |time-series consumer needs before windows mean anything: the
+        |(type x day) spine is GENERATED (sequence over the stream's own
+        |min/max day, crossed with the distinct type dim — both one-row/
+        |tiny broadcast frames), high-value daily rollups (value >= 300,
+        |exact floor-micro sums) left-join onto it, absent cells zero-
+        |fill with an is_gap marker, and the per-type running total then
+        |runs over the DENSE frame (on the sparse frame it would silently
+        |skip missing days). Gap evidence live at every SF: 149/150
+        |spine cells are gaps at sf0.001, ~55 at sf0.01, a handful at
+        |sf0.1. Scale shape: the corpus collapses to (type, day) BEFORE
+        |any join; the spine is bounded by calendar x type cardinality;
+        |the dense frame's windows are collapsed-frame-sized.""".stripMargin,
+      Some(
+        """WITH ev AS (
+          |  SELECT event_type,
+          |         epoch_us(date_trunc('day', ts)) // 86400000000 AS day_id,
+          |         value
+          |  FROM events),
+          |b AS (SELECT MIN(day_id) AS d0, MAX(day_id) AS d1 FROM ev),
+          |ty AS (SELECT DISTINCT event_type FROM ev),
+          |spine AS (
+          |  SELECT ty.event_type, gs.day_id
+          |  FROM ty CROSS JOIN b,
+          |       LATERAL (SELECT unnest(range(b.d0, b.d1 + 1)) AS day_id) gs),
+          |cnt AS (
+          |  SELECT event_type, day_id, CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          |           AS v_micro
+          |  FROM ev WHERE value >= 300 GROUP BY 1, 2),
+          |f AS (
+          |  SELECT s.event_type, s.day_id,
+          |         COALESCE(c.n, 0) AS n, COALESCE(c.v_micro, 0) AS v_micro,
+          |         CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS is_gap
+          |  FROM spine s LEFT JOIN cnt c USING (event_type, day_id))
+          |SELECT event_type, day_id, n, v_micro,
+          |       CAST(is_gap AS BIGINT) AS is_gap,
+          |       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_id
+          |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+          |FROM f
+          |ORDER BY event_type, day_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir).select(
+          col("event_type"),
+          expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day_id"),
+          col("value"))
+        val bounds = ev.agg(min("day_id").as("d0"), max("day_id").as("d1"))
+        val types = ev.select("event_type").distinct()
+        val spine = types.crossJoin(broadcast(bounds))
+          .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day_id"))
+        val cnt = ev.filter(col("value") >= 300)
+          .groupBy("event_type", "day_id")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000000L).cast("long")).as("v_micro"))
+        val w = Window.partitionBy("event_type").orderBy("day_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(cnt, Seq("event_type", "day_id"), "left")
+          .select(col("event_type"), col("day_id"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("v_micro"), lit(0L)).as("v_micro"),
+            when(col("n").isNull, 1L).otherwise(0L).as("is_gap"))
+          .withColumn("cum_n", sum("n").over(w).cast("long"))
+          .orderBy("event_type", "day_id")
+      }),
+
+    Q(
       "w_pattern_match",
       """Row-pattern recognition (the MATCH_RECOGNIZE shape): per user,
         |detect V patterns — a strict dip-and-recovery where an event's

@@ -146,14 +146,20 @@ object Bench {
       // — min-of-2 absorbs spikes but not sustained load, and the slow
       // queries are exactly where contention moves the round-over-round
       // comparison most.
+      // attempts is tracked separately from samples.length: the adaptive
+      // extra run would otherwise refill a query that lost one of its
+      // scaleRuns samples to an error back to exactly scaleRuns samples,
+      // and the `partial` field would silently stop reporting the failure
       def runSet(dir: String,
                  qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-                 tag: String): Seq[(String, Seq[Double], Seq[Double], Option[String])] =
+                 tag: String): Seq[(String, Seq[Double], Seq[Double], Option[String], Int)] =
         qs.map { case (name, fn) =>
           var lastErr: Option[String] = None
           var loads = Vector.empty[Double]
+          var attempts = 0
           def sample(i: Int, n: Int): Option[Double] = {
             System.err.println(s"[bench] $tag(${copies}x) $name ($i/$n)")
+            attempts += 1
             loads :+= java.lang.management.ManagementFactory
               .getOperatingSystemMXBean.getSystemLoadAverage
             val t0 = System.nanoTime()
@@ -168,7 +174,7 @@ object Bench {
           var samples = (1 to scaleRuns).flatMap(sample(_, scaleRuns))
           if (samples.nonEmpty && samples.min >= 5.0)
             samples ++= sample(scaleRuns + 1, scaleRuns + 1)
-          (name, samples, loads, lastErr)
+          (name, samples, loads, lastErr, attempts)
         }
       // per-run unique dirs under tmpdir (cwd-independent, and two
       // concurrent benches can't clobber each other's replica mid-read);
@@ -194,22 +200,26 @@ object Bench {
             (merged, merged.filter(r => failedNames.contains(r._1) && r._2.nonEmpty).map(_._1))
           }
         val good = scaled.filter(_._2.nonEmpty)
-        val sqs = good.map { case (k, ss, _, _) => s"\"" + k + "\":" + ss.min }
+        val sqs = good.map { case (k, ss, _, _, _) => s"\"" + k + "\":" + ss.min }
           .mkString("{", ",", "}")
         // full sample + loadavg vectors: min-of-N hides the spread; the
         // raw arrays let a round-over-round consumer see whether a slow
         // min came with a loaded box
-        val sraw = good.map { case (k, ss, _, _) =>
+        val sraw = good.map { case (k, ss, _, _, _) =>
           s"\"" + k + "\":[" + ss.mkString(",") + "]" }.mkString("{", ",", "}")
-        val sload = good.map { case (k, _, ls, _) =>
+        val sload = good.map { case (k, _, ls, _, _) =>
           s"\"" + k + "\":[" + ls.map(l => f"$l%.2f").mkString(",") + "]"
         }.mkString("{", ",", "}")
         val failed = scaled.filter(_._2.isEmpty)
-          .map { case (k, _, _, err) =>
+          .map { case (k, _, _, err, _) =>
             s"""{"name":"$k","err":"${escJson(err.getOrElse("unknown"))}"}""" }
           .mkString("[", ",", "]")
-        val partial = good.filter(r => r._2.length < scaleRuns)
-          .map { case (k, ss, _, _) => s"\"" + k + s"\":[${ss.length},$scaleRuns]" }
+        // partial = fewer samples than ATTEMPTS (some attempt errored even
+        // though the query ended up "good"); carries the last error so a
+        // flaky-but-rescued query stays diagnosable from the artifact
+        val partial = good.filter(r => r._2.length < r._5)
+          .map { case (k, ss, _, err, att) =>
+            s"\"" + k + s"""\":[${ss.length},$att,"${escJson(err.getOrElse(""))}"]""" }
           .mkString("{", ",", "}")
         val retriedJson = rescued.map("\"" + _ + "\"").mkString("[", ",", "]")
         s"""{"copies":$copies,"value":${good.map(_._2.min).sum},"queries":$sqs,"raw":$sraw,"load":$sload,"failed":$failed,"partial":$partial,"retried":$retriedJson}"""
@@ -259,6 +269,13 @@ object Bench {
       graft.sources.rest.FakeCardexApi.publishPages(runId, pages)
       val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-bench-stream-${java.util.UUID.randomUUID()}").getAbsolutePath
+      // recentProgress retains only numRecentProgressUpdates entries
+      // (default 100): past ~800 pages at 8/trigger the oldest batches
+      // would silently drop out of the rows/batches numerators. Size the
+      // retention to the worst-case batch count (+ slack for empty/flush
+      // batches) so every point stays exact regardless of env overrides.
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(100, pages / math.max(1, perTrigger) + 16).toString)
       try {
         // default ProcessingTime(0) trigger, NOT AvailableNow: the
         // source honors maxPagesPerTrigger only outside AvailableNow

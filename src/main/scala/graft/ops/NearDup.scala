@@ -33,11 +33,46 @@ object NearDup {
     * documents carries no similarity signal worth m² work; the exact
     * norm-key path still catches true duplicates inside it). None = no
     * cap, exactly the oracle-checked `dd_lsh_confirm` semantics.
+    *
+    * `hintBroadcast`: the confirm joins hint the candidate-derived side
+    * as the broadcast build (default). The hinted side carries the
+    * per-doc hashed sets, so its bytes are candidates × avg set size —
+    * collision-sized at every measured scale, but a HINT is
+    * unconditional: past Spark's broadcast ceiling (8 GB) or driver
+    * memory the job would die rather than degrade. `hintBroadcast =
+    * false` strips both hints and lets the planner/AQE pick: the same
+    * joins run as shuffled hash/sort-merge on candidate keys —
+    * row-identical output, proven by StrategyInvarianceSpec (the same
+    * executed-flip proof j5 carries). That is the 100 TB degradation
+    * path: flip this flag (or let AQE re-plan small builds back to
+    * broadcast at runtime) when the candidate set outgrows the ceiling.
     */
   def confirmedPairs(documents: DataFrame, shingleSize: Int = 3,
                      nSeeds: Int = 8, bandSize: Int = 4,
                      threshold: Double = 0.5,
-                     maxBandGroup: Option[Int] = None): DataFrame = {
+                     maxBandGroup: Option[Int] = None,
+                     hintBroadcast: Boolean = true): DataFrame = {
+    val (confirmed, base) = confirmPlan(documents, shingleSize, nSeeds,
+      bandSize, threshold, maxBandGroup, hintBroadcast)
+    // materialize the (tiny) confirmed set NOW so the corpus-sized
+    // shingle cache can be dropped before this frame is handed back — a
+    // bare persist would otherwise pin it for the rest of the session
+    // (Verify/Bench share one SparkSession)
+    val out = confirmed.localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+
+  /** The un-checkpointed confirm frame plus the persisted shingle base —
+    * exposed so StrategyInvarianceSpec can inspect the JOIN plan (the
+    * public method's localCheckpoint erases lineage). Callers own
+    * unpersisting the returned base after materializing the frame.
+    */
+  private[graft] def confirmPlan(documents: DataFrame, shingleSize: Int = 3,
+                                 nSeeds: Int = 8, bandSize: Int = 4,
+                                 threshold: Double = 0.5,
+                                 maxBandGroup: Option[Int] = None,
+                                 hintBroadcast: Boolean = true): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.GraftColumnBridge
     def minHash(seed: Int) =
       array_min(transform(col("toks"), h => md5(concat(lit(s"$seed|"), h)))).as(s"h$seed")
@@ -86,8 +121,11 @@ object NearDup {
     // BOTH joins keep the candidate-derived side as the broadcast build:
     // the outer hint re-marks the (cand ⋈ a) result, which is still
     // candidate-sized — without it the second join broadcasts the
-    // corpus-sized sets table instead
-    val paired = broadcast(broadcast(cand).join(a, "doc_a")).join(b, "doc_b")
+    // corpus-sized sets table instead. With hints stripped the planner
+    // shuffles both joins on their doc keys — the proven degradation
+    // path for a candidate set past the broadcast ceiling.
+    def hinted(df: DataFrame) = if (hintBroadcast) broadcast(df) else df
+    val paired = hinted(hinted(cand).join(a, "doc_a")).join(b, "doc_b")
       .withColumn("n_inter", GraftColumnBridge.column(
         graft.plans.SortedIntersectCountExpression(
           GraftColumnBridge.expression(col("th_a")),
@@ -96,12 +134,6 @@ object NearDup {
     val confirmed = paired
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), round(jac, 6).as("jaccard"))
-      // materialize the (tiny) confirmed set NOW so the corpus-sized
-      // shingle cache can be dropped before this frame is handed back — a
-      // bare persist would otherwise pin it for the rest of the session
-      // (Verify/Bench share one SparkSession)
-      .localCheckpoint(true)
-    base.unpersist()
-    confirmed
+    (confirmed, base)
   }
 }

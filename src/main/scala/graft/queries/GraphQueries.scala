@@ -187,10 +187,12 @@ object GraphQueries {
          |over the trade graph, seeded with nation labels: each round every
          |node adopts its neighbors' majority label (ties -> smallest
          |label), the argmax computed as ONE algebraic MAX over the packed
-         |`cnt*100 + (99-lbl)` key — hub nodes are safe because the
+         |`cnt*2^33 + (2^33-1-lbl)` key — hub nodes are safe because the
          |(node,label) count and the packed max both partial-aggregate
-         |map-side; no per-node sort anywhere. Labels are asserted < 100
-         |(raise_error), so the pack cannot collide. Node ids use PARITY
+         |map-side; no per-node sort anywhere. Labels are asserted in
+         |[0, 2^33) (raise_error), so the pack cannot collide; the implied
+         |bound on cnt is < 2^30 same-label neighbors per node (pack stays
+         |under 2^63). Node ids use PARITY
          |encoding (customer 2k, supplier 2k+1) instead of an additive
          |offset: the 5x key-shifted replica moves keys by copy*10^8, and
          |an offset discriminator misclassifies shifted customers as
@@ -209,7 +211,7 @@ object GraphQueries {
            |  UNION ALL
            |  SELECT s AS src, c AS dst FROM pairs),
            |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
-           |-- labels stay < 100 (nation keys) so cnt*100+(99-lbl) packs safely
+           |-- labels asserted in [0,2^33) so cnt*2^33+(2^33-1-lbl) packs safely (cnt < 2^30)
            |lab0 AS MATERIALIZED (
            |  SELECT n.id,
            |         CAST(CASE WHEN n.id % 2 = 1 THEN s.s_nationkey

@@ -110,7 +110,8 @@ object SubqueryQueries {
     * everywhere). The share threshold is computed by window
     * aggregates over the ALREADY-AGGREGATED supplier frame (dimension-sized,
     * one reference — no CTE re-inlining on either engine), and the compare
-    * runs in integers (`sq*n > 2*tot`) so no division touches the boundary.
+    * runs in integers (`20*sq*n_s > 23*tot`) so no division touches the
+    * boundary.
     * At scale: one semi-join (partkey), one supplier-keyed aggregate, one
     * broadcast-sized window frame. */
   private val nestedInTopshareSql: String =
@@ -209,9 +210,9 @@ object SubqueryQueries {
     sqlQ(
       "sq_nested_in_topshare",
       """Nested IN semi-join + window-derived data-driven threshold (TPC-H Q20
-        |shape): suppliers shipping more than twice the average supplier's share
-        |of the 'b'-part family. Integer share compare; the window frame is the
-        |already-aggregated dimension-sized supplier set.""".stripMargin,
+        |shape): suppliers shipping >15% above the average supplier's share
+        |of the 'b'-part family (integer compare 20*sq*n_s > 23*tot); the
+        |window frame is the already-aggregated dimension-sized supplier set.""".stripMargin,
       nestedInTopshareSql),
     sqlQ(
       "sq_exists_segment",

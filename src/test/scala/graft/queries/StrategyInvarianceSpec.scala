@@ -72,6 +72,43 @@ class StrategyInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("NearDup confirm flips to shuffled joins with hints stripped, row-identical") {
+    // The near-dup confirm path (dd_lsh_confirm / dd_minhash_est /
+    // DedupPipeline) force-broadcasts the candidate-derived side
+    // (NearDup.scala) — collision-sized at every measured scale, but a
+    // hint is unconditional: past the 8 GB broadcast ceiling the hinted
+    // job dies. This executes the degradation path: hintBroadcast=false
+    // + threshold disabled must plan ZERO broadcast joins (everything
+    // shuffles on the doc keys) and return exactly the hinted rows —
+    // converting the one remaining scale-killer candidate into a proven
+    // fallback, the same proof j5 carries.
+    val docs = graft.sources.Tables.documents(spark, sfSmoke)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+    val hinted = rowsOf(graft.ops.NearDup.confirmedPairs(docs))
+    assert(hinted.nonEmpty, "smoke corpus produced no confirmed pairs — fallback proof vacuous")
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      // confirmedPairs localCheckpoints its result, which erases the
+      // join lineage — inspect the pre-checkpoint frame instead
+      val (planDf, base) = graft.ops.NearDup.confirmPlan(docs, hintBroadcast = false)
+      val p = planDf.queryExecution.executedPlan
+      val bhj = collectAll(p) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      }
+      assert(bhj.isEmpty,
+        "NearDup still broadcasts with hints stripped and the threshold disabled")
+      val joins = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.nonEmpty, "NearDup lost its joins under fallback")
+      val fallback = rowsOf(planDf)
+      base.unpersist()
+      assert(fallback === hinted,
+        "NearDup changes rows when the confirm joins flip to shuffle")
+    }
+  }
+
   test("deterministic sampling/packing is partition-count invariant") {
     Seq("s_hash_split", "s_epoch_shuffle", "s_pack_sequences",
       "dd_exact_groups").foreach { q =>

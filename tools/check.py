@@ -32,6 +32,10 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check.py [sfdir] [outdir] [--json OUT.json]",
+                  file=sys.stderr)
+            sys.exit(2)
         json_out = argv[i + 1]
         del argv[i:i + 2]
     sfdir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * window sees |dim| rows, not |fact|.
   */
 object LookupQueries {
-  import Num.{d, dec}
+  import Num.{d, dec, one}
 
   val qs: Seq[Q] = Seq(
     Q(
@@ -199,6 +199,62 @@ object LookupQueries {
           .agg(count(lit(1)).as("n_items"),
             d(sum(dec(col("l_extendedprice")))).as("gross"))
           .orderBy("r_name", "n_name")
+      }),
+
+    Q(
+      "j_q9_profit_rollup",
+      """Join-order stress (TPC-H Q9 shape, 6 tables): profit per nation,
+        |region and order-year for one part family — lineitem ⋈ part ⋈
+        |supplier ⋈ nation ⋈ region ⋈ orders, the first catalog query
+        |where JOIN ORDER dominates the plan. The 100 TB shape, made
+        |explicitly: (1) the scoping dimension joins FIRST — the filtered
+        |part list broadcasts and shrinks the fact before anything else
+        |touches it (joining orders first would shuffle the full fact for
+        |rows the part filter then discards); (2) the supplier → nation →
+        |region snowflake collapses into ONE broadcast dim like
+        |j_star_schema; (3) the single unavoidable fact-fact exchange —
+        |lineitem ⋈ orders on l_orderkey, needed because the year lives on
+        |the order — runs LAST, on the already-part-scoped fact, and is
+        |the only shuffle whose width scales with the data; the final
+        |aggregate exchange is group-sized (nations × years). Catalyst's
+        |CBO can only find this order with column stats; on a bare
+        |parquet lake the ordering is a modeling decision, made here.
+        |Profit sums DECIMAL-exact, rounded to 4 dp before the double
+        |cast (the a1 rule).""".stripMargin,
+      Some(
+        """SELECT n_name, r_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+          |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+          |                * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS profit,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |       COUNT(*) AS n
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |WHERE p_name LIKE '%bolt%'
+          |GROUP BY n_name, r_name, o_year
+          |ORDER BY n_name, r_name, o_year""".stripMargin),
+      (s, dir) => {
+        val partScope = Tables.part(s, dir)
+          .filter(col("p_name").like("%bolt%")).select("p_partkey")
+        val suppDim = Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("n_name"), col("r_name"))
+        val orderYears = Tables.orders(s, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(partScope), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppDim), col("l_suppkey") === col("s_suppkey"))
+          .join(orderYears, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("n_name", "r_name", "o_year")
+          .agg(
+            d(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 4)).as("profit"),
+            d(sum(dec(col("l_quantity")))).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("n_name", "r_name", "o_year")
       }),
 
     Q(

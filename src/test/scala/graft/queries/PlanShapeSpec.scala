@@ -430,6 +430,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).length <= 2, "j_star_schema fact side grew a shuffle")
   }
 
+  test("Q9 join-order stress: fact streams through broadcast dims, one fact-fact exchange") {
+    val p = plan("j_q9_profit_rollup")
+    // the scoping part list AND the collapsed supplier->nation->region
+    // snowflake must both build as broadcasts against the streaming fact
+    assert(bcasts(p).length >= 2,
+      "j_q9_profit_rollup lost a dimension broadcast — the fact no longer streams")
+    // data-scaled exchanges: at most the lineitem ⋈ orders pair on
+    // l_orderkey (the one genuine fact-fact join — the year lives on the
+    // order) + the group-sized aggregate exchange + the output range sort.
+    // AQE may replan the orders side to broadcast at smoke scale (fewer
+    // exchanges) — the bound holds either way.
+    assert(shuffles(p).length <= 4,
+      s"j_q9_profit_rollup grew a shuffle: ${shuffles(p).length}")
+    // exactly one join may be non-broadcast; a second one means a
+    // dimension fell out of its broadcast
+    val nonBcast = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if !j.isInstanceOf[BroadcastHashJoinExec] => j
+    }
+    assert(nonBcast.length <= 1,
+      s"more than one shuffled join: ${nonBcast.map(_.nodeName)}")
+  }
+
   test("fuzzy match: residue probes broadcast, master table never shuffles") {
     val p = plan("j_fuzzy_match")
     assert(bcasts(p).nonEmpty, "j_fuzzy_match lost its probe broadcast")

@@ -311,13 +311,88 @@ object Bench {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)); ()
       }
     }
+    // streaming state-SCALE point (round-10 ask #5): the replay oracles
+    // run 4 batches over sf0.01-sized feeds — this instead pushes >=1e5
+    // distinct state keys through the RocksDB store (windowed agg over
+    // the deterministic rate-micro-batch source: batch b carries exactly
+    // `keys` rows, value % keys sweeps the full key space every batch,
+    // event time advances one window per batch) and records the
+    // state-store metrics PER BATCH. The eviction proof is in the
+    // numbers: without watermark eviction `batches` x `keys` windowed
+    // rows would accumulate (~1.8M at defaults); with the 2-minute
+    // watermark over 1-minute windows the store plateaus at exactly 4
+    // live windows x keys (Spark's two-watermark model evicts on the
+    // PREVIOUS batch's watermark, one window behind the naive count).
+    // `bounded` asserts that plateau (last batch's numRowsTotal <= 4x
+    // keys — tight: one extra un-evicted window flips it) so a silent
+    // eviction regression flips a field the round-over-round diff can't
+    // miss.
+    def statePoint(keys: Int, batches: Int): String = {
+      val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-bench-state-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(100, batches + 16).toString)
+      try {
+        val t0 = System.nanoTime()
+        val q = spark.readStream
+          .format("rate-micro-batch")
+          .option("rowsPerBatch", keys)
+          .option("startTimestamp", 0L)
+          .option("advanceMillisPerBatch", 60000)
+          .load()
+          .withWatermark("timestamp", "2 minutes")
+          .groupBy(
+            org.apache.spark.sql.functions.window(
+              org.apache.spark.sql.functions.col("timestamp"), "1 minute"),
+            (org.apache.spark.sql.functions.col("value") % keys).as("k"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum("value").as("s"))
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .start()
+        // rate-micro-batch is unbounded: drive exactly `batches` batches,
+        // then stop (guard: 300 s wall cap so a wedged store can't hang
+        // the whole bench)
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < batches - 1
+               && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val progress = q.recentProgress.filter(_.numInputRows > 0).take(batches)
+        q.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = progress.map(_.numInputRows).sum
+        def stateMetric(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+          progress.map(p => p.stateOperators.headOption.fold(0L)(f))
+        val stateRows = stateMetric(_.numRowsTotal)
+        val stateMem = stateMetric(_.memoryUsedBytes)
+        val updated = stateMetric(_.numRowsUpdated)
+        val removed = stateMetric(_.numRowsRemoved)
+        val bounded = stateRows.lastOption.exists(_ <= 4L * keys)
+        val ms = progress.map(_.batchDuration.toString).mkString("[", ",", "]")
+        s"""{"keys":$keys,"batches":${progress.length},"rows":$rows,"sec":$sec,"rows_per_sec":${rows / math.max(sec, 1e-9)},"provider":"rocksdb","state_rows":${stateRows.mkString("[", ",", "]")},"state_mem_bytes":${stateMem.mkString("[", ",", "]")},"state_rows_updated":${updated.mkString("[", ",", "]")},"state_rows_removed":${removed.mkString("[", ",", "]")},"bounded":$bounded,"batch_ms":$ms}"""
+      } finally {
+        prevProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt)); ()
+      }
+    }
     val streamingJson = try {
       val pages = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAGES", "512").toInt
       if (pages <= 0) "" else {
         val main = streamPoint(pages, rowsPerPage = 2000, perTrigger = 8)
         val wide = streamPoint(math.max(pages / 4, 8), rowsPerPage = 10000,
           perTrigger = 8)
-        s""","streaming":${main.stripSuffix("}")},"wide":$wide}"""
+        val state = statePoint(
+          keys = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "150000").toInt,
+          batches = sys.env.getOrElse("SPARK_GRAFT_STATE_BATCHES", "12").toInt)
+        s""","streaming":${main.stripSuffix("}")},"wide":$wide,"state":$state}"""
       }
     } catch {
       case e: Throwable =>

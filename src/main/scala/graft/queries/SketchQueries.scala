@@ -125,6 +125,105 @@ object SketchQueries {
       }),
 
     Q(
+      "a_kmv_quantiles",
+      """Quantile estimation from a bottom-k hash sample — the quantile
+        |member of the sketch family (KMV estimates distincts from the
+        |same primitive; here the k=64 rows with smallest md5-48 hash per
+        |event type form a uniform without-replacement sample, and the
+        |sample's order statistics estimate p50/p90). The sample is the
+        |bounded-heap top-k AGGREGATE on negated hash, so map tasks keep
+        |64 rows per group and the shuffle carries 64 x |types| NO MATTER
+        |the corpus size — the property a percentile-over-100TB dashboard
+        |needs when the exact collapsed-frame pass (a_group_percentiles)
+        |is too wide. Sampled values ride as the heap's id (ties prefer
+        |the smaller value, mirrored in the oracle's ORDER BY hash,
+        |value). Estimates use the integer cross-multiplication cutoff
+        |(sr*100 >= p*n, lower percentile); the exact percentiles ride
+        |the same query via the collapsed value-frequency frame, so the
+        |output calibrates the sketch (absolute micro-unit error per
+        |cut). All integer — hash48 fits a double exactly for the heap
+        |score, values are floor-micro.""".stripMargin,
+      Some(
+        s"""WITH hv AS (
+           |  SELECT event_type AS typ,
+           |         ${duckHash48("CAST(event_id AS VARCHAR)")} AS v,
+           |         CAST(floor(value * 1000000) AS BIGINT) AS vm
+           |  FROM events),
+           |samp AS (
+           |  SELECT typ, vm FROM (
+           |    SELECT typ, vm, ROW_NUMBER() OVER (PARTITION BY typ ORDER BY v, vm) AS rn
+           |    FROM hv) WHERE rn <= 64),
+           |sst AS (
+           |  SELECT typ, vm, ROW_NUMBER() OVER (PARTITION BY typ ORDER BY vm) AS sr,
+           |         COUNT(*) OVER (PARTITION BY typ) AS sn
+           |  FROM samp),
+           |est AS (
+           |  SELECT typ,
+           |         CAST(MIN(CASE WHEN sr * 100 >= 50 * sn THEN vm END) AS BIGINT) AS est_p50,
+           |         CAST(MIN(CASE WHEN sr * 100 >= 90 * sn THEN vm END) AS BIGINT) AS est_p90,
+           |         CAST(MAX(sn) AS BIGINT) AS n_sample
+           |  FROM sst GROUP BY typ),
+           |freq AS (SELECT typ, vm, COUNT(*) AS f FROM hv GROUP BY typ, vm),
+           |cum AS (
+           |  SELECT typ, vm,
+           |         SUM(f) OVER (PARTITION BY typ ORDER BY vm) AS cum,
+           |         SUM(f) OVER (PARTITION BY typ) AS n
+           |  FROM freq),
+           |ex AS (
+           |  SELECT typ,
+           |         CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN vm END) AS BIGINT) AS exact_p50,
+           |         CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN vm END) AS BIGINT) AS exact_p90,
+           |         CAST(MAX(n) AS BIGINT) AS n_rows
+           |  FROM cum GROUP BY typ)
+           |SELECT est.typ AS event_type, n_rows, n_sample,
+           |       est_p50, exact_p50, ABS(est_p50 - exact_p50) AS err_p50,
+           |       est_p90, exact_p90, ABS(est_p90 - exact_p90) AS err_p90
+           |FROM est JOIN ex ON est.typ = ex.typ
+           |ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .withColumn("v",
+            expr("conv(substring(md5(cast(event_id as string)), 1, 12), 16, 10)")
+              .cast("long"))
+          .withColumn("vm", floor(col("value") * 1000000L).cast("long"))
+          .withColumnRenamed("event_type", "typ")
+        // the sketch: 64-row bottom-k hash sample per type, value rides
+        // as the heap id (score ties prefer the smaller value — the
+        // oracle's ORDER BY v, vm)
+        val samp = ev.groupBy("typ")
+          .agg(Vectors.topKByScore(-col("v").cast("double"), col("vm"), 64).as("top"))
+          .select(col("typ"), explode(col("top")).as("e"))
+          .select(col("typ"), col("e.id").as("vm"))
+        val sw = Window.partitionBy("typ").orderBy("vm")
+        val est = samp
+          .withColumn("sr", row_number().over(sw))
+          .withColumn("sn", count(lit(1)).over(Window.partitionBy("typ")))
+          .groupBy("typ")
+          .agg(
+            min(when(col("sr") * 100 >= col("sn") * 50, col("vm"))).as("est_p50"),
+            min(when(col("sr") * 100 >= col("sn") * 90, col("vm"))).as("est_p90"),
+            max(col("sn")).as("n_sample"))
+        // calibration side: exact percentiles over the collapsed
+        // value-frequency frame (the a_group_percentiles discipline)
+        val cum = ev.groupBy("typ", "vm").agg(count(lit(1)).as("f"))
+          .withColumn("cum", sum("f").over(sw))
+          .withColumn("n", sum("f").over(Window.partitionBy("typ")))
+        val ex = cum.groupBy("typ")
+          .agg(
+            min(when(col("cum") * 100 >= col("n") * 50, col("vm"))).as("exact_p50"),
+            min(when(col("cum") * 100 >= col("n") * 90, col("vm"))).as("exact_p90"),
+            max(col("n")).as("n_rows"))
+        est.join(ex, "typ")
+          .select(col("typ").as("event_type"), col("n_rows"), col("n_sample"),
+            col("est_p50"), col("exact_p50"),
+            abs(col("est_p50") - col("exact_p50")).as("err_p50"),
+            col("est_p90"), col("exact_p90"),
+            abs(col("est_p90") - col("exact_p90")).as("err_p90"))
+          .orderBy("event_type")
+      }),
+
+    Q(
       "a_hll_distinct",
       """HyperLogLog distinct-user estimation per event type — the
         |fixed-size cardinality sketch (KMV's k values shrink to m=64

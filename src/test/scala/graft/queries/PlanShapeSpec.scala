@@ -572,6 +572,28 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "kmv must not plan a window")
   }
 
+  test("kmv quantiles: heap-sampled side broadcasts, windows stay key-partitioned") {
+    val p = plan("a_kmv_quantiles")
+    // the sample is the bounded-heap aggregate (partial+final
+    // ObjectHashAggregate around ONE type-keyed exchange) — shuffle
+    // carries 64 x |types|, never the corpus
+    assert(collectAll(p) {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }.length >= 2, "kmv quantiles lost its bounded-heap aggregate pair")
+    // the 5-row estimate frame must broadcast into the calibration join
+    assert(bcasts(p).nonEmpty, "estimate side stopped broadcasting")
+    // every window (sample ranking + collapsed-frame cumulative) is
+    // type-partitioned; no global window anywhere
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "a window lost its type partitioning")
+    // sample-side exchange + exact-side (typ,vm) agg + typ window
+    // exchange + output sort
+    assert(shuffles(p).length <= 5, "a_kmv_quantiles grew a shuffle")
+  }
+
   test("bloom prefilter: mask and member set broadcast, fact shuffles only to aggregate") {
     val p = plan("j_bloom_prefilter")
     // one-row mask rides a BroadcastNestedLoopJoin, the exact member set

@@ -72,6 +72,33 @@ class StrategyInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("Q9 rollup: orders fact-fact join flips to a shuffled join, row-identical") {
+    // j_q9_profit_rollup's dimension joins are HINTED broadcast (bounded
+    // dims — the threshold should not unpin them), but the lineitem ⋈
+    // orders join carries no hint: at smoke scale the planner broadcasts
+    // tiny orders, at 100 TB it must flip to a shuffled join. Execute the
+    // flip: threshold disabled, the orders join plans non-broadcast while
+    // the two dim hints hold, and the rows are identical.
+    val q = "j_q9_profit_rollup"
+    val withBcast = rows(q)
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val df = Catalog.byName(q).build(spark, sfSmoke)
+      val p = df.queryExecution.executedPlan
+      val bhj = collectAll(p) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.length >= 2, "the hinted dimension broadcasts were unpinned")
+      val nonBcast = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if !j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] => j
+      }
+      assert(nonBcast.nonEmpty,
+        "orders join still broadcasts with the threshold disabled — fallback untested")
+      assert(df.collect().map(_.toString).toSeq === withBcast,
+        s"$q changes rows when the orders join flips to shuffle")
+    }
+  }
+
   test("NearDup confirm flips to shuffled joins with hints stripped, row-identical") {
     // The near-dup confirm path (dd_lsh_confirm / dd_minhash_est /
     // DedupPipeline) force-broadcasts the candidate-derived side

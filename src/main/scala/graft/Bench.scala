@@ -66,7 +66,10 @@ object Bench {
     "sq_scalar_small_qty", "k_fifo_costing", "a_bitmap_distinct",
     // round-9 third wave: grid spatial join, vocab-bucketed tf-idf,
     // blocked ER with CC closure
-    "geo_grid_join", "t_tfidf_topterms", "dd_entity_resolution")
+    "geo_grid_join", "t_tfidf_topterms", "dd_entity_resolution",
+    // round-10: 6-table join-order stress (the one fact-fact exchange),
+    // bounded-heap quantile sampling
+    "j_q9_profit_rollup", "a_kmv_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -34,6 +34,14 @@ class CatalogSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every Bench headline name resolves to a catalog query") {
+    // Bench filters the scale-curve subset with headline.contains — a
+    // renamed or removed query would otherwise SILENTLY shrink the 10x
+    // evidence set instead of failing anything
+    val stale = graft.Bench.headline -- Catalog.all.map(_.name).toSet
+    assert(stale.isEmpty, s"Bench.headline names not in catalog: $stale")
+  }
+
   test("every catalog query's final schema is scalar-only (driver-sortable)") {
     // The driver's oracle harness sorts/hashes results with pandas, which
     // cannot sort array/map/struct columns (round-7's one red row,

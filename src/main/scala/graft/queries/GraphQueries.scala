@@ -400,6 +400,77 @@ object GraphQueries {
     ),
 
     Q(
+      "g_hits_scores",
+      """HITS hubs-and-authorities — the second classic fixpoint after
+        |PageRank, and the one the bipartite trade graph is literally
+        |MADE for: customers are the hub side, suppliers the authority
+        |side, so the h = A·a / a = Aᵀ·h alternation is two directions of
+        |the SAME distinct (customer, supplier) edge list with no node-id
+        |union or side encoding anywhere (nothing for the replica's key
+        |shifts to break). Two full iterations from uniform authority
+        |mass, each half-step = one edge-list join + one key-sized
+        |aggregate (the pre-partitionable PageRank shape — bucket both
+        |sides by node id at cluster scale and the per-iteration shuffle
+        |disappears). Normalization is per-round MAX-scaling to ppm in
+        |truncating integer division — the one-row max broadcasts, no
+        |sqrt/L2 norm, so scores are hash-exact on both engines. Bounds:
+        |h <= 10^6·deg <= ~10^11, x10^6 inside the normalize < 10^17 —
+        |BIGINT-safe at any tested scale. Output: every node's final
+        |hub/authority score in ppm of its side's max.""".stripMargin,
+      Some(
+        """WITH pairs AS MATERIALIZED (
+          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |h1 AS MATERIALIZED (
+          |  SELECT c, CAST(COUNT(*) AS BIGINT) * 1000000 AS h FROM pairs GROUP BY c),
+          |h1n AS MATERIALIZED (
+          |  SELECT c, h * 1000000 // (SELECT MAX(h) FROM h1) AS hn FROM h1),
+          |a1 AS MATERIALIZED (
+          |  SELECT s, CAST(SUM(hn) AS BIGINT) AS a FROM pairs JOIN h1n USING (c) GROUP BY s),
+          |a1n AS MATERIALIZED (
+          |  SELECT s, a * 1000000 // (SELECT MAX(a) FROM a1) AS an FROM a1),
+          |h2 AS MATERIALIZED (
+          |  SELECT c, CAST(SUM(an) AS BIGINT) AS h FROM pairs JOIN a1n USING (s) GROUP BY c),
+          |h2n AS MATERIALIZED (
+          |  SELECT c, h * 1000000 // (SELECT MAX(h) FROM h2) AS hn FROM h2),
+          |a2 AS MATERIALIZED (
+          |  SELECT s, CAST(SUM(hn) AS BIGINT) AS a FROM pairs JOIN h2n USING (c) GROUP BY s),
+          |a2n AS MATERIALIZED (
+          |  SELECT s, a * 1000000 // (SELECT MAX(a) FROM a2) AS an FROM a2)
+          |SELECT 'authority' AS side, s AS id, an AS score_ppm FROM a2n
+          |UNION ALL
+          |SELECT 'hub' AS side, c AS id, hn AS score_ppm FROM h2n
+          |ORDER BY side, id""".stripMargin),
+      (s, dir) => {
+        val pairs = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct().localCheckpoint()
+        def norm(df: org.apache.spark.sql.DataFrame, key: String,
+                 v: String, out: String) =
+          df.crossJoin(broadcast(df.agg(max(col(v)).as("mx"))))
+            .select(col(key), expr(s"$v * 1000000 div mx").as(out))
+        // a0 = 1e6 per supplier, so the first hub half-step is 1e6·deg(c)
+        val h1n = norm(pairs.groupBy("c")
+          .agg((count(lit(1)) * 1000000L).as("h")), "c", "h", "hn")
+        val a1n = norm(pairs.join(h1n, "c").groupBy("s")
+          .agg(sum("hn").as("a")), "s", "a", "an")
+        // h2n feeds BOTH the second authority step and the output union:
+        // checkpoint so the edge join above it runs once, not per branch
+        val h2n = norm(pairs.join(a1n, "s").groupBy("c")
+          .agg(sum("an").as("h")), "c", "h", "hn").localCheckpoint()
+        val a2n = norm(pairs.join(h2n, "c").groupBy("s")
+          .agg(sum("hn").as("a")), "s", "a", "an")
+        a2n.select(lit("authority").as("side"), col("s").as("id"),
+            col("an").as("score_ppm"))
+          .unionAll(h2n.select(lit("hub").as("side"), col("c").as("id"),
+            col("hn").as("score_ppm")))
+          .orderBy("side", "id")
+      }),
+
+    Q(
       "g_node_similarity",
       """Neighbor-set Jaccard similarity join on the co-purchase graph —
         |the item-item collaborative-filtering primitive ("parts bought

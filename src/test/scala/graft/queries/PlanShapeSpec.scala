@@ -572,6 +572,24 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "kmv must not plan a window")
   }
 
+  test("HITS: per-halfstep edge join + key agg, one-row max broadcasts, no cartesian") {
+    val p = plan("g_hits_scores")
+    // the normalizers are one-row max frames riding BroadcastNestedLoopJoin
+    // cross joins — never a CartesianProduct (which would mean a
+    // non-broadcast normalizer fanning over the node set)
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "HITS normalizer planned a cartesian product")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "HITS lost its one-row max broadcast")
+    // visible plan (downstream of the iteration checkpoints): final
+    // authority half-step joins the checkpointed edge list to the
+    // checkpointed hub frame, aggregates per supplier, normalizes, and
+    // unions with the hub output — all exchanges are node/edge-keyed
+    assert(shuffles(p).length <= 8, s"g_hits_scores grew a shuffle: ${shuffles(p).length}")
+  }
+
   test("kmv quantiles: heap-sampled side broadcasts, windows stay key-partitioned") {
     val p = plan("a_kmv_quantiles")
     // the sample is the bounded-heap aggregate (partial+final

@@ -69,7 +69,10 @@ object Bench {
     "geo_grid_join", "t_tfidf_topterms", "dd_entity_resolution",
     // round-10: 6-table join-order stress (the one fact-fact exchange),
     // bounded-heap quantile sampling
-    "j_q9_profit_rollup", "a_kmv_quantiles")
+    "j_q9_profit_rollup", "a_kmv_quantiles",
+    // round-10 second wave: value-domain rank statistics, windowless
+    // struct-endpoint OHLC bars
+    "a_ks_test", "w_ohlc_vwap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -410,11 +413,23 @@ object Bench {
     // from BENCH_r08. The committed BENCHFULL file is what makes rounds
     // comparable from artifacts alone. fail-soft: a read-only cwd must
     // not cost the stdout line.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCHFULL.json")),
-      line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCHFULL write skipped: $e") }
+    //
+    // Clobber guard (round-10 incident): a NARROW run — SPARK_GRAFT_ONLY
+    // set, or a run that timed zero queries — overwrote the committed
+    // full-catalog artifact with a smoke line. Such runs now only write
+    // when SPARK_GRAFT_BENCH_OUT names a destination explicitly; the
+    // repo-default path is reserved for full-catalog passes.
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(
+      if (only.isEmpty && results.nonEmpty) Some("/root/repo/BENCHFULL.json")
+      else { System.err.println(
+        "[bench] narrow run: BENCHFULL write skipped (set SPARK_GRAFT_BENCH_OUT to force)")
+        None })
+    benchOut.foreach { out =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCHFULL write skipped: $e") }
+    }
     // Stop Spark BEFORE printing so shutdown logging cannot interleave
     // with (or follow) the result line; the JSON is the final stdout line.
     spark.stop()

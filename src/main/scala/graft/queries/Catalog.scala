@@ -11,7 +11,7 @@ object Catalog {
       NestedQueries.qs ++ MultimodalQueries.qs ++ ScaleQueries.qs ++ AsofRangeQueries.qs ++
       SamplingQueries.qs ++ StateQueries.qs ++ ClusterQueries.qs ++ CurationQueries.qs ++
       StreamingQueries.qs ++ SketchQueries.qs ++ GraphQueries.qs ++ DataOpsQueries.qs ++
-      SubqueryQueries.qs ++ GeoQueries.qs
+      SubqueryQueries.qs ++ GeoQueries.qs ++ StatsQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,517 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical testing / classic-operator extensions: distribution
+  * comparison (Kolmogorov-Smirnov, Mann-Whitney), the skyline (Pareto
+  * frontier) operator, CUBE margins, multi-resolution (Haar) decomposition,
+  * OHLC/VWAP bars, CUSUM change detection, and readability scoring.
+  *
+  * These extend the reference's report/reconciliation surface (SURVEY.md
+  * §2.5/§2.6 — the reference stops at counts, pivots and status ladders,
+  * /root/reference/backend/main.py:384-409) with the inferential and
+  * time-series readouts an analytics consumer of the same data asks next.
+  *
+  * Numeric discipline is the catalog-wide one (see [[Q]]): every statistic
+  * is carried in exact integer micro/milli/ppm units via cross-multiplied
+  * comparisons and `div`/`//` floor division on non-negative operands, so
+  * the DuckDB hash-compare pins the math bit for bit — no float tolerance
+  * anywhere. Scale shape: every query collapses the fact table to a
+  * key-cardinality frame (distinct values per group, daily rollups, or the
+  * part dimension) BEFORE any window runs, so the windows cost
+  * collapsed-frame-sized sorts at any corpus size, and all windows are
+  * PARTITIONED — no global single-partition pass.
+  */
+object StatsQueries {
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "a_ks_test",
+      """Two-sample Kolmogorov-Smirnov test per order priority: does the
+        |total-price distribution of finished ('F') orders differ from
+        |open/pending ones? The exact D statistic = max |F1(x) - F2(x)|
+        |over the pooled support, computed WITHOUT a per-row sort: the
+        |corpus first collapses to per-(group, distinct-cents) side
+        |counts (the value domain, not the row count, bounds the window
+        |frame), cumulative counts run per-group ordered by value, and
+        |D's numerator max|f1*n2 - f2*n1| stays in exact integers —
+        |ks_ppm = numerator*10^6 div (n1*n2) widened through
+        |DECIMAL/HUGEINT so no replica scale can overflow it. The
+        |per-group window is the unavoidable order statistic; it runs
+        |over distinct price points only.""".stripMargin,
+      Some(
+        """WITH v AS (
+          |  SELECT o_orderpriority AS grp,
+          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+          |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS c1,
+          |         CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS c2
+          |  FROM orders GROUP BY 1, 2),
+          |cw AS (
+          |  SELECT grp, cents,
+          |         SUM(c1) OVER (PARTITION BY grp ORDER BY cents
+          |                       ROWS UNBOUNDED PRECEDING) AS f1,
+          |         SUM(c2) OVER (PARTITION BY grp ORDER BY cents
+          |                       ROWS UNBOUNDED PRECEDING) AS f2,
+          |         SUM(c1) OVER (PARTITION BY grp) AS n1,
+          |         SUM(c2) OVER (PARTITION BY grp) AS n2
+          |  FROM v)
+          |SELECT grp, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |       CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num,
+          |       CAST(CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS HUGEINT) * 1000000
+          |            // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_ppm
+          |FROM cw GROUP BY grp, n1, n2 ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val v = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("grp"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("i1"),
+            when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("i2"))
+          .groupBy("grp", "cents")
+          .agg(sum("i1").as("c1"), sum("i2").as("c2"))
+        val wCum = Window.partitionBy("grp").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("grp")
+        v.withColumn("f1", sum("c1").over(wCum))
+          .withColumn("f2", sum("c2").over(wCum))
+          .withColumn("n1", sum("c1").over(wAll))
+          .withColumn("n2", sum("c2").over(wAll))
+          .groupBy("grp", "n1", "n2")
+          .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+            .as("ks_num"))
+          .select(col("grp"), col("n1"), col("n2"), col("ks_num"),
+            expr("""cast((cast(ks_num as decimal(38,0)) * 1000000)
+                   |div (cast(n1 as decimal(38,0)) * n2) as bigint)"""
+              .stripMargin).as("ks_ppm"))
+          .orderBy("grp")
+      }),
+
+    Q(
+      "a_mann_whitney",
+      """Mann-Whitney U (Wilcoxon rank-sum) per line status: do returned
+        |('R') items ship in different quantities than non-returned
+        |('N') ones? Rank-based, so it needs the pooled ordering — but
+        |never a per-row sort: the corpus collapses to per-(group,
+        |distinct-quantity) side counts first, and tie-corrected average
+        |ranks come from ONE cumulative window over distinct values,
+        |DOUBLED to stay integral (avg rank of a tie run of t after
+        |prev rows = prev + (t+1)/2, so 2*rank = 2*prev + t + 1 exactly).
+        |Outputs the doubled rank sum, doubled U, and the AUC effect size
+        |U/(n1*n2) in exact ppm (floor over DECIMAL/HUGEINT-widened
+        |cross-products). The probability-of-superiority readout the
+        |reference's count reports can't give.""".stripMargin,
+      Some(
+        """WITH v AS (
+          |  SELECT l_linestatus AS grp,
+          |         CAST(floor(l_quantity * 1000000) AS BIGINT) AS val,
+          |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS c1,
+          |         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+          |              AS BIGINT) AS c2
+          |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1, 2),
+          |cw AS (
+          |  SELECT grp, val, c1, c2,
+          |         SUM(c1 + c2) OVER (PARTITION BY grp ORDER BY val
+          |                            ROWS UNBOUNDED PRECEDING)
+          |           - (c1 + c2) AS prev,
+          |         SUM(c1) OVER (PARTITION BY grp) AS n1,
+          |         SUM(c2) OVER (PARTITION BY grp) AS n2
+          |  FROM v),
+          |r AS (
+          |  SELECT grp, n1, n2,
+          |         SUM(c1 * (2 * prev + c1 + c2 + 1)) AS two_r1
+          |  FROM cw GROUP BY 1, 2, 3)
+          |SELECT grp, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |       CAST(two_r1 AS BIGINT) AS two_r1,
+          |       CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u1,
+          |       CAST(CAST(two_r1 - n1 * (n1 + 1) AS HUGEINT) * 1000000
+          |            // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm
+          |FROM r ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val v = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("R", "N"))
+          .select(col("l_linestatus").as("grp"),
+            floor(col("l_quantity") * 1000000L).cast("long").as("val"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("i1"),
+            when(col("l_returnflag") === "N", 1L).otherwise(0L).as("i2"))
+          .groupBy("grp", "val")
+          .agg(sum("i1").as("c1"), sum("i2").as("c2"))
+        val wCum = Window.partitionBy("grp").orderBy("val")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("grp")
+        v.withColumn("prev",
+            sum(col("c1") + col("c2")).over(wCum) - (col("c1") + col("c2")))
+          .withColumn("n1", sum("c1").over(wAll))
+          .withColumn("n2", sum("c2").over(wAll))
+          .groupBy("grp", "n1", "n2")
+          .agg(sum(col("c1") * (lit(2) * col("prev") + col("c1") + col("c2")
+            + 1)).as("two_r1"))
+          .select(col("grp"), col("n1"), col("n2"), col("two_r1"),
+            (col("two_r1") - col("n1") * (col("n1") + 1)).as("two_u1"))
+          .withColumn("auc_ppm",
+            expr("""cast((cast(two_u1 as decimal(38,0)) * 1000000)
+                   |div (2 * cast(n1 as decimal(38,0)) * n2) as bigint)"""
+              .stripMargin))
+          .orderBy("grp")
+      }),
+
+    Q(
+      "a_pareto_skyline",
+      """The SKYLINE operator (Borzsonyi et al. 2001) — per-brand Pareto
+        |frontier of parts minimizing retail price while maximizing
+        |size: a part is dominated if some same-brand part is no more
+        |expensive AND no smaller, strictly better in one. The classic
+        |formulation is a quadratic self-anti-join; in 2D it collapses
+        |to a LINEAR scan: ordered by price, a point survives iff its
+        |size strictly exceeds every strictly-cheaper point's max size
+        |(a RANGE ... 1 PRECEDING running max — value-based, so equal
+        |prices stay out of their own frame) and no same-price point is
+        |strictly larger (a per-(brand, price) max). Points pre-collapse
+        |to distinct (brand, price, size) with multiplicity, so the
+        |windows run over the distinct-point frame and ties on BOTH
+        |dimensions are kept — equal points never dominate each other.
+        |""".stripMargin,
+      Some(
+        """WITH p AS (
+          |  SELECT p_brand AS grp,
+          |         CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c,
+          |         CAST(p_size AS BIGINT) AS size_v,
+          |         CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM part GROUP BY 1, 2, 3),
+          |cw AS (
+          |  SELECT grp, price_c, size_v, cnt,
+          |         MAX(size_v) OVER (PARTITION BY grp ORDER BY price_c
+          |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |           AS m_lt,
+          |         MAX(size_v) OVER (PARTITION BY grp, price_c) AS m_eq
+          |  FROM p)
+          |SELECT grp, price_c, size_v, cnt
+          |FROM cw
+          |WHERE (m_lt IS NULL OR m_lt < size_v) AND m_eq = size_v
+          |ORDER BY grp, price_c, size_v""".stripMargin),
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_brand").as("grp"),
+            floor(col("p_retailprice") * 100).cast("long").as("price_c"),
+            col("p_size").cast("long").as("size_v"))
+          .groupBy("grp", "price_c", "size_v")
+          .agg(count(lit(1)).as("cnt"))
+        val wLt = Window.partitionBy("grp").orderBy("price_c")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wEq = Window.partitionBy("grp", "price_c")
+        p.withColumn("m_lt", max("size_v").over(wLt))
+          .withColumn("m_eq", max("size_v").over(wEq))
+          .filter((col("m_lt").isNull || col("m_lt") < col("size_v"))
+            && col("m_eq") === col("size_v"))
+          .select("grp", "price_c", "size_v", "cnt")
+          .orderBy("grp", "price_c", "size_v")
+      }),
+
+    Q(
+      "a_cube_margins",
+      """CUBE over (return flag, line status) — all four grouping
+        |granularities (detail, both one-way margins, grand total) in one
+        |pass with explicit GROUPING() provenance bits, the OLAP margin
+        |report the reference builds by issuing separate queries per
+        |level. Spark plans a single Expand + one aggregate: the fact
+        |table is scanned ONCE for all 2^k granularities, map-side
+        |partial aggregation included. NULL group cells coalesce to
+        |'ALL' so the output is NULL-free for the driver's sorter;
+        |measures stay in exact integer micro/cents units.""".stripMargin,
+      Some(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+          |       COALESCE(l_linestatus, 'ALL') AS status,
+          |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+          |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(CAST(floor(l_quantity * 1000000) AS BIGINT))
+          |            AS BIGINT) AS qty_micro,
+          |       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+          |            AS BIGINT) AS price_cents
+          |FROM lineitem
+          |GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY flag, status""".stripMargin),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            floor(col("l_quantity") * 1000000L).cast("long").as("qm"),
+            floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+          .cube("l_returnflag", "l_linestatus")
+          .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"),
+            count(lit(1)).as("n"),
+            sum("qm").as("qty_micro"),
+            sum("pc").as("price_cents"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("g_flag"), col("g_status"), col("n"), col("qty_micro"),
+            col("price_cents"))
+          .orderBy("flag", "status")),
+
+    Q(
+      "a_haar_decomposition",
+      """Haar wavelet detail coefficients of the per-type daily volume
+        |series — the multi-resolution decomposition (Matias et al.,
+        |wavelet histograms) that localizes WHEN a series changed and at
+        |what time scale: level l splits each 2^l-day block into halves,
+        |coefficient = sum(first half) - sum(second half), so a step
+        |change lights up coarse levels while a one-day spike lights up
+        |level 1. The corpus collapses to (type, day) once; the 6-level
+        |expansion happens on that calendar-sized frame via a broadcast
+        |6-row level dim (half/full block widths precomputed as exact
+        |powers of two — no column-amount bit shifts), and one group-by
+        |emits every (type, level, bucket) coefficient in exact micro
+        |units. Days rebase against the corpus min day (one-row
+        |broadcast) so buckets are alignment-stable.""".stripMargin,
+      Some(
+        """WITH ev AS (
+          |  SELECT event_type,
+          |         epoch_us(date_trunc('day', ts)) // 86400000000 AS day_id,
+          |         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+          |              AS BIGINT) AS v_micro
+          |  FROM events GROUP BY 1, 2),
+          |b AS (SELECT MIN(day_id) AS d0 FROM ev),
+          |lv AS (
+          |  SELECT l, CAST(power(2, l - 1) AS BIGINT) AS half,
+          |         CAST(power(2, l) AS BIGINT) AS fullw
+          |  FROM (SELECT unnest(range(1, 7)) AS l)),
+          |e AS (
+          |  SELECT ev.event_type, ev.day_id - b.d0 AS d, ev.v_micro,
+          |         lv.l, lv.half, lv.fullw
+          |  FROM ev CROSS JOIN b CROSS JOIN lv)
+          |SELECT event_type, CAST(l AS BIGINT) AS lvl,
+          |       CAST(d // fullw AS BIGINT) AS bucket,
+          |       CAST(SUM(v_micro * (1 - 2 * ((d // half) % 2)))
+          |            AS BIGINT) AS coeff,
+          |       CAST(COUNT(*) AS BIGINT) AS n_days
+          |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+              .as("day_id"),
+            col("value"))
+          .groupBy("event_type", "day_id")
+          .agg(sum(floor(col("value") * 1000000L).cast("long")).as("v_micro"))
+        val b = ev.agg(min("day_id").as("d0"))
+        val lv = s.range(1, 7).toDF("l")
+          .withColumn("half", expr("cast(pow(2, l - 1) as bigint)"))
+          .withColumn("fullw", expr("cast(pow(2, l) as bigint)"))
+        ev.crossJoin(broadcast(b))
+          .select(col("event_type"), (col("day_id") - col("d0")).as("d"),
+            col("v_micro"))
+          .crossJoin(broadcast(lv))
+          .groupBy(col("event_type"), col("l").as("lvl"),
+            expr("d div fullw").as("bucket"))
+          .agg(sum(expr("v_micro * (1 - 2 * ((d div half) % 2))")).as("coeff"),
+            count(lit(1)).as("n_days"))
+          .orderBy("event_type", "lvl", "bucket")
+      }),
+
+    Q(
+      "w_ohlc_vwap",
+      """OHLC/VWAP bars — the financial candlestick rollup: per (type,
+        |day), the open (value at earliest (ts, event_id)), high, low,
+        |close (latest), count, volume and volume-weighted average in
+        |exact micro units. The engine computes open/close WITHOUT any
+        |window: min/max over a (ts, event_id, value) STRUCT gives the
+        |endpoint values through ordinary hash aggregation — map-side
+        |combinable, one shuffle of (type, day) partials, no per-group
+        |sort at all (the oracle's row_number formulation is what the
+        |engine deliberately avoids). event_id uniqueness makes the
+        |endpoints deterministic under ts ties.""".stripMargin,
+      Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         epoch_us(date_trunc('day', ts)) // 86400000000 AS day_id,
+          |         ts, event_id,
+          |         CAST(floor(value * 1000000) AS BIGINT) AS vm
+          |  FROM events),
+          |r AS (
+          |  SELECT *,
+          |         ROW_NUMBER() OVER (PARTITION BY event_type, day_id
+          |                            ORDER BY ts, event_id) AS ra,
+          |         ROW_NUMBER() OVER (PARTITION BY event_type, day_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rd
+          |  FROM b)
+          |SELECT event_type, day_id,
+          |       CAST(MAX(CASE WHEN ra = 1 THEN vm END) AS BIGINT)
+          |         AS open_micro,
+          |       MAX(vm) AS high_micro, MIN(vm) AS low_micro,
+          |       CAST(MAX(CASE WHEN rd = 1 THEN vm END) AS BIGINT)
+          |         AS close_micro,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(vm) AS BIGINT) AS vol_micro,
+          |       CAST(SUM(vm) // COUNT(*) AS BIGINT) AS vwap_micro
+          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+              .as("day_id"),
+            col("ts"), col("event_id"),
+            floor(col("value") * 1000000L).cast("long").as("vm"))
+          .groupBy("event_type", "day_id")
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("vm")))
+              .getField("vm").as("open_micro"),
+            max(col("vm")).as("high_micro"),
+            min(col("vm")).as("low_micro"),
+            max(struct(col("ts"), col("event_id"), col("vm")))
+              .getField("vm").as("close_micro"),
+            count(lit(1)).as("n"),
+            sum(col("vm")).as("vol_micro"))
+          .withColumn("vwap_micro", expr("vol_micro div n"))
+          .orderBy("event_type", "day_id")),
+
+    Q(
+      "w_cusum_alarm",
+      """CUSUM change-point detection per event type — the sequential
+        |drift detector burst detection can't replace (a burst test
+        |fires on one loud day; CUSUM accumulates small sustained
+        |excesses until they cross a threshold). The textbook recurrence
+        |S_t = max(0, S_{t-1} + dev_t) looks inherently sequential, but
+        |has the exact closed form S_t = P_t - min(0, min_{j<=t} P_j)
+        |(prefix sum minus running min of the prefix), so it runs as TWO
+        |stacked windows over the (type, day) collapsed frame — no
+        |recursion, no UDAF, partitioned per type. Deviations are
+        |against the per-type mean daily volume (a same-partition window
+        |aggregate, floor division on non-negative totals); alarm fires
+        |where the accumulated excess reaches 2 mean-days. All exact
+        |integer micro units.""".stripMargin,
+      Some(
+        """WITH d AS (
+          |  SELECT event_type,
+          |         epoch_us(date_trunc('day', ts)) // 86400000000 AS day_id,
+          |         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+          |              AS BIGINT) AS v_micro
+          |  FROM events GROUP BY 1, 2),
+          |t AS (
+          |  SELECT *, CAST(SUM(v_micro) OVER (PARTITION BY event_type)
+          |                 // COUNT(*) OVER (PARTITION BY event_type)
+          |                 AS BIGINT) AS k_mean
+          |  FROM d),
+          |p AS (
+          |  SELECT *, SUM(v_micro - k_mean) OVER (PARTITION BY event_type
+          |            ORDER BY day_id ROWS UNBOUNDED PRECEDING) AS pr
+          |  FROM t),
+          |c AS (
+          |  SELECT *, MIN(pr) OVER (PARTITION BY event_type ORDER BY day_id
+          |            ROWS UNBOUNDED PRECEDING) AS runmin
+          |  FROM p)
+          |SELECT event_type, day_id, v_micro, k_mean,
+          |       CAST(pr - LEAST(runmin, 0) AS BIGINT) AS cusum,
+          |       CAST(CASE WHEN pr - LEAST(runmin, 0) >= 2 * k_mean
+          |                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+          |FROM c ORDER BY event_type, day_id""".stripMargin),
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+              .as("day_id"),
+            col("value"))
+          .groupBy("event_type", "day_id")
+          .agg(sum(floor(col("value") * 1000000L).cast("long")).as("v_micro"))
+        val wAll = Window.partitionBy("event_type")
+        val wCum = Window.partitionBy("event_type").orderBy("day_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("tot", sum("v_micro").over(wAll))
+          .withColumn("days", count(lit(1)).over(wAll))
+          .withColumn("k_mean", expr("tot div days"))
+          .withColumn("pr", sum(col("v_micro") - col("k_mean")).over(wCum))
+          .withColumn("runmin", min("pr").over(wCum))
+          .withColumn("cusum", col("pr") - least(col("runmin"), lit(0L)))
+          .select(col("event_type"), col("day_id"), col("v_micro"),
+            col("k_mean"), col("cusum"),
+            (col("cusum") >= col("k_mean") * 2).cast("long").as("alarm"))
+          .orderBy("event_type", "day_id")
+      }),
+
+    Q(
+      "t_readability",
+      """Flesch reading-ease readability scoring per (lang, bucket) —
+        |the curation signal between raw length stats and model-based
+        |quality: FRE = 206.835 - 1.015*(words/sentences) -
+        |84.6*(syllables/word), carried in exact milli-units with floor
+        |division on non-negative terms. Sentences count terminal
+        |punctuation; unpunctuated text (OCR/ASR shape — and this
+        |corpus) falls back to 25-word pseudo-sentences, the standard
+        |segmentation fallback, via GREATEST(punct, ceil(words/25), 1).
+        |Syllables are vowel-run counts (regexp on the lowered text,
+        |identical [aeiouy]+ semantics in both engines). The mean FRE
+        |per bucket divides a +10^7-SHIFTED sum so the floor division
+        |never sees a negative numerator (floor vs truncate divergence
+        |is the cross-engine trap). Everything is row-local until the
+        |tiny (lang, bucket) rollup.""".stripMargin,
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+          |m AS (
+          |  SELECT doc_id, lang,
+          |         CAST(len(string_split(t, ' ')) AS BIGINT) AS words,
+          |         GREATEST(
+          |           CAST(len(t) - len(regexp_replace(t, '[.!?]', '', 'g'))
+          |                AS BIGINT),
+          |           (CAST(len(string_split(t, ' ')) AS BIGINT) + 24) // 25,
+          |           1) AS sents,
+          |         GREATEST(CAST(len(regexp_extract_all(t, '[aeiouy]+'))
+          |                       AS BIGINT), 1) AS syl
+          |  FROM d),
+          |f AS (
+          |  SELECT lang, words,
+          |         206835 - (1015 * words) // sents - (84600 * syl) // words
+          |           AS fre_milli
+          |  FROM m),
+          |b AS (
+          |  SELECT lang,
+          |         CASE WHEN fre_milli >= 90000 THEN 'very_easy'
+          |              WHEN fre_milli >= 70000 THEN 'easy'
+          |              WHEN fre_milli >= 50000 THEN 'standard'
+          |              WHEN fre_milli >= 30000 THEN 'difficult'
+          |              ELSE 'very_hard' END AS bucket,
+          |         words, fre_milli
+          |  FROM f)
+          |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(words) AS BIGINT) AS words,
+          |       CAST(MIN(fre_milli) AS BIGINT) AS fre_min,
+          |       CAST(MAX(fre_milli) AS BIGINT) AS fre_max,
+          |       CAST(SUM(fre_milli + 10000000) // COUNT(*) - 10000000
+          |            AS BIGINT) AS fre_mean_milli
+          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("t"))
+        val m = d.select(col("lang"),
+          size(split(col("t"), " ")).cast("long").as("words"),
+          (length(col("t"))
+            - length(regexp_replace(col("t"), "[.!?]", ""))).cast("long")
+            .as("punct"),
+          greatest(
+            size(regexp_extract_all(col("t"), lit("[aeiouy]+"), lit(0)))
+              .cast("long"), lit(1L)).as("syl"))
+          .withColumn("sents",
+            greatest(col("punct"), expr("(words + 24) div 25"), lit(1L)))
+        val f = m.select(col("lang"), col("words"),
+          expr("206835 - (1015 * words) div sents - (84600 * syl) div words")
+            .as("fre_milli"))
+        f.select(col("lang"),
+            when(col("fre_milli") >= 90000, "very_easy")
+              .when(col("fre_milli") >= 70000, "easy")
+              .when(col("fre_milli") >= 50000, "standard")
+              .when(col("fre_milli") >= 30000, "difficult")
+              .otherwise("very_hard").as("bucket"),
+            col("words"), col("fre_milli"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("words").as("words"),
+            min("fre_milli").as("fre_min"),
+            max("fre_milli").as("fre_max"),
+            expr("cast(sum(fre_milli + 10000000) div count(1) - 10000000 as bigint)")
+              .as("fre_mean_milli"))
+          .orderBy("lang", "bucket")
+      })
+  )
+}

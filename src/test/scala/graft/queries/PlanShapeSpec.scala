@@ -1333,4 +1333,90 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "the lag window must stay partitioned per user (a global window would serialize the corpus)")
   }
+
+  test("rank statistics (KS / Mann-Whitney): corpus collapses to distinct values BEFORE any window") {
+    // the scale contract: the order statistic runs over the VALUE DOMAIN
+    // (distinct cents / quantities per group), never the row count — so
+    // the first operator below the windows must be the collapsing
+    // aggregate, and every window stays group-partitioned
+    Seq("a_ks_test", "a_mann_whitney").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        val windows = collectAll(p) {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+          s"$q: a cumulative window lost its group partitioning")
+        // collapse agg (1) + group window (1) + output sort (1); the
+        // final per-group rollup rides the window's partitioning
+        assert(shuffles(p).length <= 3, s"$q grew a shuffle: ${shuffles(p).length}")
+      }
+    }
+  }
+
+  test("skyline: 2D frontier is two stacked windows over the distinct-point frame, no self-join") {
+    val p = plan("a_pareto_skyline")
+    // the classic quadratic anti-join must NOT appear — no join at all
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "skyline planned a join (quadratic formulation regressed in)")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "skyline windows must stay brand-partitioned")
+    assert(shuffles(p).length <= 3, "a_pareto_skyline grew a shuffle")
+  }
+
+  test("cube margins: ONE scan + Expand serves all four granularities") {
+    val p = plan("a_cube_margins")
+    assert(collectAll(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }.nonEmpty, "CUBE lost its Expand (per-granularity rescans regressed in)")
+    // partial->final agg exchange + output sort; map-side combine keeps
+    // the expanded rows from shuffling raw
+    assert(shuffles(p).length <= 2, "a_cube_margins grew a shuffle")
+  }
+
+  test("haar decomposition: level dim and day-zero ride broadcasts; only key-sized exchanges") {
+    val p = plan("a_haar_decomposition")
+    // the 6-row level frame and the one-row min-day frame must both
+    // broadcast (nested-loop cross with a broadcast side, never a shuffle)
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.length >= 2, "haar lost a broadcast (level dim or day-zero frame)")
+    // (type, day) collapse + min-day rollup + coefficient agg + output
+    // sort — all key-cardinality-sized
+    assert(shuffles(p).length <= 4, "a_haar_decomposition grew a shuffle")
+  }
+
+  test("OHLC bars: endpoint extraction via struct min/max — NO window, NO per-group sort") {
+    val p = plan("w_ohlc_vwap")
+    // the whole point: open/close come from hash aggregation over
+    // (ts, id, value) structs, so the plan must contain zero WindowExec
+    // and zero SortExec below the aggregate
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "w_ohlc_vwap grew a window (row_number formulation regressed in)")
+    assert(shuffles(p).length <= 2, "w_ohlc_vwap grew a shuffle") // agg + output sort
+  }
+
+  test("CUSUM: closed-form prefix windows stay type-partitioned over the collapsed daily frame") {
+    val p = plan("w_cusum_alarm")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "CUSUM windows must stay partitioned per event type")
+    // (type, day) collapse + type window + output sort
+    assert(shuffles(p).length <= 3, "w_cusum_alarm grew a shuffle")
+  }
+
+  test("readability: row-local scoring, only the (lang, bucket) rollup shuffles") {
+    val p = plan("t_readability")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "t_readability grew a window")
+    assert(shuffles(p).length <= 2, "t_readability grew a shuffle") // rollup + output sort
+  }
 }

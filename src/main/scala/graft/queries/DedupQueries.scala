@@ -990,5 +990,104 @@ object DedupQueries {
             count(when(col("nd") >= 2, true)).as("dup_ngrams"),
             min(when(col("nd") >= 2, col("mn"))).as("first_dup_start"))
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "dd_prefix_filter_join",
+      """EXACT set-similarity self-join via prefix filtering (AllPairs /
+        |PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08): the
+        |literature's other candidate-generation strategy beside
+        |MinHash banding, and unlike banding it is EXACT — zero false
+        |negatives by construction, and it needs no blocking key. Each
+        |doc's distinct 3-shingle set is ordered by GLOBAL ascending
+        |document frequency (rarest first, ties by token); for Jaccard
+        |>= 1/2 any qualifying pair must share a token within each
+        |side's first n - ceil(n/2) + 1 tokens (overlap bound: J >= t
+        |implies |A cap B| >= t*|A|), so candidates = pairs sharing a
+        |PREFIX token. Confirm is the same row-local native merge-walk
+        |intersect as dd_ngram_jaccard, threshold as the integer
+        |cross-product 3*inter >= |A|+|B|.
+        |
+        |The oracle is the PLAIN unblocked pairwise Jaccard — so the
+        |hash match IS the proof of the no-false-negative guarantee.
+        |Scale shape: frequency ordering makes every prefix token one of
+        |its document's rarest, so posting lists in the candidate join
+        |are short by construction (the quadratic term is bounded by
+        |rare-token frequency squared, the algorithm's whole point);
+        |the per-doc ranking window is doc-partitioned; the confirm
+        |joins carry no broadcast hint — AQE picks, and past any
+        |broadcast ceiling they degrade to shuffle joins instead of
+        |dying.""".stripMargin,
+      Some(
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, unnest(list_transform(
+          |    range(len(string_split(lower(trim(text)), ' ')) - 2),
+          |    i -> concat_ws(' ',
+          |           string_split(lower(trim(text)), ' ')[i+1],
+          |           string_split(lower(trim(text)), ' ')[i+2],
+          |           string_split(lower(trim(text)), ' ')[i+3]))) AS shingle
+          |  FROM documents
+          |  WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          |  FROM sh a JOIN sh b
+          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, n_inter,
+          |       round(CAST(n_inter AS DOUBLE)
+          |             / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = doc_a
+          |JOIN sizes sb ON sb.doc_id = doc_b
+          |WHERE 3 * n_inter >= sa.n_sh + sb.n_sh
+          |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.GraftColumnBridge
+        import org.apache.spark.sql.expressions.Window
+        // materialized ONCE (3 consumers: token explode + both confirm
+        // sides) — without the checkpoint each self-join branch re-scans
+        // and re-shingles the corpus
+        val sets = Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            array_sort(array_distinct(
+              transform(Text.shinglesOfTokens(col("toks"), 3),
+                sh => xxhash64(sh)))).as("sh"))
+          .withColumn("n_sh", size(col("sh")).cast("long"))
+          .localCheckpoint()
+        // global document frequency per shingle hash -> rarest-first rank
+        val toks = sets.select(col("doc_id"), col("n_sh"),
+          explode(col("sh")).as("tok"))
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+        // prefix length n - ceil(n/2) + 1 in pure integers; the rank
+        // window is doc-partitioned (never global)
+        val pref = toks.join(dfreq, "tok")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("dfreq"), col("tok"))))
+          .filter(col("rk") <= expr("n_sh - ((n_sh + 1) div 2) + 1"))
+          .select(col("tok"), col("doc_id"))
+          .localCheckpoint() // both sides of the candidate self-join
+        val cand = pref.select(col("tok"), col("doc_id").as("doc_a"))
+          .join(pref.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        // confirm: deliberately hint-free (contrast NearDup's sized hint)
+        val confirmed = cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+            col("n_sh").as("n_a")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+            col("n_sh").as("n_b")), Seq("doc_b"))
+          .withColumn("n_inter", GraftColumnBridge.column(
+            graft.plans.SortedIntersectCountExpression(
+              GraftColumnBridge.expression(col("sh_a")),
+              GraftColumnBridge.expression(col("sh_b")))))
+          .filter(col("n_inter") * 3 >= col("n_a") + col("n_b"))
+        confirmed
+          .select(col("doc_a"), col("doc_b"), col("n_inter"),
+            round(col("n_inter").cast("double")
+              / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
       }))
 }

@@ -1412,6 +1412,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).length <= 3, "w_cusum_alarm grew a shuffle")
   }
 
+  test("prefix-filter join: every join is hash-keyed (prefix token / doc id) — no nested loop, no hint") {
+    val p = plan("dd_prefix_filter_join")
+    // the shingling/ranking stages live behind the two localCheckpoint
+    // materializations; the visible plan is candidate self-join +
+    // confirm joins, all of which must be EQUI joins (a nested loop here
+    // means the prefix-token key was lost and the join went all-pairs)
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "prefix-filter join planned a cartesian product")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "prefix-filter join degraded to a nested loop")
+    // pair-distinct aggregate + output sort; the joins are AQE-free
+    // (deliberately hint-less) and broadcast at spec scale
+    assert(shuffles(p).length <= 3, s"dd_prefix_filter_join grew a shuffle: ${shuffles(p).length}")
+  }
+
   test("readability: row-local scoring, only the (lang, bucket) rollup shuffles") {
     val p = plan("t_readability")
     assert(collectAll(p) {

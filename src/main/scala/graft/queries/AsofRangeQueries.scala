@@ -365,5 +365,72 @@ object AsofRangeQueries {
             col("hour_us") <= col("e_us"))
           .select("user_id", "d", "event_type", "hour_us", "span_n", "inc_n")
           .orderBy("user_id", "d", "event_type", "hour_us")
+      }),
+
+    Q(
+      "w_max_concurrency",
+      """Sweep-line max-concurrency — the interval-stabbing aggregate
+        |behind "peak simultaneous sessions/licenses/open orders":
+        |each order is an interval [start day, start + 1..30 days)
+        |(duration keyed off the order key so both engines derive it
+        |closed-form), and the question is the maximum number
+        |simultaneously open per priority class and WHEN it first
+        |happens. The classic O(n log n) sweep becomes fully
+        |distributed by collapsing first: boundary events (+1 at
+        |start, -1 at end-exclusive) aggregate to the (priority, day,
+        |net-delta) frame — value-domain bounded (~2.4k days) at every
+        |corpus size — then ONE cumulative window per priority walks
+        |the day line. No interval self-join, no per-row sort: the
+        |only shuffles are the delta aggregation and the frame-sized
+        |window. Peak day is deterministic (earliest day attaining the
+        |max).""".stripMargin,
+      Some(
+        """WITH iv AS (
+          |  SELECT o_orderpriority AS grp,
+          |         epoch_us(date_trunc('day', o_orderdate)) // 86400000000 AS s,
+          |         epoch_us(date_trunc('day', o_orderdate)) // 86400000000
+          |           + (o_orderkey % 30) + 1 AS e
+          |  FROM orders),
+          |d AS (
+          |  SELECT grp, day, CAST(SUM(delta) AS BIGINT) AS delta
+          |  FROM (SELECT grp, s AS day, 1 AS delta FROM iv
+          |        UNION ALL
+          |        SELECT grp, e AS day, -1 AS delta FROM iv)
+          |  GROUP BY grp, day),
+          |c AS (
+          |  SELECT grp, day,
+          |         CAST(SUM(delta) OVER (PARTITION BY grp ORDER BY day
+          |                               ROWS UNBOUNDED PRECEDING)
+          |              AS BIGINT) AS open
+          |  FROM d)
+          |SELECT grp,
+          |       CAST(MAX(open) AS BIGINT) AS max_open,
+          |       CAST(MIN(CASE WHEN open = mx THEN day END) AS BIGINT)
+          |         AS first_peak_day,
+          |       CAST(COUNT(*) AS BIGINT) AS boundary_days
+          |FROM (SELECT c.*, MAX(open) OVER (PARTITION BY grp) AS mx FROM c)
+          |GROUP BY grp ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val iv = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("grp"),
+            expr("unix_micros(date_trunc('day', o_orderdate)) div 86400000000")
+              .as("s"),
+            expr("""unix_micros(date_trunc('day', o_orderdate)) div 86400000000
+                   |+ (o_orderkey % 30) + 1""".stripMargin).as("e"))
+        val d = iv.select(col("grp"), col("s").as("day"), lit(1L).as("delta"))
+          .unionAll(iv.select(col("grp"), col("e").as("day"),
+            lit(-1L).as("delta")))
+          .groupBy("grp", "day")
+          .agg(sum("delta").as("delta"))
+        val wCum = Window.partitionBy("grp").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = d.withColumn("open", sum("delta").over(wCum))
+        c.withColumn("mx", max("open").over(Window.partitionBy("grp")))
+          .groupBy("grp")
+          .agg(max("open").as("max_open"),
+            min(when(col("open") === col("mx"), col("day")))
+              .as("first_peak_day"),
+            count(lit(1)).as("boundary_days"))
+          .orderBy("grp")
       }))
 }

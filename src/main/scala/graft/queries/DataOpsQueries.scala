@@ -634,5 +634,131 @@ object DataOpsQueries {
           .unionAll(audit("dispatches",
             ev.filter(col("event_type") === "purchase").select("user_id")))
           .orderBy("surface")
+      }),
+
+    Q(
+      "audit_fd_violations",
+      """Functional-dependency discovery audit — the profiling sweep
+        |(TANE/metanome family) that tells a lake which column pairs
+        |ACTUALLY behave as keys/hierarchies: for each candidate FD
+        |(brand→type, type→size, name→brand over part), every LHS
+        |group elects its modal RHS (max count, lexicographic-min RHS
+        |on ties — deterministic) and rows outside the modal class are
+        |the violations. g3-style error metric in exact ppm. Engine
+        |shape per FD: one (lhs, rhs) count aggregate — key-cardinality
+        |shuffle — then a window over the (lhs, rhs) DISTINCT-pair
+        |frame (value-domain bounded), then a frame-sized rollup; the
+        |three FDs union into one 3-row report. No self-joins, no
+        |row-level windows.""".stripMargin,
+      Some(
+        """WITH
+          |f1 AS (SELECT CAST(p_brand AS VARCHAR) AS lhs,
+          |              CAST(p_type AS VARCHAR) AS rhs FROM part),
+          |f2 AS (SELECT CAST(p_type AS VARCHAR), CAST(p_size AS VARCHAR)
+          |       FROM part),
+          |f3 AS (SELECT CAST(p_name AS VARCHAR), CAST(p_brand AS VARCHAR)
+          |       FROM part),
+          |u AS (SELECT 'brand_to_type' AS fd, * FROM f1
+          |      UNION ALL SELECT 'type_to_size', * FROM f2
+          |      UNION ALL SELECT 'name_to_brand', * FROM f3),
+          |g AS (SELECT fd, lhs, rhs, CAST(COUNT(*) AS BIGINT) AS c
+          |      FROM u GROUP BY 1, 2, 3),
+          |m AS (SELECT fd, lhs, c,
+          |             SUM(c) OVER (PARTITION BY fd, lhs) AS tot,
+          |             ROW_NUMBER() OVER (PARTITION BY fd, lhs
+          |                                ORDER BY c DESC, rhs) AS rk
+          |      FROM g)
+          |SELECT fd,
+          |       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+          |       CAST(SUM(CASE WHEN tot > c THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS violating_lhs,
+          |       CAST(SUM(tot) AS BIGINT) AS rows_total,
+          |       CAST(SUM(tot - c) AS BIGINT) AS viol_rows,
+          |       CAST(SUM(tot - c) * 1000000 // SUM(tot) AS BIGINT)
+          |         AS g3_err_ppm
+          |FROM m WHERE rk = 1
+          |GROUP BY fd ORDER BY fd""".stripMargin),
+      (s, dir) => {
+        val part = Tables.part(s, dir)
+        def fd(name: String, lhs: String, rhs: String) =
+          part.select(lit(name).as("fd"),
+            col(lhs).cast("string").as("lhs"),
+            col(rhs).cast("string").as("rhs"))
+        val u = fd("brand_to_type", "p_brand", "p_type")
+          .unionAll(fd("type_to_size", "p_type", "p_size"))
+          .unionAll(fd("name_to_brand", "p_name", "p_brand"))
+        val g = u.groupBy("fd", "lhs", "rhs").agg(count(lit(1)).as("c"))
+        val m = g
+          .withColumn("tot", sum("c").over(Window.partitionBy("fd", "lhs")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("fd", "lhs").orderBy(col("c").desc, col("rhs"))))
+          .filter(col("rk") === 1)
+        m.groupBy("fd")
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("tot") > col("c"), 1L).otherwise(0L))
+              .as("violating_lhs"),
+            sum("tot").as("rows_total"),
+            sum(col("tot") - col("c")).as("viol_rows"))
+          .select(col("fd"), col("n_lhs"), col("violating_lhs"),
+            col("rows_total"), col("viol_rows"),
+            expr("viol_rows * 1000000 div rows_total").as("g3_err_ppm"))
+          .orderBy("fd")
+      }),
+
+    Q(
+      "k_compaction_bins",
+      """Small-file compaction planning — the nightly lakehouse
+        |maintenance pass that groups many small files into
+        |target-sized rewrite jobs: the file manifest (one "file" per
+        |ship-day here, sized at rows x 131 bytes — the closed-form
+        |stand-in both engines derive identically) is walked in day
+        |order and every file lands in bin floor(bytes-before / target)
+        |— the prefix-sum formulation of greedy sequential packing, so
+        |the whole plan is ONE cumulative window over the day-domain
+        |frame (~2.4k rows at every corpus size; the manifest, not the
+        |corpus, is windowed) and a bin-keyed rollup. Each bin overruns
+        |its 4 MiB target by at most one file — the standard greedy
+        |guarantee — and the report pins per-bin file counts, exact
+        |byte totals, and the day span a rewrite job would touch.""".stripMargin,
+      Some(
+        """WITH f AS (
+          |  SELECT epoch_us(date_trunc('day', l_shipdate)) // 86400000000
+          |           AS d,
+          |         CAST(COUNT(*) * 131 AS BIGINT) AS bytes
+          |  FROM lineitem GROUP BY 1),
+          |c AS (
+          |  SELECT d, bytes,
+          |         CAST(COALESCE(SUM(bytes) OVER (ORDER BY d
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |              0) AS BIGINT) AS before
+          |  FROM f)
+          |SELECT CAST(before // 4194304 AS BIGINT) AS bin,
+          |       CAST(COUNT(*) AS BIGINT) AS files,
+          |       CAST(SUM(bytes) AS BIGINT) AS bytes,
+          |       CAST(MIN(d) AS BIGINT) AS d_min,
+          |       CAST(MAX(d) AS BIGINT) AS d_max
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val f = Tables.lineitem(s, dir)
+          .select(expr(
+            "unix_micros(date_trunc('day', l_shipdate)) div 86400000000")
+            .as("d"))
+          .groupBy("d")
+          .agg((count(lit(1)) * 131L).as("bytes"))
+        // global cumulative window, but over the COLLAPSED day manifest
+        // (~2.4k rows at any SF) — the frame, not the corpus, is sorted
+        val wBefore = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        f.withColumn("before",
+            coalesce(sum("bytes").over(wBefore), lit(0L)))
+          .withColumn("bin", expr("before div 4194304"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("files"), sum("bytes").as("bytes"),
+            min("d").as("d_min"), max("d").as("d_max"))
+          .select(col("bin"), col("files"),
+            col("bytes").cast("long").as("bytes"),
+            col("d_min").cast("long").as("d_min"),
+            col("d_max").cast("long").as("d_max"))
+          .orderBy("bin")
       }))
 }

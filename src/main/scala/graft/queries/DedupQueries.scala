@@ -1089,5 +1089,72 @@ object DedupQueries {
             round(col("n_inter").cast("double")
               / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
           .orderBy("doc_a", "doc_b")
+      }),
+
+    Q(
+      "dd_symspell_neighbors",
+      """Edit-distance-1 neighbor discovery via SYMMETRIC-DELETE
+        |(SymSpell) blocking — the candidate generator that makes fuzzy
+        |dedup linear instead of all-pairs: two strings are within one
+        |edit (insert/delete/substitute) iff they share a member of
+        |their deletion neighborhoods (each string plus its
+        |length-many single-character deletions), so candidates come
+        |from ONE equi-join on the variant key and the exact
+        |Levenshtein confirm runs only on collisions. Names collapse
+        |to DISTINCT strings first (the exact-dup pre-collapse every
+        |scalable fuzzy pass starts with — replica copies reuse names,
+        |so this also pins output size to the NAME domain, not the row
+        |count). Per distinct supplier name: member count, distinct
+        |names at edit distance exactly 1, and the nearest such name
+        |(lexicographic min — deterministic). Variant lists are
+        |deduplicated per name (repeated characters collapse), so the
+        |pair set needs no multiplicity correction — just DISTINCT on
+        |the colliding pair.""".stripMargin,
+      Some(
+        """WITH nm AS (
+          |  SELECT s_name AS name, CAST(COUNT(*) AS BIGINT) AS members,
+          |         CAST(MIN(s_suppkey) AS BIGINT) AS min_key
+          |  FROM supplier GROUP BY 1),
+          |vr AS (
+          |  SELECT name, unnest(list_distinct(list_transform(
+          |           range(0, length(name) + 1),
+          |           i -> substr(name, 1, CAST(i AS INT))
+          |                || substr(name, CAST(i AS INT) + 2)))) AS v
+          |  FROM nm),
+          |cand AS (
+          |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+          |  FROM vr a JOIN vr b ON a.v = b.v AND a.name <> b.name),
+          |nb AS (
+          |  SELECT name_a, name_b FROM cand
+          |  WHERE levenshtein(name_a, name_b) = 1)
+          |SELECT nm.name, nm.members, nm.min_key,
+          |       CAST(COALESCE(COUNT(nb.name_b), 0) AS BIGINT) AS n_near,
+          |       MIN(nb.name_b) AS nearest
+          |FROM nm LEFT JOIN nb ON nb.name_a = nm.name
+          |GROUP BY nm.name, nm.members, nm.min_key
+          |ORDER BY nm.name""".stripMargin),
+      (s, dir) => {
+        val nm = Tables.supplier(s, dir)
+          .groupBy(col("s_name").as("name"))
+          .agg(count(lit(1)).as("members"),
+            min("s_suppkey").cast("long").as("min_key"))
+        val vr = nm.select(col("name"),
+          explode(array_distinct(expr(
+            """transform(sequence(0, length(name)),
+              |i -> concat(substring(name, 1, i), substring(name, i + 2)))"""
+              .stripMargin))).as("v"))
+        val cand = vr.as("a")
+          .join(vr.as("b"),
+            col("a.v") === col("b.v") && col("a.name") =!= col("b.name"))
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+          .distinct()
+        val nb = cand.filter(levenshtein(col("name_a"), col("name_b")) === 1)
+        nm.join(nb, nm("name") === nb("name_a"), "left")
+          .groupBy(nm("name"), col("members"), col("min_key"))
+          .agg(count(col("name_b")).as("n_near"),
+            min(col("name_b")).as("nearest"))
+          .select(col("name"), col("members"), col("min_key"),
+            col("n_near"), col("nearest"))
+          .orderBy("name")
       }))
 }

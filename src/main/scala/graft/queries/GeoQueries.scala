@@ -177,6 +177,86 @@ object GeoQueries {
               .cast("long").as("max_step"),
             ((max("x") - min("x")) * (max("y") - min("y"))).cast("long").as("bbox_area"))
           .orderBy("user_id")
+      }),
+
+    Q(
+      "geo_knn_ranked",
+      """Bounded k-nearest-neighbor join (k = 3 within the 60k
+        |micro-degree radius) — the ranked companion to geo_grid_join's
+        |min-only aggregate: each customer gets its 3 closest in-radius
+        |suppliers WITH ranks and exact squared distances, the shape a
+        |"nearest depots" feature join produces. The radius bound is
+        |what keeps grid kNN EXACT and distributed: with cell edge >=
+        |radius, the 3x3 neighborhood provably contains every in-radius
+        |supplier, so no expanding-ring fallback is ever needed (an
+        |unbounded kNN cannot make that guarantee and degenerates to
+        |multi-pass). Candidates are cell-collision-bounded, ranking is
+        |a per-customer window over the in-radius candidate set only
+        |(never the supplier table), ties break on supplier key —
+        |deterministic. The replicated supplier side broadcasts here;
+        |at equal-sized sides the identical plan shuffles on the cell
+        |key (the standard spatial-join recipe either way).""".stripMargin,
+      Some(
+        s"""WITH c AS (
+           |  SELECT c_custkey,
+           |         ${gxSql("c_custkey")} AS cx, ${gySql("c_custkey")} AS cy
+           |  FROM customer),
+           |s AS (
+           |  SELECT s_suppkey,
+           |         ${gxSql("s_suppkey")} AS sx, ${gySql("s_suppkey")} AS sy
+           |  FROM supplier),
+           |sg AS (
+           |  SELECT s_suppkey, sx, sy,
+           |         ((sx // $CellSz) + dx.d) * 1000 + ((sy // $CellSz) + dy.d)
+           |           AS cell
+           |  FROM s
+           |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+           |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+           |pairs AS (
+           |  SELECT c.c_custkey, sg.s_suppkey,
+           |         (c.cx - sg.sx) * (c.cx - sg.sx)
+           |           + (c.cy - sg.sy) * (c.cy - sg.sy) AS d2
+           |  FROM c JOIN sg
+           |    ON (c.cx // $CellSz) * 1000 + (c.cy // $CellSz) = sg.cell
+           |  WHERE (c.cx - sg.sx) * (c.cx - sg.sx)
+           |          + (c.cy - sg.sy) * (c.cy - sg.sy) <= $R2)
+           |SELECT c_custkey, CAST(rk AS BIGINT) AS rk, s_suppkey,
+           |       CAST(d2 AS BIGINT) AS d2
+           |FROM (SELECT c_custkey, s_suppkey, d2,
+           |             ROW_NUMBER() OVER (PARTITION BY c_custkey
+           |                                ORDER BY d2, s_suppkey) AS rk
+           |      FROM pairs)
+           |WHERE rk <= 3
+           |ORDER BY c_custkey, rk""".stripMargin),
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).select(
+          col("c_custkey"),
+          expr(gxSql("c_custkey")).as("cx"),
+          expr(gySql("c_custkey")).as("cy"))
+        val supp = Tables.supplier(s, dir).select(
+          col("s_suppkey"),
+          expr(gxSql("s_suppkey")).as("sx"),
+          expr(gySql("s_suppkey")).as("sy"))
+        val sg = supp
+          .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+          .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+          .withColumn("cell",
+            expr(s"((sx div $CellSz) + dx) * 1000 + ((sy div $CellSz) + dy)"))
+        val probe = cust.withColumn("cell",
+          expr(s"(cx div $CellSz) * 1000 + (cy div $CellSz)"))
+        val pairs = probe.join(broadcast(sg), "cell")
+          .withColumn("d2",
+            (col("cx") - col("sx")) * (col("cx") - col("sx"))
+              + (col("cy") - col("sy")) * (col("cy") - col("sy")))
+          .filter(col("d2") <= R2)
+        pairs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey"))
+            .cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("c_custkey"), col("rk"), col("s_suppkey"),
+            col("d2").cast("long").as("d2"))
+          .orderBy("c_custkey", "rk")
       })
   )
 }

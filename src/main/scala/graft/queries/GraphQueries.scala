@@ -471,6 +471,80 @@ object GraphQueries {
       }),
 
     Q(
+      "g_sssp_bellman",
+      """Weighted single-source shortest paths (4-round Bellman-Ford) on
+        |the trade graph — the "cheapest multi-leg route" companion to
+        |g_bfs_levels' hop counts: edges are distinct customer↔supplier
+        |trade pairs weighted by the MINIMUM line price in exact cents
+        |(both directions; supplier ids offset by 10^6 like pagerank),
+        |the source is the minimum customer key (closed-form in both
+        |engines), and each round relaxes every edge once:
+        |d' = min(d, min over in-edges(d[src] + w)). Distances stay in
+        |exact bigint cents — min is associative, so the relax
+        |aggregation combines map-side and the per-round shuffle
+        |carries one row per reached node. Four rounds = paths of at
+        |most 4 legs: in Spark a loop of join+groupBy-min with
+        |per-round lineage truncation (localCheckpoint — the same
+        |iterative-plan discipline as pagerank/BFS); the oracle unrolls
+        |the identical four relaxations as CTEs. Replica copies are
+        |mutually invisible (keys shift together), so the reached set
+        |stays the source copy's component — output is component-sized,
+        |not corpus-sized, at every scale.""".stripMargin,
+      Some(
+        """WITH pe AS (
+          |  SELECT o_custkey AS c, l_suppkey + 1000000 AS s,
+          |         CAST(MIN(CAST(floor(l_extendedprice * 100) AS BIGINT))
+          |              AS BIGINT) AS w
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2),
+          |e AS (SELECT c AS src, s AS dst, w FROM pe
+          |      UNION ALL SELECT s, c, w FROM pe),
+          |d0 AS (SELECT CAST(MIN(c_custkey) AS BIGINT) AS id,
+          |              CAST(0 AS BIGINT) AS d FROM customer),
+          |d1 AS (SELECT id, CAST(MIN(d) AS BIGINT) AS d FROM (
+          |  SELECT id, d FROM d0
+          |  UNION ALL SELECT e.dst, d0.d + e.w FROM d0 JOIN e ON e.src = d0.id)
+          |  GROUP BY id),
+          |d2 AS (SELECT id, CAST(MIN(d) AS BIGINT) AS d FROM (
+          |  SELECT id, d FROM d1
+          |  UNION ALL SELECT e.dst, d1.d + e.w FROM d1 JOIN e ON e.src = d1.id)
+          |  GROUP BY id),
+          |d3 AS (SELECT id, CAST(MIN(d) AS BIGINT) AS d FROM (
+          |  SELECT id, d FROM d2
+          |  UNION ALL SELECT e.dst, d2.d + e.w FROM d2 JOIN e ON e.src = d2.id)
+          |  GROUP BY id),
+          |d4 AS (SELECT id, CAST(MIN(d) AS BIGINT) AS d FROM (
+          |  SELECT id, d FROM d3
+          |  UNION ALL SELECT e.dst, d3.d + e.w FROM d3 JOIN e ON e.src = d3.id)
+          |  GROUP BY id)
+          |SELECT id, d AS dist_cents FROM d4 ORDER BY id""".stripMargin),
+      (s, dir) => {
+        val pe = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"),
+            (col("l_suppkey") + lit(SupplierOffset)).as("s"))
+          .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
+        val e = pe.select(col("c").as("src"), col("s").as("dst"), col("w"))
+          .unionAll(pe.select(col("s").as("src"), col("c").as("dst"), col("w")))
+          .localCheckpoint()
+        var dist = Tables.customer(s, dir)
+          .agg(min("c_custkey").cast("long").as("id"))
+          .select(col("id"), lit(0L).as("d"))
+          .localCheckpoint()
+        (1 to 4).foreach { _ =>
+          dist = dist
+            .unionAll(e.join(dist.withColumnRenamed("id", "src"), "src")
+              .select(col("dst").as("id"), (col("d") + col("w")).as("d")))
+            .groupBy("id").agg(min("d").as("d"))
+            .localCheckpoint()
+        }
+        dist.select(col("id"), col("d").as("dist_cents")).orderBy("id")
+      }),
+
+    Q(
       "g_node_similarity",
       """Neighbor-set Jaccard similarity join on the co-purchase graph —
         |the item-item collaborative-filtering primitive ("parts bought

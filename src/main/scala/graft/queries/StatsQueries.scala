@@ -512,6 +512,248 @@ object StatsQueries {
             expr("cast(sum(fre_milli + 10000000) div count(1) - 10000000 as bigint)")
               .as("fre_mean_milli"))
           .orderBy("lang", "bucket")
+      }),
+
+    Q(
+      "a_changepoint_binary",
+      """Binary-segmentation changepoint detection over the daily order
+        |series — the first step of PELT/BinSeg every monitoring stack
+        |runs: per order priority, find the day boundary that maximizes
+        |the between-segment separation of daily order counts. The
+        |corpus collapses to the (priority, day, count) frame FIRST
+        |(value-domain bounded — ~2.4k days at any corpus size), prefix
+        |sums run in ONE cumulative window per group, and the split
+        |score is the exact integer between-group term
+        |(SL*nR - SR*nL)^2 div (nL*nR) with the square widened through
+        |DECIMAL(38,0)/HUGEINT (counts grow with replica scale; the
+        |cross term passes 2^63 near 10x). Argmax is deterministic:
+        |max score per group, earliest day on ties. Output: the split
+        |day, both segment day-counts, and the exact micro-unit segment
+        |means — no float enters at any point.""".stripMargin,
+      Some(
+        """WITH d AS (
+          |  SELECT o_orderpriority AS grp,
+          |         epoch_us(date_trunc('day', o_orderdate)) // 86400000000 AS d,
+          |         CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM orders GROUP BY 1, 2),
+          |p AS (
+          |  SELECT grp, d, c,
+          |         SUM(c) OVER (PARTITION BY grp ORDER BY d
+          |                      ROWS UNBOUNDED PRECEDING) AS sl,
+          |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d) AS nl,
+          |         SUM(c) OVER (PARTITION BY grp) AS s,
+          |         COUNT(*) OVER (PARTITION BY grp) AS n
+          |  FROM d),
+          |sc AS (
+          |  SELECT grp, d, nl, n - nl AS nr, sl, s - sl AS sr,
+          |         CAST(CAST(sl * (n - nl) - (s - sl) * nl AS HUGEINT)
+          |              * (sl * (n - nl) - (s - sl) * nl)
+          |              // (nl * (n - nl)) AS BIGINT) AS score,
+          |         CAST(sl * 1000000 // nl AS BIGINT) AS mean_l_micro,
+          |         CAST((s - sl) * 1000000 // (n - nl) AS BIGINT) AS mean_r_micro
+          |  FROM p WHERE nl < n),
+          |mx AS (
+          |  SELECT sc.*, MAX(score) OVER (PARTITION BY grp) AS best
+          |  FROM sc)
+          |SELECT grp, CAST(d AS BIGINT) AS split_day,
+          |       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+          |       score, mean_l_micro, mean_r_micro
+          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d) AS rn
+          |      FROM mx WHERE score = best)
+          |WHERE rn = 1
+          |ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val d = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("grp"),
+            expr("unix_micros(date_trunc('day', o_orderdate)) div 86400000000")
+              .as("d"))
+          .groupBy("grp", "d")
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("grp").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOrd = Window.partitionBy("grp").orderBy("d")
+        val wAll = Window.partitionBy("grp")
+        val p = d
+          .withColumn("sl", sum("c").over(wCum))
+          .withColumn("nl", row_number().over(wOrd).cast("long"))
+          .withColumn("s", sum("c").over(wAll))
+          .withColumn("n", count(lit(1)).over(wAll))
+        val sc = p.filter(col("nl") < col("n"))
+          .select(col("grp"), col("d"), col("nl"),
+            (col("n") - col("nl")).as("nr"), col("sl"),
+            (col("s") - col("sl")).as("sr"),
+            expr("""cast(cast(sl * (n - nl) - (s - sl) * nl as decimal(38,0))
+                   |* (sl * (n - nl) - (s - sl) * nl)
+                   |div (nl * (n - nl)) as bigint)""".stripMargin).as("score"),
+            expr("cast(sl * 1000000 div nl as bigint)").as("mean_l_micro"),
+            expr("cast((s - sl) * 1000000 div (n - nl) as bigint)")
+              .as("mean_r_micro"))
+        sc.withColumn("best", max("score").over(Window.partitionBy("grp")))
+          .filter(col("score") === col("best"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("grp").orderBy("d")))
+          .filter(col("rn") === 1)
+          .select(col("grp"), col("d").cast("long").as("split_day"),
+            col("nl").as("n_left"), col("nr").as("n_right"),
+            col("score"), col("mean_l_micro"), col("mean_r_micro"))
+          .orderBy("grp")
+      }),
+
+    Q(
+      "a_largest_remainder_alloc",
+      """Largest-remainder (Hamilton) apportionment — the exact-sum
+        |allocation primitive behind budget splits, seat apportionment
+        |and pro-rata rounding: 10,000 allocation units distributed
+        |across nations proportionally to their customers' order
+        |revenue, floors first, then the leftover units awarded one
+        |each by descending remainder (nation key breaks ties), so the
+        |grand total is EXACTLY 10,000 by construction — the invariant
+        |every naive per-row rounding violates. Engine shape: the fact
+        |join collapses to a 25-row nation frame before any window;
+        |the remainder ranking and the leftover count are windows over
+        |that frame; revenue stays in exact cents (the 10^4 x cents
+        |cross product is ~3e16 at 10x — inside BIGINT, asserted by
+        |the same widened math both engines run). Output carries the
+        |allocated units plus the whole-frame allocation total so the
+        |hash pins the exact-sum invariant itself.""".stripMargin,
+      Some(
+        """WITH r AS (
+          |  SELECT c.c_nationkey AS nk,
+          |         CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+          |              AS BIGINT) AS cents
+          |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          |  GROUP BY 1),
+          |q AS (
+          |  SELECT nk, cents,
+          |         SUM(cents) OVER () AS total,
+          |         (10000 * cents) // SUM(cents) OVER () AS fl,
+          |         (10000 * cents) % SUM(cents) OVER () AS rem
+          |  FROM r),
+          |k AS (
+          |  SELECT q.*, 10000 - SUM(fl) OVER () AS leftover,
+          |         ROW_NUMBER() OVER (ORDER BY rem DESC, nk) AS rk
+          |  FROM q)
+          |SELECT CAST(nk AS BIGINT) AS nk, n.n_name, cents,
+          |       CAST(fl AS BIGINT) AS floor_units,
+          |       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          |         AS extra,
+          |       CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+          |            AS BIGINT) AS units,
+          |       CAST(SUM(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+          |            OVER () AS BIGINT) AS total_units
+          |FROM k JOIN nation n ON n.n_nationkey = k.nk
+          |ORDER BY nk""".stripMargin),
+      (s, dir) => {
+        val r = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val wAll = Window.partitionBy(lit(1))
+        val q = r
+          .withColumn("total", sum("cents").over(wAll))
+          .withColumn("fl", expr("(10000 * cents) div total"))
+          .withColumn("rem", expr("(10000 * cents) % total"))
+        val k = q
+          .withColumn("leftover", lit(10000L) - sum("fl").over(wAll))
+          .withColumn("rk", row_number()
+            .over(Window.partitionBy(lit(1))
+              .orderBy(col("rem").desc, col("nk"))).cast("long"))
+          .withColumn("extra",
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .withColumn("units", col("fl") + col("extra"))
+          .withColumn("total_units", sum("units").over(wAll))
+        k.join(broadcast(Tables.nation(s, dir)),
+            col("n_nationkey") === col("nk"))
+          .select(col("nk").cast("long").as("nk"), col("n_name"),
+            col("cents"), col("fl").as("floor_units"), col("extra"),
+            col("units"), col("total_units"))
+          .orderBy("nk")
+      }),
+
+    Q(
+      "a_theil_sen_daily",
+      """Theil-Sen robust trend estimator per event type — the
+        |outlier-resistant slope the monitoring world uses where OLS
+        |(a_group_regression) gets dragged by spikes: the median over
+        |all pairwise day-slopes of the daily count series. The corpus
+        |collapses to the (type, day, count) frame FIRST, so the
+        |pairwise stage is a self-join of the DAY DOMAIN (~2.4k rows
+        |per type at every corpus size — the pair count is scale-
+        |INVARIANT; only the per-day counts grow with data). Slopes are
+        |exact micro-units via an explicit two-sided FLOOR division:
+        |both engines' native operators (Spark `div`, DuckDB `//`)
+        |truncate toward zero, which would round negative slopes UP —
+        |the CASE wrapper pins mathematical floor on both engines so
+        |the order statistic over mixed-sign slopes is monotone in the
+        |true rational value. Median-of-even-count is reported as BOTH middle
+        |order statistics (lo/hi) plus their sum — no halving, no
+        |float. Deterministic order statistic: slopes ranked with
+        |(slope, d1, d2) tiebreak.""".stripMargin,
+      Some(
+        """WITH d AS (
+          |  SELECT event_type AS grp,
+          |         epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+          |         CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, 2),
+          |pr AS (
+          |  SELECT a.grp, a.d AS d1, b.d AS d2,
+          |         (b.c - a.c) * 1000000 AS num, b.d - a.d AS den
+          |  FROM d a JOIN d b ON a.grp = b.grp AND b.d > a.d),
+          |sl AS (
+          |  SELECT grp, d1, d2,
+          |         CASE WHEN num >= 0 THEN num // den
+          |              ELSE -((-num + den - 1) // den) END AS slope_micro
+          |  FROM pr),
+          |rk AS (
+          |  SELECT grp, slope_micro,
+          |         ROW_NUMBER() OVER (PARTITION BY grp
+          |                            ORDER BY slope_micro, d1, d2) AS rn,
+          |         COUNT(*) OVER (PARTITION BY grp) AS m
+          |  FROM sl)
+          |SELECT grp, CAST(MAX(m) AS BIGINT) AS m,
+          |       CAST(MAX(CASE WHEN rn = (m + 1) // 2 THEN slope_micro END)
+          |            AS BIGINT) AS slope_lo,
+          |       CAST(MAX(CASE WHEN rn = (m + 2) // 2 THEN slope_micro END)
+          |            AS BIGINT) AS slope_hi,
+          |       CAST(MAX(CASE WHEN rn = (m + 1) // 2 THEN slope_micro END)
+          |            + MAX(CASE WHEN rn = (m + 2) // 2 THEN slope_micro END)
+          |            AS BIGINT) AS slope2_micro
+          |FROM rk GROUP BY grp ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .select(col("event_type").as("grp"),
+            expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+              .as("d"))
+          .groupBy("grp", "d")
+          .agg(count(lit(1)).as("c"))
+        val a = d.select(col("grp"), col("d").as("d1"), col("c").as("c1"))
+        val b = d.select(col("grp").as("grp_b"), col("d").as("d2"),
+          col("c").as("c2"))
+        val pr = a.join(b,
+            col("grp") === col("grp_b") && col("d2") > col("d1"))
+          .select(col("grp"), col("d1"), col("d2"),
+            ((col("c2") - col("c1")) * 1000000L).as("num"),
+            (col("d2") - col("d1")).as("den"))
+        val sl = pr.select(col("grp"), col("d1"), col("d2"),
+          expr("""CASE WHEN num >= 0 THEN num div den
+                 |ELSE -((-num + den - 1) div den) END""".stripMargin)
+            .as("slope_micro"))
+        val w = Window.partitionBy("grp")
+          .orderBy("slope_micro", "d1", "d2")
+        val rk = sl
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("m",
+            count(lit(1)).over(Window.partitionBy("grp")))
+        rk.groupBy("grp")
+          .agg(max("m").cast("long").as("m"),
+            max(when(col("rn") === expr("(m + 1) div 2"),
+              col("slope_micro"))).as("slope_lo"),
+            max(when(col("rn") === expr("(m + 2) div 2"),
+              col("slope_micro"))).as("slope_hi"))
+          .select(col("grp"), col("m"), col("slope_lo"), col("slope_hi"),
+            (col("slope_lo") + col("slope_hi")).as("slope2_micro"))
+          .orderBy("grp")
       })
   )
 }

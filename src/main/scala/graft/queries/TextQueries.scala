@@ -985,6 +985,87 @@ object TextQueries {
             expr("coalesce(covered_tokens, 0L) * 1000000 div n_tokens")
               .as("removed_ppm"))
           .orderBy("doc_id")
+      }),
+
+    Q(
+      "t_phrase_positions",
+      """Positional phrase matching — the adjacency query a bag-of-words
+        |index (t_keyword_search) cannot answer: count occurrences of
+        |exact two-word phrases ("hash join", "table scan", "fast
+        |merge") where order and adjacency matter. Engine shape: the
+        |token array materializes ONCE per document into a named column
+        |(HOF results get no CSE — the skill-file rule), the 3-row
+        |phrase table broadcasts, and the position walk is a single
+        |row-local lambda per (doc, phrase) — filter over the position
+        |range testing toks[i]/toks[i+1] — so the corpus is scanned
+        |once with ZERO shuffle before the per-phrase rollup
+        |(phrase-cardinality-sized). Per phrase: documents hit, total
+        |occurrences, densest document (max count, min doc id on ties).
+        |The argmax deliberately AVOIDS a phrase-partitioned window
+        |over the hit rows — 3 phrase partitions would funnel every hit
+        |row through 3 tasks at corpus scale — and instead collapses to
+        |the (phrase, count) VALUE-DOMAIN frame in one map-side-
+        |combinable aggregate (counts are small integers, so the frame
+        |is tiny at any corpus size) and windows over THAT. The
+        |positional self-join formulation would shuffle the full token
+        |stream twice; the row-local fold is the 100 TB shape.""".stripMargin,
+      Some(
+        """WITH ph AS (
+          |  SELECT * FROM (VALUES ('hash', 'join'), ('table', 'scan'),
+          |                        ('fast', 'merge')) AS t(w1, w2)),
+          |d AS (
+          |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          |hits AS (
+          |  SELECT ph.w1 || ' ' || ph.w2 AS phrase, d.doc_id,
+          |         CAST(len(list_filter(range(1, len(d.toks)),
+          |           i -> d.toks[i] = ph.w1 AND d.toks[i + 1] = ph.w2))
+          |           AS BIGINT) AS cnt
+          |  FROM d CROSS JOIN ph),
+          |h AS (SELECT * FROM hits WHERE cnt > 0),
+          |mx AS (SELECT h.*, MAX(cnt) OVER (PARTITION BY phrase) AS m
+          |       FROM h)
+          |SELECT phrase,
+          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(cnt) AS BIGINT) AS occurrences,
+          |       CAST(MAX(cnt) AS BIGINT) AS max_in_doc,
+          |       CAST(MIN(CASE WHEN cnt = m THEN doc_id END) AS BIGINT)
+          |         AS top_doc
+          |FROM mx GROUP BY phrase ORDER BY phrase""".stripMargin),
+      (s, dir) => {
+        val ph = s.createDataFrame(Seq(
+          ("hash", "join"), ("table", "scan"), ("fast", "merge")))
+          .toDF("w1", "w2")
+        val d = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            split(lower(trim(col("text"))), " ").as("toks"))
+        val hits = d.crossJoin(broadcast(ph))
+          .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"),
+            col("doc_id"),
+            // sequence(1, n) flips DESCENDING when n < 1 (a 1-token doc),
+            // so the range runs to size(toks) and the i < size guard
+            // excludes the last position instead
+            expr("""cast(size(filter(sequence(1, size(toks)),
+                   |i -> i < size(toks) AND element_at(toks, i) = w1
+                   |  AND element_at(toks, i + 1) = w2)) as bigint)"""
+              .stripMargin).as("cnt"))
+          .filter(col("cnt") > 0)
+        // collapse to the (phrase, cnt) value domain first: ONE pass over
+        // the corpus, map-side combinable; the argmax window then runs
+        // over the tiny collapsed frame, never the per-doc hit stream
+        val g = hits.groupBy("phrase", "cnt")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("doc_min"))
+        g.withColumn("m", max("cnt").over(Window.partitionBy("phrase")))
+          .groupBy("phrase")
+          .agg(sum("n").as("n_docs"),
+            sum(col("cnt") * col("n")).as("occurrences"),
+            max("cnt").as("max_in_doc"),
+            min(when(col("cnt") === col("m"), col("doc_min"))).as("top_doc"))
+          .select(col("phrase"), col("n_docs").cast("long").as("n_docs"),
+            col("occurrences").cast("long").as("occurrences"),
+            col("max_in_doc"), col("top_doc").cast("long").as("top_doc"))
+          .orderBy("phrase")
       }))
 
   /** The shared BPE-training oracle CTE chain: word frequencies ->

@@ -1436,4 +1436,103 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "t_readability grew a window")
     assert(shuffles(p).length <= 2, "t_readability grew a shuffle") // rollup + output sort
   }
+
+  test("sweep-line concurrency: boundary-delta aggregate + one group window, no interval join") {
+    val p = plan("w_max_concurrency")
+    assert(joinTypes(p).isEmpty,
+      "w_max_concurrency grew a join (interval self-join regressed in)")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "sweep windows must stay priority-partitioned")
+    // delta agg + window repartition + output sort
+    assert(shuffles(p).length <= 3, "w_max_concurrency grew a shuffle")
+  }
+
+  test("changepoint: day-domain collapse before any window; no joins") {
+    val p = plan("a_changepoint_binary")
+    assert(joinTypes(p).isEmpty, "a_changepoint_binary grew a join")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "changepoint windows must stay priority-partitioned")
+    assert(shuffles(p).length <= 4, "a_changepoint_binary grew a shuffle")
+  }
+
+  test("theil-sen: the pairwise stage self-joins the collapsed day frame as an equi join") {
+    val p = plan("a_theil_sen_daily")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "theil-sen pair join planned a cartesian product")
+    // (type, day) collapse x2 branches may reuse one exchange; pair join
+    // + rank window + final rollup + output sort
+    assert(shuffles(p).length <= 6, s"a_theil_sen_daily grew a shuffle: ${shuffles(p).length}")
+  }
+
+  test("largest-remainder: fact collapses to the nation frame before windows; nation dim broadcasts") {
+    val p = plan("a_largest_remainder_alloc")
+    assert(bcasts(p).nonEmpty, "a_largest_remainder_alloc lost its nation broadcast")
+    assert(shuffles(p).length <= 5, "a_largest_remainder_alloc grew a shuffle")
+  }
+
+  test("FD audit: union aggregates once; modal election windows the distinct-pair frame") {
+    val p = plan("audit_fd_violations")
+    assert(joinTypes(p).isEmpty, "audit_fd_violations grew a join")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "FD windows must stay (fd, lhs)-partitioned")
+    assert(shuffles(p).length <= 4, "audit_fd_violations grew a shuffle")
+  }
+
+  test("compaction bins: manifest collapse, then frame-sized prefix window + bin rollup") {
+    val p = plan("k_compaction_bins")
+    assert(joinTypes(p).isEmpty, "k_compaction_bins grew a join")
+    // day collapse + (global-over-manifest) window + bin rollup + sort
+    assert(shuffles(p).length <= 4, "k_compaction_bins grew a shuffle")
+  }
+
+  test("phrase positions: ONE corpus scan; phrases ride a broadcast; argmax over the value domain") {
+    val p = plan("t_phrase_positions")
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1,
+      s"t_phrase_positions must scan documents exactly once, saw ${scans.length}")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "t_phrase_positions lost its phrase broadcast")
+    assert(shuffles(p).length <= 3, "t_phrase_positions grew a shuffle")
+  }
+
+  test("symspell blocking: variant join is equi-keyed — no nested loop, no cartesian") {
+    val p = plan("dd_symspell_neighbors")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "symspell candidate join planned a cartesian product")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "symspell candidate join degraded to a nested loop")
+  }
+
+  test("bellman-ford SSSP: every relax round is an equi join — no cartesian anywhere") {
+    val p = plan("g_sssp_bellman")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "SSSP relax planned a cartesian product")
+  }
+
+  test("kNN spatial join: supplier cells broadcast; ranking window stays customer-partitioned") {
+    val p = plan("geo_knn_ranked")
+    assert(bcasts(p).nonEmpty, "geo_knn_ranked lost its cell broadcast")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "kNN ranking window must stay customer-partitioned")
+    assert(shuffles(p).length <= 2, "geo_knn_ranked grew a shuffle")
+  }
 }

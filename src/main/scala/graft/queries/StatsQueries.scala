@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Sharding
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -753,6 +754,150 @@ object StatsQueries {
               col("slope_micro"))).as("slope_hi"))
           .select(col("grp"), col("m"), col("slope_lo"), col("slope_hi"),
             (col("slope_lo") + col("slope_hi")).as("slope2_micro"))
+          .orderBy("grp")
+      }),
+
+    Q(
+      "a_survival_hazard",
+      """Nelson-Aalen cumulative hazard — survival analysis with RIGHT
+        |CENSORING, the readout behind "how long until an order
+        |fulfills, given many are still open": duration = order day →
+        |last ship day, the event is observed only for finished ('F')
+        |orders, open orders stay in the risk set through their
+        |observed duration (dropping them — the naive mean — biases
+        |fulfillment time low). The estimator is a SUM of per-step
+        |hazards d_t/n_t, so unlike Kaplan-Meier's product it stays in
+        |exact integer ppm (per-term floor, then one cumulative
+        |window). Engine shape: one orderkey-keyed aggregate builds
+        |durations, the corpus then collapses to the (priority,
+        |duration-day) VALUE-DOMAIN frame, and risk sets come from ONE
+        |cumulative window over that frame (n_t = total minus prefix-
+        |before) — never a per-order theta-join against duration >= t.
+        |Output at event times only, as the estimator defines.""".stripMargin,
+      Some(
+        """WITH dur AS (
+          |  SELECT o.o_orderkey, o.o_orderpriority AS grp,
+          |         CAST(MAX(epoch_us(date_trunc('day', l.l_shipdate))
+          |                // 86400000000)
+          |              - epoch_us(date_trunc('day', o.o_orderdate))
+          |                // 86400000000 AS BIGINT) AS t,
+          |         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS evt
+          |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+          |           o.o_orderstatus),
+          |f AS (
+          |  SELECT grp, t, CAST(SUM(evt) AS BIGINT) AS d,
+          |         CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM dur GROUP BY 1, 2),
+          |r AS (
+          |  SELECT grp, t, d,
+          |         CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT)
+          |           - CAST(SUM(c) OVER (PARTITION BY grp ORDER BY t
+          |                ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS n_risk
+          |  FROM f),
+          |h AS (
+          |  SELECT grp, t, n_risk, d,
+          |         CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+          |  FROM r WHERE d > 0)
+          |SELECT grp, t, n_risk, d AS d_events, hazard_ppm,
+          |       CAST(SUM(hazard_ppm) OVER (PARTITION BY grp ORDER BY t
+          |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_ppm
+          |FROM h ORDER BY grp, t""".stripMargin),
+      (s, dir) => {
+        val dur = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_shipdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority").as("grp"),
+            col("o_orderdate"), col("o_orderstatus"))
+          .agg((max(expr(
+            "unix_micros(date_trunc('day', l_shipdate)) div 86400000000"))
+            - expr("unix_micros(date_trunc('day', o_orderdate)) div 86400000000"))
+            .as("t"))
+          .select(col("grp"), col("t"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("evt"))
+        val f = dur.groupBy("grp", "t")
+          .agg(sum("evt").as("d"), count(lit(1)).as("c"))
+        val wAll = Window.partitionBy("grp")
+        val wCum = Window.partitionBy("grp").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val r = f.withColumn("n_risk",
+          sum("c").over(wAll) - (sum("c").over(wCum) - col("c")))
+        val h = r.filter(col("d") > 0)
+          .select(col("grp"), col("t"), col("n_risk").cast("long").as("n_risk"),
+            col("d"), expr("cast(d * 1000000 div n_risk as bigint)")
+              .as("hazard_ppm"))
+        h.withColumn("cumhaz_ppm",
+            sum("hazard_ppm").over(wCum).cast("long"))
+          .select(col("grp"), col("t"), col("n_risk"),
+            col("d").as("d_events"), col("hazard_ppm"), col("cumhaz_ppm"))
+          .orderBy("grp", "t")
+      }),
+
+    Q(
+      "a_capture_recapture",
+      """Capture-recapture population estimation (Chapman's corrected
+        |Lincoln-Petersen) — the "how many are we NOT seeing" estimator
+        |used for coverage auditing (log sampling, dedup completeness):
+        |two independent deterministic 25% observers sample the order
+        |stream via seeded md5-nibble membership (the same portable
+        |hex-nibble construction as the sampling family — reproducible
+        |under retries on both engines), and the overlap estimates the
+        |true population: N-hat = (n1+1)(n2+1) div (m+1) - 1, exact
+        |integers throughout. The TRUE count rides alongside with the
+        |absolute error in ppm — the query is its own calibration
+        |harness, the pattern a_kmv_distinct set. Engine shape: one
+        |scan, the membership flags are row-local expressions, one
+        |group-by carries all five sufficient statistics — nothing
+        |shuffles but the 5-row priority frame.""".stripMargin,
+      Some(
+        """WITH s AS (
+          |  SELECT o_orderpriority AS grp,
+          |         CASE WHEN ((instr('0123456789abcdef',
+          |                 substr(md5(CAST(o_orderkey AS VARCHAR) || 'capA'),
+          |                        1, 1)) - 1) * 16
+          |               + instr('0123456789abcdef',
+          |                 substr(md5(CAST(o_orderkey AS VARCHAR) || 'capA'),
+          |                        2, 1)) - 1) % 4 = 0
+          |              THEN 1 ELSE 0 END AS in_a,
+          |         CASE WHEN ((instr('0123456789abcdef',
+          |                 substr(md5(CAST(o_orderkey AS VARCHAR) || 'capB'),
+          |                        1, 1)) - 1) * 16
+          |               + instr('0123456789abcdef',
+          |                 substr(md5(CAST(o_orderkey AS VARCHAR) || 'capB'),
+          |                        2, 1)) - 1) % 4 = 0
+          |              THEN 1 ELSE 0 END AS in_b
+          |  FROM orders),
+          |m AS (
+          |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_true,
+          |         CAST(SUM(in_a) AS BIGINT) AS n1,
+          |         CAST(SUM(in_b) AS BIGINT) AS n2,
+          |         CAST(SUM(in_a * in_b) AS BIGINT) AS m_both
+          |  FROM s GROUP BY 1)
+          |SELECT grp, n_true, n1, n2, m_both,
+          |       CAST((n1 + 1) * (n2 + 1) // (m_both + 1) - 1 AS BIGINT)
+          |         AS n_est,
+          |       CAST(ABS((n1 + 1) * (n2 + 1) // (m_both + 1) - 1 - n_true)
+          |            * 1000000 // n_true AS BIGINT) AS err_ppm
+          |FROM m ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val sdf = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("grp"),
+            when(Sharding.shardOf(col("o_orderkey"), "capA", 4) === 0, 1L)
+              .otherwise(0L).as("in_a"),
+            when(Sharding.shardOf(col("o_orderkey"), "capB", 4) === 0, 1L)
+              .otherwise(0L).as("in_b"))
+        sdf.groupBy("grp")
+          .agg(count(lit(1)).as("n_true"),
+            sum("in_a").as("n1"), sum("in_b").as("n2"),
+            sum(col("in_a") * col("in_b")).as("m_both"))
+          .select(col("grp"), col("n_true"), col("n1"), col("n2"),
+            col("m_both"),
+            expr("cast((n1 + 1) * (n2 + 1) div (m_both + 1) - 1 as bigint)")
+              .as("n_est"),
+            expr("""cast(abs((n1 + 1) * (n2 + 1) div (m_both + 1) - 1 - n_true)
+                   |* 1000000 div n_true as bigint)""".stripMargin)
+              .as("err_ppm"))
           .orderBy("grp")
       })
   )

@@ -30,6 +30,8 @@ object SubqueryQueries {
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.supplier(s, dir).createOrReplaceTempView("supplier")
     Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
   }
 
   private def sqlQ(name: String, doc: String, sql: String): Q =
@@ -220,5 +222,44 @@ object SubqueryQueries {
         |shape): above-average-balance customers with no orders, per market
         |segment. One broadcast stats row, one anti join; integer tenth-cent
         |compare keeps the above-average boundary exact.""".stripMargin,
-      existsSegmentSql))
+      existsSegmentSql),
+
+    sqlQ(
+      "sq_relational_division",
+      """Relational DIVISION — the textbook operator SQL forgot
+        |("customers who have ordered in EVERY priority class"),
+        |phrased as the correlated-scalar-count division (coverage
+        |count per customer = divisor cardinality). The canonical
+        |double-NOT-EXISTS form references the outer customer key two
+        |correlation levels deep, which Catalyst rejects
+        |(UNRESOLVED_COLUMN) — the scalar-count twin is the
+        |single-level form both planners decorrelate: Catalyst
+        |rewrites it into a per-customer aggregate over the DISTINCT
+        |(customer, priority) coverage frame joined back to customer,
+        |so coverage (at most |C|x5 rows), not the fact table, is what
+        |the division compares. The divisor cardinality is an
+        |uncorrelated scalar (one-row broadcast). The divisor is the
+        |UNSHIFTED priority domain deliberately: replica key shifts
+        |multiply key-derived divisors (a region-based division goes
+        |vacuously empty at 5x — every copy sees only its own 5
+        |regions), while the priority domain stays 5 at every scale,
+        |so the at-scale hash actually exercises the ALL-quantifier.
+        |Same SQL text runs on both engines — the hash pins the
+        |decorrelation SEMANTICS, not just the arithmetic.""".stripMargin,
+      divisionSql))
+
+  // referenced from qs above, so this must stay lazy (plain vals
+  // initialize in declaration order and would still be null here)
+  private lazy val divisionSql: String =
+    """WITH cov AS (
+      |  SELECT DISTINCT o_custkey AS c, o_orderpriority AS pr
+      |  FROM orders)
+      |SELECT cu.c_custkey,
+      |       (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+      |        FROM orders) AS n_priorities
+      |FROM customer cu
+      |WHERE (SELECT COUNT(DISTINCT cov.pr) FROM cov
+      |       WHERE cov.c = cu.c_custkey)
+      |      = (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+      |ORDER BY cu.c_custkey""".stripMargin
 }

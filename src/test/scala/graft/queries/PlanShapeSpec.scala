@@ -1525,6 +1525,39 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "SSSP relax planned a cartesian product")
   }
 
+  test("survival hazard: duration build + value-domain collapse; windows stay priority-partitioned") {
+    val p = plan("a_survival_hazard")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "survival windows must stay priority-partitioned")
+    // orderkey join exchanges + duration agg + (grp, t) collapse +
+    // window repartition + output sort
+    assert(shuffles(p).length <= 6, s"a_survival_hazard grew a shuffle: ${shuffles(p).length}")
+  }
+
+  test("capture-recapture: one scan, row-local membership, only the priority rollup shuffles") {
+    val p = plan("a_capture_recapture")
+    assert(joinTypes(p).isEmpty, "a_capture_recapture grew a join")
+    assert(shuffles(p).length <= 2, "a_capture_recapture grew a shuffle")
+  }
+
+  test("relational division: correlated scalar DECORRELATES — aggregate + join, no per-row subquery loop") {
+    val p = plan("sq_relational_division")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "division planned a cartesian product")
+    // decorrelation evidence: the coverage count appears as a real
+    // aggregate operator in the physical plan (a correlated loop would
+    // instead re-run a subquery per customer row)
+    assert(collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.nonEmpty, "division lost its decorrelated coverage aggregate")
+  }
+
   test("kNN spatial join: supplier cells broadcast; ranking window stays customer-partitioned") {
     val p = plan("geo_knn_ranked")
     assert(bcasts(p).nonEmpty, "geo_knn_ranked lost its cell broadcast")

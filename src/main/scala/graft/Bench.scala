@@ -72,7 +72,12 @@ object Bench {
     "j_q9_profit_rollup", "a_kmv_quantiles",
     // round-10 second wave: value-domain rank statistics, windowless
     // struct-endpoint OHLC bars
-    "a_ks_test", "w_ohlc_vwap")
+    "a_ks_test", "w_ohlc_vwap",
+    // round-10 third wave: weighted iterative relaxation, deletion-
+    // neighborhood blocking, sweep-line interval aggregate, right-
+    // censored survival windows
+    "g_sssp_bellman", "dd_symspell_neighbors", "w_max_concurrency",
+    "a_survival_hazard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

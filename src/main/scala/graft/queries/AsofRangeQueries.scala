@@ -432,5 +432,100 @@ object AsofRangeQueries {
               .as("first_peak_day"),
             count(lit(1)).as("boundary_days"))
           .orderBy("grp")
+      }),
+
+    Q(
+      "w_littles_law",
+      """Little's-law consistency readout (L = lambda x W) over the same
+        |order intervals as w_max_concurrency — the queueing-theory
+        |invariant an ops dashboard checks before trusting either
+        |number: time-average WIP L is computed via the SWEEP INTEGRAL
+        |(sum over boundary segments of open x segment length, from the
+        |cumulative +1/-1 walk and ONE LEAD per priority over the
+        |day-domain frame), while arrival rate lambda and mean
+        |residence W come straight from the duration sums — two
+        |INDEPENDENT computation paths whose day-granular forms are
+        |exactly equal (integral_dt = sum of durations, end-exclusive),
+        |so the output carries both integrals and their difference
+        |pinned to ZERO by the hash — the cross-check, not just the
+        |numbers. L, lambda (per kilo-day), W in exact micro-units via
+        |floor division over the observed span.""".stripMargin,
+      Some(
+        """WITH iv AS (
+          |  SELECT o_orderpriority AS grp,
+          |         epoch_us(date_trunc('day', o_orderdate)) // 86400000000 AS s,
+          |         epoch_us(date_trunc('day', o_orderdate)) // 86400000000
+          |           + (o_orderkey % 30) + 1 AS e
+          |  FROM orders),
+          |st AS (
+          |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(e - s) AS BIGINT) AS sum_dur,
+          |         CAST(MAX(e) - MIN(s) AS BIGINT) AS span
+          |  FROM iv GROUP BY 1),
+          |d AS (
+          |  SELECT grp, day, CAST(SUM(delta) AS BIGINT) AS delta
+          |  FROM (SELECT grp, s AS day, 1 AS delta FROM iv
+          |        UNION ALL SELECT grp, e AS day, -1 AS delta FROM iv)
+          |  GROUP BY grp, day),
+          |c AS (
+          |  SELECT grp, day,
+          |         CAST(SUM(delta) OVER (PARTITION BY grp ORDER BY day
+          |                               ROWS UNBOUNDED PRECEDING)
+          |              AS BIGINT) AS open,
+          |         LEAD(day) OVER (PARTITION BY grp ORDER BY day) AS nxt
+          |  FROM d),
+          |integ AS (
+          |  SELECT grp,
+          |         CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+          |                       ELSE open * (nxt - day) END) AS BIGINT)
+          |           AS sweep_integral
+          |  FROM c GROUP BY grp)
+          |SELECT st.grp, st.n, st.span, st.sum_dur, i.sweep_integral,
+          |       CAST(i.sweep_integral - st.sum_dur AS BIGINT) AS integral_gap,
+          |       CAST(i.sweep_integral * 1000000 // st.span AS BIGINT)
+          |         AS l_micro,
+          |       CAST(st.n * 1000000000 // st.span AS BIGINT)
+          |         AS lambda_per_kday,
+          |       CAST(st.sum_dur * 1000000 // st.n AS BIGINT) AS w_micro
+          |FROM st JOIN integ i ON i.grp = st.grp
+          |ORDER BY st.grp""".stripMargin),
+      (s, dir) => {
+        val iv = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("grp"),
+            expr("unix_micros(date_trunc('day', o_orderdate)) div 86400000000")
+              .as("s"),
+            expr("""unix_micros(date_trunc('day', o_orderdate)) div 86400000000
+                   |+ (o_orderkey % 30) + 1""".stripMargin).as("e"))
+        val st = iv.groupBy("grp")
+          .agg(count(lit(1)).as("n"),
+            sum(col("e") - col("s")).as("sum_dur"),
+            (max("e") - min("s")).as("span"))
+        val d = iv.select(col("grp"), col("s").as("day"), lit(1L).as("delta"))
+          .unionAll(iv.select(col("grp"), col("e").as("day"),
+            lit(-1L).as("delta")))
+          .groupBy("grp", "day")
+          .agg(sum("delta").as("delta"))
+        val wCum = Window.partitionBy("grp").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOrd = Window.partitionBy("grp").orderBy("day")
+        val integ = d
+          .withColumn("open", sum("delta").over(wCum))
+          .withColumn("nxt", lead("day", 1).over(wOrd))
+          .groupBy("grp")
+          .agg(sum(when(col("nxt").isNull, 0L)
+            .otherwise(col("open") * (col("nxt") - col("day"))))
+            .as("sweep_integral"))
+        st.join(integ, "grp")
+          .select(col("grp"), col("n"),
+            col("span"), col("sum_dur").cast("long").as("sum_dur"),
+            col("sweep_integral").cast("long").as("sweep_integral"),
+            (col("sweep_integral") - col("sum_dur")).cast("long")
+              .as("integral_gap"),
+            expr("cast(sweep_integral * 1000000 div span as bigint)")
+              .as("l_micro"),
+            expr("cast(n * 1000000000 div span as bigint)")
+              .as("lambda_per_kday"),
+            expr("cast(sum_dur * 1000000 div n as bigint)").as("w_micro"))
+          .orderBy("grp")
       }))
 }

@@ -1156,5 +1156,64 @@ object DedupQueries {
           .select(col("name"), col("members"), col("min_key"),
             col("n_near"), col("nearest"))
           .orderBy("name")
+      }),
+
+    Q(
+      "dd_sorted_neighborhood",
+      """Sorted-Neighborhood blocking (Hernandez & Stolfo 1995) — the
+        |third classic ER candidate generator next to LSH banding
+        |(dd_minhash_lsh) and symmetric-delete (dd_symspell_neighbors):
+        |sort by the blocking key, slide a window of 3, and only
+        |rank-adjacent records pair up — candidates are 2 per record by
+        |CONSTRUCTION (w-1 per record at window w), the tightest
+        |candidate bound any blocking scheme gives. Customer names
+        |collapse to the DISTINCT name domain first (replica copies
+        |reuse names, so the sort frame is name-domain-sized — scale-
+        |invariant — and exact duplicates are handled by the collapse,
+        |not the window). The rank walk is a global row_number over
+        |that collapsed frame; at a true corpus-sized key domain the
+        |same pairing runs on range-partitioned sorted runs with a
+        |(w-1)-row halo exchanged at partition boundaries — rank
+        |adjacency is partitioning-independent, which is why SNM
+        |distributes where fixed-width blocking does not. Candidates
+        |confirm with exact Levenshtein <= 2.""".stripMargin,
+      Some(
+        """WITH nm AS (
+          |  SELECT c_name AS name, CAST(COUNT(*) AS BIGINT) AS members
+          |  FROM customer GROUP BY 1),
+          |rk AS (
+          |  SELECT name, members,
+          |         ROW_NUMBER() OVER (ORDER BY name) AS r
+          |  FROM nm),
+          |cand AS (
+          |  SELECT a.name AS name_a, b.name AS name_b,
+          |         CAST(b.r - a.r AS BIGINT) AS gap
+          |  FROM rk a JOIN rk b ON b.r = a.r + 1 OR b.r = a.r + 2)
+          |SELECT name_a, name_b, gap,
+          |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+          |FROM cand
+          |WHERE levenshtein(name_a, name_b) <= 2
+          |ORDER BY name_a, name_b""".stripMargin),
+      (s, dir) => {
+        val nm = Tables.customer(s, dir)
+          .groupBy(col("c_name").as("name"))
+          .agg(count(lit(1)).as("members"))
+        val rk = nm.withColumn("r",
+          row_number().over(Window.orderBy("name")).cast("long"))
+        val a = rk.select(col("name").as("name_a"), col("r").as("ra"))
+        val b = rk.select(col("name").as("name_b"), col("r").as("rb"))
+        // two equi joins (rank+1, rank+2) instead of one OR-join: OR
+        // predicates defeat hash-join key extraction and plan a
+        // nested loop
+        val cand = a.join(b, col("rb") === col("ra") + 1)
+          .unionAll(a.join(b, col("rb") === col("ra") + 2))
+          .select(col("name_a"), col("name_b"),
+            (col("rb") - col("ra")).as("gap"))
+        cand
+          .withColumn("dist",
+            levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select(col("name_a"), col("name_b"), col("gap"), col("dist"))
+          .orderBy("name_a", "name_b")
       }))
 }

@@ -899,6 +899,136 @@ object StatsQueries {
                    |* 1000000 div n_true as bigint)""".stripMargin)
               .as("err_ppm"))
           .orderBy("grp")
+      }),
+
+    Q(
+      "a_shapley_channels",
+      """EXACT Shapley-value channel attribution — the game-theoretic
+        |answer to "which touchpoint actually drives conversion" that
+        |linear/time-decay splits (j_multitouch_attribution) only
+        |approximate: a coalition is a (user, day) JOURNEY (the daily
+        |scope is what makes the lattice non-degenerate — over the full
+        |corpus every user eventually sees every channel and the value
+        |function collapses to one point), v(S) is the observed
+        |same-day conversion rate of journeys whose channel set is
+        |EXACTLY S (unobserved coalitions contribute v=0 — the
+        |convention rides in the doc and the hash), and each channel's
+        |Shapley value is the factorial-weighted marginal sum over the
+        |16-subset lattice. Everything is exact: rates in ppm,
+        |factorial weights x24 (|S|!(3-|S|)! over 4 channels = 6/2/2/6
+        |— the channel count is raise_error-guarded, weights are wrong
+        |for any other n), phi reported in 24ths-of-ppm so no division
+        |ever runs. The output carries a TOTAL row = 24(v(full) -
+        |v(empty)) — the EFFICIENCY axiom; the per-channel rows must
+        |sum to it (a telescoping identity of the formula), so the
+        |hash pins the axiom itself. Engine shape: two key-cardinality
+        |shuffles (user bitmask build, mask rollup), then the whole
+        |lattice walk runs on a 16-row frame with a broadcast 4-row
+        |channel dim — corpus size never touches the Shapley stage.
+        |Bit order is the alphabetical channel rank — closed-form in
+        |both engines, no hardcoded type list.""".stripMargin,
+      Some(
+        """WITH bits AS (
+          |  SELECT t AS channel, b,
+          |         CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+          |                ELSE 8 END AS bitval
+          |  FROM (SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS b
+          |        FROM (SELECT DISTINCT event_type AS t FROM events
+          |              WHERE event_type <> 'purchase'))),
+          |ub AS (
+          |  SELECT DISTINCT e.user_id,
+          |         epoch_us(date_trunc('day', e.ts)) // 86400000000 AS d,
+          |         b.bitval
+          |  FROM events e JOIN bits b ON e.event_type = b.channel),
+          |um AS (SELECT user_id, d, CAST(SUM(bitval) AS BIGINT) AS mask
+          |       FROM ub GROUP BY 1, 2),
+          |uu AS (SELECT user_id,
+          |              epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+          |              CAST(MAX(CASE WHEN event_type = 'purchase'
+          |                            THEN 1 ELSE 0 END) AS BIGINT) AS conv
+          |       FROM events GROUP BY 1, 2),
+          |mf AS (
+          |  SELECT COALESCE(um.mask, 0) AS mask,
+          |         CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(uu.conv) AS BIGINT) AS c
+          |  FROM uu LEFT JOIN um ON um.user_id = uu.user_id AND um.d = uu.d
+          |  GROUP BY 1),
+          |lat AS (
+          |  SELECT t.mask,
+          |         COALESCE(CAST(mf.c * 1000000 // mf.n AS BIGINT), 0)
+          |           AS v_ppm
+          |  FROM range(0, 16) t(mask) LEFT JOIN mf ON mf.mask = t.mask),
+          |pairs AS (
+          |  SELECT ch.channel, s.mask, s.v_ppm, ch.bitval,
+          |         (s.mask % 2) + (s.mask // 2 % 2) + (s.mask // 4 % 2)
+          |           + (s.mask // 8 % 2) AS sz
+          |  FROM lat s CROSS JOIN bits ch
+          |  WHERE (s.mask & ch.bitval) = 0),
+          |contrib AS (
+          |  SELECT p.channel,
+          |         CAST(CASE p.sz WHEN 0 THEN 6 WHEN 1 THEN 2
+          |                        WHEN 2 THEN 2 ELSE 6 END
+          |              * (w.v_ppm - p.v_ppm) AS BIGINT) AS dphi
+          |  FROM pairs p JOIN lat w ON w.mask = p.mask + p.bitval)
+          |SELECT channel, CAST(SUM(dphi) AS BIGINT) AS phi24_ppm
+          |FROM contrib GROUP BY channel
+          |UNION ALL
+          |SELECT 'TOTAL', CAST(24 * (f.v_ppm - z.v_ppm) AS BIGINT)
+          |FROM lat f, lat z WHERE f.mask = 15 AND z.mask = 0
+          |ORDER BY channel""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val raw = ev.filter(col("event_type") =!= "purchase")
+          .select(col("event_type").as("channel")).distinct()
+          .withColumn("b",
+            row_number().over(Window.orderBy("channel")) - 1)
+        // the 6/2/2/6 weights below are n=4 factorials — refuse loudly
+        // if the channel domain ever drifts
+        val bits = raw
+          .crossJoin(broadcast(raw.agg(count(lit(1)).as("nch"))))
+          .select(col("channel"),
+            when(col("nch") === 4, expr(
+              "CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"))
+              .otherwise(raise_error(concat(
+                lit("a_shapley_channels needs exactly 4 channels, saw "),
+                col("nch")))).cast("long").as("bitval"))
+        val dayCol = expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+        val ub = ev.join(broadcast(bits), ev("event_type") === bits("channel"))
+          .select(col("user_id"), dayCol.as("d"), col("bitval")).distinct()
+        val um = ub.groupBy("user_id", "d").agg(sum("bitval").as("mask"))
+        val uu = ev.select(col("user_id"), dayCol.as("d"), col("event_type"))
+          .groupBy("user_id", "d")
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val mf = uu.join(um, Seq("user_id", "d"), "left")
+          .groupBy(coalesce(col("mask"), lit(0L)).as("mask"))
+          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        val lat = s.range(16).select(col("id").as("mask"))
+          .join(broadcast(mf), Seq("mask"), "left")
+          .select(col("mask"),
+            coalesce(expr("cast(c * 1000000 div n as bigint)"), lit(0L))
+              .as("v_ppm"))
+          .localCheckpoint() // 16 rows; referenced three times below
+        val pairs = lat.crossJoin(broadcast(bits))
+          .filter(expr("(mask & bitval) = 0"))
+          .withColumn("sz", expr(
+            "(mask % 2) + (mask div 2 % 2) + (mask div 4 % 2) + (mask div 8 % 2)"))
+        val contrib = pairs
+          .join(broadcast(lat.select(col("mask").as("mask_w"),
+            col("v_ppm").as("v_w"))),
+            col("mask_w") === col("mask") + col("bitval"))
+          .select(col("channel"),
+            (expr("CASE sz WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END")
+              * (col("v_w") - col("v_ppm"))).as("dphi"))
+        val phi = contrib.groupBy("channel")
+          .agg(sum("dphi").cast("long").as("phi24_ppm"))
+        val total = lat.filter(col("mask") === 15)
+          .select(col("v_ppm").as("vf"))
+          .crossJoin(broadcast(lat.filter(col("mask") === 0)
+            .select(col("v_ppm").as("vz"))))
+          .select(lit("TOTAL").as("channel"),
+            (lit(24L) * (col("vf") - col("vz"))).cast("long").as("phi24_ppm"))
+        phi.unionAll(total).orderBy("channel")
       })
   )
 }

@@ -1558,6 +1558,41 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, "division lost its decorrelated coverage aggregate")
   }
 
+  test("shapley: corpus feeds two keyed aggregates; the lattice walk rides broadcasts only") {
+    val p = plan("a_shapley_channels")
+    // events scanned twice (mask build + conversion flags), channel dim
+    // + its count guard once each — the 16-row lattice must add ZERO
+    // further corpus scans
+    val scans = collectAll(p) {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.length <= 4,
+      s"a_shapley_channels re-scans the corpus: ${scans.length} scans")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "shapley lattice walk planned a non-broadcast cartesian")
+  }
+
+  test("little's law: boundary aggregate + one lead/cumsum window pass, windows stay partitioned") {
+    val p = plan("w_littles_law")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "little's-law windows must stay priority-partitioned")
+    assert(shuffles(p).length <= 6, s"w_littles_law grew a shuffle: ${shuffles(p).length}")
+  }
+
+  test("sorted neighborhood: rank-adjacency pairing is equi-join only") {
+    val p = plan("dd_sorted_neighborhood")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "SNM pairing planned a cartesian product")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "SNM pairing degraded to a nested loop (OR-join regressed in)")
+  }
+
   test("kNN spatial join: supplier cells broadcast; ranking window stays customer-partitioned") {
     val p = plan("geo_knn_ranked")
     assert(bcasts(p).nonEmpty, "geo_knn_ranked lost its cell broadcast")

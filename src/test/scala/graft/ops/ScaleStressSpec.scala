@@ -237,4 +237,35 @@ class ScaleStressSpec extends SparkSpec {
     // under-cap pairs survive — no m^2 blowup
     assert(capped === 3)
   }
+
+  test("symspell blocking: a 10^4-member duplicate name collapses to ONE distinct row before pairing") {
+    // dd_symspell_neighbors claims its pair work is bounded by the NAME
+    // domain, not the row count — the exact-dup pre-collapse. Feed a
+    // supplier table where one name repeats 10^4 times next to 200
+    // distinct names: the output must be 201 rows (one per distinct
+    // name), the hot name must carry members=10^4, and its edit-1
+    // neighbors must be found despite the collapse. The catalog query
+    // runs UNCHANGED against a synthetic dir — same code path the
+    // oracle hashes.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("symspell-stress").toFile
+    try {
+      val hot = Seq.tabulate(10000)(i => (1000000L + i, "Supplier#000000001"))
+      val distinct = Seq.tabulate(200)(i => (2000000L + i, f"Supplier#${i + 2}%09d"))
+      (hot ++ distinct).toDF("s_suppkey", "s_name")
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/supplier.parquet")
+      val out = graft.queries.Catalog.byName("dd_symspell_neighbors")
+        .build(spark, dir.getAbsolutePath).collect()
+      assert(out.length === 201, s"expected 201 distinct names, got ${out.length}")
+      val hotRow = out.find(_.getAs[String]("name") == "Supplier#000000001").get
+      assert(hotRow.getAs[Long]("members") === 10000L)
+      // edit-1 neighbors of ...001 among ...002..201: last-digit subs
+      // 002..009 (8), tens-digit subs 011..091 (9), hundreds-digit subs
+      // 101 and 201 (2) = 19 in-range single-substitution names
+      assert(hotRow.getAs[Long]("n_near") === 19L,
+        s"hot name neighbor count: ${hotRow.getAs[Long]("n_near")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir); ()
+    }
+  }
 }

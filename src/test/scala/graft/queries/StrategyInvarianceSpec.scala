@@ -184,4 +184,49 @@ class StrategyInvarianceSpec extends SparkSpec {
       }
     }
   }
+
+  test("ER blocking joins flip to shuffled strategies and stay row-identical") {
+    // the round-10 candidate generators (symmetric-delete variant join,
+    // SNM rank-adjacency joins) carry no hints — at spec scale they
+    // broadcast; past the threshold the SAME call sites must plan
+    // non-broadcast joins and return the identical candidate/confirm
+    // rows. This is the j5/NearDup degradation proof extended to the
+    // two new blocking schemes.
+    Seq("dd_symspell_neighbors", "dd_sorted_neighborhood").foreach { q =>
+      withClue(q) {
+        val withBcast = rows(q)
+        withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+          val df = Catalog.byName(q).build(spark, sfSmoke)
+          val p = df.queryExecution.executedPlan
+          val flipped = df.collect().map(_.toString).toSeq
+          val bhj = collectAll(p) {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+          }
+          assert(bhj.isEmpty,
+            s"$q still planned a broadcast join with the threshold disabled")
+          assert(flipped === withBcast,
+            s"$q rows changed under the shuffled-join strategy")
+        }
+      }
+    }
+  }
+
+  test("rank statistics and lattice walks are partition-count invariant") {
+    // the round-10 third-session operators each make the claim their own
+    // way: the changepoint argmax tie-breaks on day, Theil-Sen ranks with
+    // a total (slope, d1, d2) key, the apportionment ranks remainders
+    // with a key tiebreak, the Shapley lattice is a sum over a fixed
+    // 16-row frame, and the sweep-line cumsum orders by day. Executed at
+    // shuffle.partitions=5 vs the suite default.
+    Seq("a_changepoint_binary", "a_theil_sen_daily",
+      "a_largest_remainder_alloc", "a_shapley_channels",
+      "w_max_concurrency").foreach { q =>
+      withClue(q) {
+        val default = rows(q)
+        val narrow = withConf("spark.sql.shuffle.partitions", "5") { rows(q) }
+        assert(narrow === default,
+          s"$q output depends on the shuffle partition count")
+      }
+    }
+  }
 }

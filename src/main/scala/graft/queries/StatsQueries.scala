@@ -902,6 +902,145 @@ object StatsQueries {
       }),
 
     Q(
+      "w_max_drawdown",
+      """Maximum drawdown — the risk statistic behind "how far below its
+        |running peak has this series fallen" (burn-down monitoring,
+        |capacity planning, PnL): computed on the CUSUM-style deviation
+        |walk P_t = sum over days of (n_i*D - N) per event type (daily
+        |count deviation from the type's mean daily volume, cross-
+        |multiplied so no fractional mean is ever formed — the raw
+        |cumulative volume is monotone and would make drawdown
+        |degenerately zero). Drawdown_t = running-max(P) - P_t; the
+        |report is its maximum with the EARLIEST trough day
+        |(deterministic argmax). Engine shape: the corpus collapses to
+        |the (type, day) value-domain frame, then THREE stacked
+        |type-partitioned windows (cumsum, running max, trough argmin)
+        |over that frame — the same closed-form discipline as
+        |w_cusum_alarm, no recursion, no self-join, frame-sized
+        |everything.""".stripMargin,
+      Some(
+        """WITH d AS (
+          |  SELECT event_type AS grp,
+          |         epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+          |         CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY 1, 2),
+          |m AS (
+          |  SELECT grp, day, n,
+          |         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS nd,
+          |         CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS tot
+          |  FROM d),
+          |p AS (
+          |  SELECT grp, day,
+          |         CAST(SUM(n * nd - tot) OVER (PARTITION BY grp ORDER BY day
+          |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS walk
+          |  FROM m),
+          |r AS (
+          |  SELECT grp, day, walk,
+          |         CAST(MAX(walk) OVER (PARTITION BY grp ORDER BY day
+          |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+          |  FROM p),
+          |dd AS (SELECT grp, day, walk, peak, peak - walk AS draw FROM r)
+          |SELECT grp,
+          |       CAST(MAX(draw) AS BIGINT) AS max_drawdown,
+          |       CAST(MIN(CASE WHEN draw = mx THEN day END) AS BIGINT)
+          |         AS trough_day,
+          |       CAST(COUNT(*) AS BIGINT) AS n_days
+          |FROM (SELECT dd.*, MAX(draw) OVER (PARTITION BY grp) AS mx FROM dd)
+          |GROUP BY grp ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .select(col("event_type").as("grp"),
+            expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+              .as("day"))
+          .groupBy("grp", "day")
+          .agg(count(lit(1)).as("n"))
+        val wAll = Window.partitionBy("grp")
+        val wCum = Window.partitionBy("grp").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val p = d
+          .withColumn("nd", count(lit(1)).over(wAll))
+          .withColumn("tot", sum("n").over(wAll))
+          .withColumn("walk",
+            sum(col("n") * col("nd") - col("tot")).over(wCum))
+        val r = p.withColumn("peak", max("walk").over(wCum))
+          .withColumn("draw", col("peak") - col("walk"))
+        r.withColumn("mx", max("draw").over(wAll))
+          .groupBy("grp")
+          .agg(max("draw").cast("long").as("max_drawdown"),
+            min(when(col("draw") === col("mx"), col("day"))).cast("long")
+              .as("trough_day"),
+            count(lit(1)).as("n_days"))
+          .orderBy("grp")
+      }),
+
+    Q(
+      "k_impute_group_median",
+      """Constraint-based data repair — group-median imputation, the
+        |cleaning step every feature pipeline runs before training:
+        |negative account balances play the sentinel "missing" class
+        |(the reference's own NaN/Inf sanitize, F19, handles the float
+        |side; this is the semantic-missing side), and each missing
+        |value is repaired with its NATION's lower-median of the valid
+        |balances — percentile_disc semantics, deterministic (no
+        |averaging, no float: the median is an actual observed cents
+        |value picked by rank). Engine shape: valid balances rank
+        |inside ONE nation-partitioned window over the customer frame,
+        |the 25-row median dim broadcasts back, and the repair report
+        |rolls up per nation: rows, repaired count, the median used,
+        |and the exact post-repair sum — the invariant a repair audit
+        |actually checks. Nations where EVERY value is missing keep
+        |missing rows unrepaired (median NULL, sum excludes them) —
+        |the honest convention, carried identically in both
+        |engines.""".stripMargin,
+      Some(
+        """WITH c AS (
+          |  SELECT c_custkey, c_nationkey AS nk,
+          |         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+          |  FROM customer),
+          |v AS (
+          |  SELECT nk, cents,
+          |         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents) AS rn,
+          |         COUNT(*) OVER (PARTITION BY nk) AS m
+          |  FROM c WHERE cents >= 0),
+          |med AS (
+          |  SELECT nk, CAST(cents AS BIGINT) AS median_cents
+          |  FROM v WHERE rn = (m + 1) // 2),
+          |rep AS (
+          |  SELECT c.nk, c.cents, med.median_cents,
+          |         CASE WHEN c.cents < 0 THEN med.median_cents
+          |              ELSE c.cents END AS repaired
+          |  FROM c LEFT JOIN med ON med.nk = c.nk)
+          |SELECT CAST(nk AS BIGINT) AS nk,
+          |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |       CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_missing,
+          |       CAST(MAX(median_cents) AS BIGINT) AS median_cents,
+          |       CAST(SUM(repaired) AS BIGINT) AS sum_after_cents
+          |FROM rep GROUP BY nk ORDER BY nk""".stripMargin),
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("nk"),
+            floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        val v = c.filter(col("cents") >= 0)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("nk").orderBy("cents")))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy("nk")))
+        val med = v.filter(col("rn") === expr("(m + 1) div 2"))
+          .select(col("nk"), col("cents").as("median_cents"))
+        val rep = c.join(broadcast(med), Seq("nk"), "left")
+          .withColumn("repaired",
+            when(col("cents") < 0, col("median_cents")).otherwise(col("cents")))
+        rep.groupBy("nk")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("cents") < 0, 1L).otherwise(0L)).as("n_missing"),
+            max("median_cents").as("median_cents"),
+            sum("repaired").cast("long").as("sum_after_cents"))
+          .select(col("nk").cast("long").as("nk"), col("n_rows"),
+            col("n_missing"), col("median_cents"), col("sum_after_cents"))
+          .orderBy("nk")
+      }),
+
+    Q(
       "a_shapley_channels",
       """EXACT Shapley-value channel attribution — the game-theoretic
         |answer to "which touchpoint actually drives conversion" that

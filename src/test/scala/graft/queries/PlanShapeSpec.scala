@@ -1593,6 +1593,28 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "SNM pairing degraded to a nested loop (OR-join regressed in)")
   }
 
+  test("max drawdown: three stacked type-partitioned windows over the collapsed daily frame, no joins") {
+    val p = plan("w_max_drawdown")
+    assert(joinTypes(p).isEmpty, "w_max_drawdown grew a join")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "drawdown windows must stay type-partitioned")
+    assert(shuffles(p).length <= 3, s"w_max_drawdown grew a shuffle: ${shuffles(p).length}")
+  }
+
+  test("median imputation: nation-partitioned rank window; the 25-row median dim broadcasts back") {
+    val p = plan("k_impute_group_median")
+    assert(bcasts(p).nonEmpty, "k_impute_group_median lost its median broadcast")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "imputation rank window must stay nation-partitioned")
+    assert(shuffles(p).length <= 4, s"k_impute_group_median grew a shuffle: ${shuffles(p).length}")
+  }
+
   test("kNN spatial join: supplier cells broadcast; ranking window stays customer-partitioned") {
     val p = plan("geo_knn_ranked")
     assert(bcasts(p).nonEmpty, "geo_knn_ranked lost its cell broadcast")

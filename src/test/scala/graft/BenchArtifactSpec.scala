@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's atomic-write contract (round-10 verdict #2): a
+  * killed run must never leave the destination holding a partial line —
+  * round 10's timed-out driver pass clobbered the committed full-catalog
+  * BENCHFULL.json with a main-only fragment. Bench.writeAtomic stages to
+  * a `.tmp` sibling and renames, so the destination only ever holds a
+  * COMPLETE write. The JVM-kill scenario is simulated at its exact
+  * failure point: content staged in `.tmp` but the process dying before
+  * the rename — the destination must be untouched.
+  */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  private def tmpDir(): Path = Files.createTempDirectory("bench-artifact")
+
+  test("writeAtomic creates the destination with the full content") {
+    val dest = tmpDir().resolve("BENCHFULL.json")
+    Bench.writeAtomic(dest.toString, "{\"value\":1}\n")
+    assert(Files.readString(dest) === "{\"value\":1}\n")
+    assert(!Files.exists(dest.resolveSibling("BENCHFULL.json.tmp")),
+      "staging file must not survive a successful write")
+  }
+
+  test("writeAtomic replaces an existing artifact wholesale") {
+    val dest = tmpDir().resolve("BENCHFULL.json")
+    Files.writeString(dest, "{\"value\":\"old-complete-line\"}\n")
+    Bench.writeAtomic(dest.toString, "{\"value\":2}\n")
+    assert(Files.readString(dest) === "{\"value\":2}\n")
+  }
+
+  test("a run killed between stage and rename leaves the destination untouched") {
+    val dir = tmpDir()
+    val dest = dir.resolve("BENCHFULL.json")
+    val committed = "{\"value\":\"committed-full-catalog-line\"}\n"
+    Files.writeString(dest, committed)
+    // the kill point: the new line is fully staged in the .tmp sibling
+    // (everything writeAtomic does before its rename), then the process
+    // dies — no rename ever happens
+    Files.writeString(dir.resolve("BENCHFULL.json.tmp"),
+      "{\"value\":\"partial")
+    assert(Files.readString(dest) === committed,
+      "a staged-but-unrenamed write must not alter the committed artifact")
+    // and a subsequent successful run replaces both cleanly
+    Bench.writeAtomic(dest.toString, "{\"value\":3}\n")
+    assert(Files.readString(dest) === "{\"value\":3}\n")
+  }
+}

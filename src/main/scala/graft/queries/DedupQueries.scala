@@ -1188,11 +1188,17 @@ object DedupQueries {
           |cand AS (
           |  SELECT a.name AS name_a, b.name AS name_b,
           |         CAST(b.r - a.r AS BIGINT) AS gap
-          |  FROM rk a JOIN rk b ON b.r = a.r + 1 OR b.r = a.r + 2)
-          |SELECT name_a, name_b, gap,
-          |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-          |FROM cand
-          |WHERE levenshtein(name_a, name_b) <= 2
+          |  FROM rk a JOIN rk b ON b.r = a.r + 1 OR b.r = a.r + 2),
+          |-- edit distance computed ONCE and filtered on the named
+          |-- column, mirroring the Spark shape (it used to run twice
+          |-- per candidate: once in SELECT, once in WHERE)
+          |scored AS (
+          |  SELECT name_a, name_b, gap,
+          |         CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+          |  FROM cand)
+          |SELECT name_a, name_b, gap, dist
+          |FROM scored
+          |WHERE dist <= 2
           |ORDER BY name_a, name_b""".stripMargin),
       (s, dir) => {
         val nm = Tables.customer(s, dir)

@@ -33,6 +33,14 @@ object GeoQueries {
   private def gySql(k: String) = s"(($k % 999983) * 69621) % 1000000"
 
   private val CellSz = 100000L          // grid cell edge; >= radius, so 3x3 covers
+  // (cellX, cellY) -> single join key pack. INVARIANT: must stay strictly
+  // greater than the largest reachable cell index PLUS the ±1 neighbor
+  // offset (indices run 0..(10^6 / CellSz - 1); offsets reach -1 and
+  // max+1), or edge cells alias — (x, -1) packing to (x-1, CellPack-1)
+  // would silently join the wrong neighborhood if CellSz were ever
+  // reduced. 10^5 keeps six orders of headroom over the current 0..9
+  // domain; retune it WITH CellSz.
+  private val CellPack = 100000L
   private val R2 = 3600000000L          // radius 60000 micro-degrees, squared
   private val PackK = 100000000000L     // 10^11: d2-dominant (d2, suppkey) pack
 
@@ -65,7 +73,8 @@ object GeoQueries {
            |  FROM supplier),
            |sg AS (
            |  SELECT s_suppkey, sx, sy,
-           |         ((sx // $CellSz) + dx.d) * 1000 + ((sy // $CellSz) + dy.d) AS cell
+           |         ((sx // $CellSz) + dx.d) * $CellPack + ((sy // $CellSz) + dy.d)
+           |           AS cell
            |  FROM s
            |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
            |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
@@ -74,7 +83,7 @@ object GeoQueries {
            |         (c.cx - sg.sx) * (c.cx - sg.sx)
            |           + (c.cy - sg.sy) * (c.cy - sg.sy) AS d2
            |  FROM c JOIN sg
-           |    ON (c.cx // $CellSz) * 1000 + (c.cy // $CellSz) = sg.cell
+           |    ON (c.cx // $CellSz) * $CellPack + (c.cy // $CellSz) = sg.cell
            |  WHERE (c.cx - sg.sx) * (c.cx - sg.sx)
            |          + (c.cy - sg.sy) * (c.cy - sg.sy) <= $R2)
            |SELECT c_custkey,
@@ -104,9 +113,9 @@ object GeoQueries {
           .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
           .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
           .withColumn("cell",
-            expr(s"((sx div $CellSz) + dx) * 1000 + ((sy div $CellSz) + dy)"))
+            expr(s"((sx div $CellSz) + dx) * $CellPack + ((sy div $CellSz) + dy)"))
         val probe = cust.withColumn("cell",
-          expr(s"(cx div $CellSz) * 1000 + (cy div $CellSz)"))
+          expr(s"(cx div $CellSz) * $CellPack + (cy div $CellSz)"))
         probe.join(broadcast(sg), "cell")
           .withColumn("d2",
             (col("cx") - col("sx")) * (col("cx") - col("sx"))
@@ -207,7 +216,7 @@ object GeoQueries {
            |  FROM supplier),
            |sg AS (
            |  SELECT s_suppkey, sx, sy,
-           |         ((sx // $CellSz) + dx.d) * 1000 + ((sy // $CellSz) + dy.d)
+           |         ((sx // $CellSz) + dx.d) * $CellPack + ((sy // $CellSz) + dy.d)
            |           AS cell
            |  FROM s
            |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
@@ -217,7 +226,7 @@ object GeoQueries {
            |         (c.cx - sg.sx) * (c.cx - sg.sx)
            |           + (c.cy - sg.sy) * (c.cy - sg.sy) AS d2
            |  FROM c JOIN sg
-           |    ON (c.cx // $CellSz) * 1000 + (c.cy // $CellSz) = sg.cell
+           |    ON (c.cx // $CellSz) * $CellPack + (c.cy // $CellSz) = sg.cell
            |  WHERE (c.cx - sg.sx) * (c.cx - sg.sx)
            |          + (c.cy - sg.sy) * (c.cy - sg.sy) <= $R2)
            |SELECT c_custkey, CAST(rk AS BIGINT) AS rk, s_suppkey,
@@ -241,9 +250,9 @@ object GeoQueries {
           .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
           .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
           .withColumn("cell",
-            expr(s"((sx div $CellSz) + dx) * 1000 + ((sy div $CellSz) + dy)"))
+            expr(s"((sx div $CellSz) + dx) * $CellPack + ((sy div $CellSz) + dy)"))
         val probe = cust.withColumn("cell",
-          expr(s"(cx div $CellSz) * 1000 + (cy div $CellSz)"))
+          expr(s"(cx div $CellSz) * $CellPack + (cy div $CellSz)"))
         val pairs = probe.join(broadcast(sg), "cell")
           .withColumn("d2",
             (col("cx") - col("sx")) * (col("cx") - col("sx"))

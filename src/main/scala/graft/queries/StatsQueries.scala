@@ -1067,13 +1067,26 @@ object StatsQueries {
         |Bit order is the alphabetical channel rank — closed-form in
         |both engines, no hardcoded type list.""".stripMargin,
       Some(
-        """WITH bits AS (
+        """WITH nch AS (
+          |  SELECT COUNT(*) AS n
+          |  FROM (SELECT DISTINCT event_type FROM events
+          |        WHERE event_type <> 'purchase')),
+          |bits AS (
+          |  -- the 6/2/2/6 weights below are n=4 factorials; mirror the
+          |  -- Spark side's raise_error so a channel-domain drift fails
+          |  -- BOTH engines loudly instead of the ELSE 8 branch silently
+          |  -- colliding masks into plausible garbage
           |  SELECT t AS channel, b,
-          |         CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
-          |                ELSE 8 END AS bitval
+          |         CASE WHEN nch.n <> 4 THEN error(
+          |                'a_shapley_channels needs exactly 4 channels, saw '
+          |                || nch.n)
+          |              ELSE CASE b WHEN 0 THEN 1 WHEN 1 THEN 2
+          |                          WHEN 2 THEN 4 ELSE 8 END
+          |         END AS bitval
           |  FROM (SELECT t, ROW_NUMBER() OVER (ORDER BY t) - 1 AS b
           |        FROM (SELECT DISTINCT event_type AS t FROM events
-          |              WHERE event_type <> 'purchase'))),
+          |              WHERE event_type <> 'purchase'))
+          |  CROSS JOIN nch),
           |ub AS (
           |  SELECT DISTINCT e.user_id,
           |         epoch_us(date_trunc('day', e.ts)) // 86400000000 AS d,

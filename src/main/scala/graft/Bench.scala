@@ -1,8 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: every catalog query against SPARK_GRAFT_SF_DIR,
-  * one JSON line to stdout.
+/** Driver-run benchmark: every catalog query against SPARK_GRAFT_SF_DIR.
+  * Emits the complete JSON result line to stdout AND (as the final
+  * stdout line) a compact <1.5 KB summary of the same run — the driver's
+  * stdout capture keeps only a ~2,000-char tail, so the compact line is
+  * the one guaranteed to land inside it and parse; BENCHFULL.json holds
+  * the complete record.
   *
   * Queries are forced through the `noop` sink, not `count()`: a count
   * lets Catalyst prune the final projection (expression-heavy queries
@@ -34,11 +38,30 @@ import org.apache.spark.sql.SparkSession
   * a budget squeeze degrades the evidence, never the artifact.
   *
   * Pass order (cheap + contention-sensitive first): main → streaming →
-  * state → 10× headline → 5× full → constrained. Streaming moved ahead
+  * state → constrained → 10× headline → 5× full. Streaming moved ahead
   * of the scale curve in round 11: round 10's ~40% steady-throughput
   * drop was suspected self-contention from an hour of accumulated
   * temp-dir and page-cache churn, so the streaming points now run on
-  * the freshest possible session state.
+  * the freshest possible session state. The CONSTRAINED pass moved
+  * ahead of the scale sweeps in round 12 (round-11 verdict #1/#3: dead
+  * last, it never executed under the driver's budget — the 10× timing
+  * sweep ate the remainder, and the 10× timings are the least valuable
+  * optional evidence since at-scale CORRECTNESS is hash-gated by the
+  * separate SCALEVERIFY artifact). It tears down the shared session and
+  * rebuilds a squeezed one, so the normal session is re-created right
+  * after it for the scale sweeps.
+  *
+  * Budget admission is COST-AWARE, not zero-gated (round-11 advisory:
+  * the r11 run overshot 2710 s vs a 2700 s budget because per-query
+  * admission only stopped at <=0 s remaining). Every optional-pass
+  * query is admitted only if the remaining budget covers its estimated
+  * cost — main-pass median × replica copies × 1.5 contention margin ×
+  * planned runs (the ×1.5 calibrated on r11: a_bitmap_distinct main
+  * 2.5 s → 10× min 39.3 s ≈ ×1.57/copy) — so the run lands under the
+  * budget instead of discovering the overshoot mid-query. The default
+  * budget is 2520 s (was 2700): the driver's hard timeout is ~2700 s
+  * and a budget equal to the timeout still loses the tail pass when
+  * one admitted query runs long.
   *
   * Scale curve: `copies`× replicas of the SF dir are generated
   * (graft.ScaledData — key-shifted copies, mutually invisible), ONCE per
@@ -144,7 +167,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val startNs = System.nanoTime()
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2520").toDouble
     def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
     def remainingSec: Double = budgetSec - elapsedSec
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -155,8 +178,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // `var`: the constrained pass tears this session down to build the
+    // memory-squeezed one, then rebuilds a normal session for the scale
+    // sweeps that follow it. Closures below capture the variable (by
+    // reference in Scala), so they always see the live session.
+    var spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Headline numbers captured as they're computed, for the compact
+    // final-stdout summary line (round-11 verdict #2: the full JSON line
+    // is tens of KB, the driver keeps a 2,000-char tail, so `parsed` has
+    // been null for 11 straight rounds — the compact line is what lands
+    // inside any tail).
+    val sumNum = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Warm up the session (codegen compiler, parquet footers, scheduler)
     // so the alphabetically-first query doesn't absorb one-time costs.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -187,6 +220,13 @@ object Bench {
       s"\"" + k + "\":[" + ls.map(l => f"$l%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val mainMed: Map[String, Double] = results.map(r => r._1 -> r._2).toMap
+    // Estimated cost of ONE run of `name` against a `copies`× replica:
+    // main-pass median scaled by copies with a ×1.5 margin (see the
+    // scaladoc's calibration note). Floor 1 s — even a millisecond query
+    // pays scheduler + noop-commit overhead at 10×.
+    def estSec(name: String, copies: Int): Double =
+      math.max(1.0, mainMed.getOrElse(name, 1.0) * copies * 1.5)
     System.err.println(f"[bench] main pass done at ${elapsedSec}%.0f s " +
       f"(budget $budgetSec%.0f s)")
     // sf as a NUMBER parsed from the dir name (sf0.1 -> 0.1): a JSON
@@ -240,8 +280,14 @@ object Bench {
                tag: String, copies: Int, runsN: Int)
       : Seq[(String, Seq[Double], Seq[Double], Option[String], Int)] =
       qs.flatMap { case (name, fn) =>
-        if (remainingSec <= 0) {
-          System.err.println(s"[bench] budget exhausted — skipping $tag:$name")
+        // Cost-aware admission (round-11 advisory): admit only if the
+        // remaining budget covers the ESTIMATED cost of all planned runs,
+        // not merely if any budget remains — a 39 s query admitted at
+        // 10 s remaining is how r11 overshot its budget.
+        val est = estSec(name, copies) * runsN
+        if (remainingSec < est) {
+          System.err.println(f"[bench] budget short (${remainingSec}%.0f s < " +
+            f"est $est%.0f s) — skipping $tag:$name")
           skipped += s"$tag:$name"
           None
         } else {
@@ -312,6 +358,8 @@ object Bench {
           s"\"" + k + s"""\":[${ss.length},$att,"${escJson(err.getOrElse(""))}"]""" }
         .mkString("{", ",", "}")
       val retriedJson = rescued.map("\"" + _ + "\"").mkString("[", ",", "]")
+      sumNum(s"$label.n") = good.length.toDouble
+      sumNum(s"$label.value") = good.map(_._2.min).sum
       s"""{"copies":$copies,"runs":$runsN,"value":${good.map(_._2.min).sum},"queries":$sqs,"raw":$sraw,"load":$sload,"failed":$failed,"partial":$partial,"retried":$retriedJson}"""
     }
 
@@ -341,7 +389,8 @@ object Bench {
     // count as throughput). A second `wide` point at 10k rows/page
     // separates per-batch overhead from per-row cost. fail-soft like the
     // scale curve.
-    def streamPoint(pages: Int, rowsPerPage: Int, perTrigger: Int): String = {
+    def streamPoint(label: String, pages: Int, rowsPerPage: Int,
+                    perTrigger: Int): String = {
       val runId = s"bench-${java.util.UUID.randomUUID()}"
       graft.sources.rest.FakeCardexApi.publishPages(runId, pages)
       val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
@@ -382,6 +431,7 @@ object Bench {
         val steadyMs = steady.map(_.batchDuration).sum
         val steadyRps =
           if (steadyMs <= 0) 0.0 else steadyRows * 1000.0 / steadyMs
+        sumNum(s"$label.steady_rps") = steadyRps
         s"""{"pages":$pages,"rows_per_page":$rowsPerPage,"rows":$rows,"batches":${progress.length},"sec":$sec,"rows_per_sec":${rows / math.max(sec, 1e-9)},"steady_rows":$steadyRows,"steady_ms":$steadyMs,"steady_rows_per_sec":$steadyRps,"load":${f"$loadavg%.2f"},"batch_ms":$ms}"""
       } finally {
         graft.sources.rest.FakeCardexApi.resetRun(runId)
@@ -464,57 +514,60 @@ object Bench {
     val streamingJson = gated("streaming", minSec = 120) {
       val pages = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAGES", "512").toInt
       if (pages <= 0) "" else {
-        val main = streamPoint(pages, rowsPerPage = 2000, perTrigger = 8)
-        val wide = streamPoint(math.max(pages / 4, 8), rowsPerPage = 10000,
-          perTrigger = 8)
+        val main = streamPoint("stream", pages, rowsPerPage = 2000, perTrigger = 8)
+        val wide = streamPoint("wide", math.max(pages / 4, 8),
+          rowsPerPage = 10000, perTrigger = 8)
+        // Bulk point (round 12): the main/wide points are bounded by
+        // FIXED per-micro-batch overhead, not per-row cost — measured on
+        // a quiet box, batch duration is ~130 ms whether a batch carries
+        // 16k rows (8×2000) or 80k (8×10000), i.e. marginal per-row cost
+        // ≈ 0.13 µs. That makes their rows/s a trigger-latency metric
+        // that moves with the host image (the r9→r10 "wide regression"
+        // was exactly this — see PLANS.md). This point admits 64 pages ×
+        // 10k rows = 640k rows per batch so per-row work dominates the
+        // fixed overhead and the number approximates actual source →
+        // noop row capacity.
+        val bulk = streamPoint("bulk", math.max(pages, 8),
+          rowsPerPage = 10000, perTrigger = 64)
         val state = gated("streaming.state", minSec = 90) {
           statePoint(
             keys = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "150000").toInt,
             batches = sys.env.getOrElse("SPARK_GRAFT_STATE_BATCHES", "12").toInt)
         }
         val stateJson = if (state.isEmpty) "" else s""","state":$state"""
-        s""","streaming":${main.stripSuffix("}")},"wide":$wide$stateJson}"""
+        s""","streaming":${main.stripSuffix("}")},"wide":$wide,"bulk":$bulk$stateJson}"""
       }
     }
 
-    // scale curve: headline subset at SCALE_COPIES (default 10x,
-    // min-of-SCALE_RUNS), full catalog at SCALE_FULL (default 5x,
-    // min-of-SCALE_FULL_RUNS = 1). fail-soft end to end: the curve is
-    // extra evidence — a bad env value or replica-write problem must not
-    // cost the round its primary numbers.
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val fullCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_FULL", "5").toInt
     val scaleRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
     val fullRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_FULL_RUNS", "1").toInt)
-    val headJson =
-      if (copies <= 0) ""
-      else gated("scaled", minSec = 420) {
-        scaledPass(copies,
-          names.filter { case (n, _) => headline.contains(n) }, "scaled", scaleRuns)
-      }
-    val fullJson =
-      if (fullCopies <= 0) ""
-      else gated("scaled-full", minSec = 600) {
-        scaledPass(fullCopies, names, "scaled-full", fullRuns)
-      }
-    val scaledJson =
-      if (headJson.isEmpty && fullJson.isEmpty) ""
-      else if (headJson.isEmpty) s""","scaled":{"full":$fullJson}"""
-      else if (fullJson.isEmpty) s""","scaled":$headJson"""
-      else s""","scaled":${headJson.stripSuffix("}")},"full":$fullJson}"""
 
-    // Constrained (spill) point — LAST: it tears down the shared session
-    // and rebuilds one with squeezed unified memory, so nothing that
-    // needs the normal session may follow it. Runs the shuffleHeavy
-    // subset once each against the (already generated, reused) replica
-    // and reports per-query spill bytes from a task-end listener. The
-    // listener bus is async; a bounded drain-wait after each query keeps
-    // the attribution per-query without private Spark APIs.
+    // Constrained (spill) point — BEFORE the scale sweeps (round-11
+    // verdict #1/#3: ordered dead last it never executed under the
+    // driver's budget, so graceful spill behavior stayed asserted, not
+    // measured; the 10× timings it now precedes are the least valuable
+    // optional evidence since at-scale correctness is hash-gated
+    // separately). It tears down the shared session, runs the
+    // shuffleHeavy subset once each against the replica on a session
+    // whose unified memory pool is capped, and reports per-query spill
+    // bytes from a task-end listener; the normal session is rebuilt in
+    // a finally so the scale sweeps always get a live session even if
+    // this pass dies mid-way. The listener bus is async; a bounded
+    // drain-wait after each query keeps the attribution per-query
+    // without private Spark APIs.
     val constrainedJson = gated("constrained", minSec = 300) {
       val cCopies = sys.env.getOrElse("SPARK_GRAFT_CONSTRAINED_COPIES",
-        math.max(copies, 1).toString).toInt
-      if (cCopies <= 0 || sys.env.get("SPARK_GRAFT_CONSTRAINED").contains("0")) ""
-      else {
+        copies.toString).toInt
+      if (cCopies <= 0 || sys.env.get("SPARK_GRAFT_CONSTRAINED").contains("0")) {
+        // Round-11 advisory: with the scale curve disabled (SCALE_COPIES
+        // = 0) and no explicit CONSTRAINED_COPIES, a 1× fallback would
+        // report zero spill that reads as "no pressure" rather than
+        // "wrong scale" — skip and say so instead.
+        System.err.println(s"[bench] constrained disabled (copies=$cCopies)")
+        skipped += "constrained"; ""
+      } else {
         val dir = replica(cCopies) // generate with the NORMAL session
         // Absolute cap, not a heap fraction: spark.memory.fraction is
         // relative to Runtime.maxMemory, so the same setting squeezes an
@@ -529,58 +582,105 @@ object Bench {
           (512L * 1024 * 1024).toString).toLong
         val parts = sys.env.getOrElse("SPARK_GRAFT_CONSTRAINED_PARTITIONS", "8").toInt
         spark.stop()
-        val cs = GraftSession.builder(s"local[$cpus]", parts)
-          .config("spark.testing.memory", memBytes.toString)
-          .getOrCreate()
-        cs.sparkContext.setLogLevel("WARN")
-        val spillMem = new java.util.concurrent.atomic.AtomicLong
-        val spillDisk = new java.util.concurrent.atomic.AtomicLong
-        val tasksEnded = new java.util.concurrent.atomic.AtomicLong
-        cs.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-            val m = e.taskMetrics
-            if (m != null) {
-              spillMem.addAndGet(m.memoryBytesSpilled)
-              spillDisk.addAndGet(m.diskBytesSpilled)
-            }
-            tasksEnded.incrementAndGet(); ()
-          }
-        })
-        val qmap = names.toMap
-        val rows =
-          try shuffleHeavy.flatMap(n => qmap.get(n).map(n -> _)).map {
-            case (name, fn) =>
-              if (remainingSec <= 0) {
-                skipped += s"constrained:$name"
-                s""""$name":{"skipped":true}"""
-              } else {
-                System.err.println(s"[bench] constrained(${cCopies}x) $name")
-                val m0 = spillMem.get(); val d0 = spillDisk.get()
-                val t0 = System.nanoTime()
-                val err = try {
-                  fn(cs, dir).write.format("noop").mode("overwrite").save(); None
-                } catch { case e: Throwable =>
-                  Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
-                }
-                val sec = (System.nanoTime() - t0) / 1e9
-                // drain-wait: task-end events are posted async; wait until
-                // the counter stops moving (max 2 s) before snapshotting
-                var last = -1L; var spins = 0
-                while (last != tasksEnded.get() && spins < 20) {
-                  last = tasksEnded.get(); Thread.sleep(100); spins += 1
-                }
-                val sm = spillMem.get() - m0; val sd = spillDisk.get() - d0
-                err match {
-                  case Some(msg) =>
-                    s""""$name":{"sec":$sec,"spill_mem_bytes":$sm,"spill_disk_bytes":$sd,"err":"${escJson(msg)}"}"""
-                  case None =>
-                    s""""$name":{"sec":$sec,"spill_mem_bytes":$sm,"spill_disk_bytes":$sd}"""
-                }
+        try {
+          val cs = GraftSession.builder(s"local[$cpus]", parts)
+            .config("spark.testing.memory", memBytes.toString)
+            .getOrCreate()
+          cs.sparkContext.setLogLevel("WARN")
+          val spillMem = new java.util.concurrent.atomic.AtomicLong
+          val spillDisk = new java.util.concurrent.atomic.AtomicLong
+          val tasksEnded = new java.util.concurrent.atomic.AtomicLong
+          cs.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = e.taskMetrics
+              if (m != null) {
+                spillMem.addAndGet(m.memoryBytesSpilled)
+                spillDisk.addAndGet(m.diskBytesSpilled)
               }
-          } finally cs.stop()
-        s""","constrained":{"copies":$cCopies,"memory_bytes":$memBytes,"shuffle_partitions":$parts,"spill_mem_bytes":${spillMem.get()},"spill_disk_bytes":${spillDisk.get()},"queries":${rows.mkString("{", ",", "}")}}"""
+              tasksEnded.incrementAndGet(); ()
+            }
+          })
+          val qmap = names.toMap
+          val rows =
+            try shuffleHeavy.flatMap(n => qmap.get(n).map(n -> _)).map {
+              case (name, fn) =>
+                // squeezed-memory runs pay spill I/O on top of the
+                // scaled estimate; ×2 keeps an admitted query from
+                // blowing the budget the scale sweeps still need
+                if (remainingSec < 2 * estSec(name, cCopies)) {
+                  skipped += s"constrained:$name"
+                  s""""$name":{"skipped":true}"""
+                } else {
+                  System.err.println(s"[bench] constrained(${cCopies}x) $name")
+                  val m0 = spillMem.get(); val d0 = spillDisk.get()
+                  val t0 = System.nanoTime()
+                  val err = try {
+                    fn(cs, dir).write.format("noop").mode("overwrite").save(); None
+                  } catch { case e: Throwable =>
+                    Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+                  }
+                  val sec = (System.nanoTime() - t0) / 1e9
+                  // drain-wait: task-end events are posted async; wait until
+                  // the counter stops moving (max 2 s) before snapshotting
+                  var last = -1L; var spins = 0
+                  while (last != tasksEnded.get() && spins < 20) {
+                    last = tasksEnded.get(); Thread.sleep(100); spins += 1
+                  }
+                  val sm = spillMem.get() - m0; val sd = spillDisk.get() - d0
+                  err match {
+                    case Some(msg) =>
+                      s""""$name":{"sec":$sec,"spill_mem_bytes":$sm,"spill_disk_bytes":$sd,"err":"${escJson(msg)}"}"""
+                    case None =>
+                      s""""$name":{"sec":$sec,"spill_mem_bytes":$sm,"spill_disk_bytes":$sd}"""
+                  }
+                }
+            } finally cs.stop()
+          sumNum("constrained.spill_mem_bytes") = spillMem.get().toDouble
+          sumNum("constrained.spill_disk_bytes") = spillDisk.get().toDouble
+          s""","constrained":{"copies":$cCopies,"memory_bytes":$memBytes,"shuffle_partitions":$parts,"spill_mem_bytes":${spillMem.get()},"spill_disk_bytes":${spillDisk.get()},"queries":${rows.mkString("{", ",", "}")}}"""
+        } finally {
+          // the scale sweeps (and the final spark.stop) need a live
+          // normal session regardless of how this pass ended
+          spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+          spark.sparkContext.setLogLevel("WARN")
+        }
       }
     }
+
+    // scale curve: headline subset at SCALE_COPIES (default 10x,
+    // min-of-SCALE_RUNS), full catalog at SCALE_FULL (default 5x,
+    // min-of-SCALE_FULL_RUNS = 1). fail-soft end to end: the curve is
+    // extra evidence — a bad env value or replica-write problem must not
+    // cost the round its primary numbers.
+    //
+    // 10× admission is VALUE-ORDERED, not catalog-ordered (round-11
+    // verdict #6: when the budget fits only K of 47 headliners,
+    // alphabetical admission always dropped the same tail — w_*, t_*,
+    // mm_* never got 10× timings). The shuffle-heavy subset goes first
+    // (its 100 TB claims ride on shuffle behavior, the thing a 10× point
+    // actually tests), then the rest by DESCENDING main-pass median —
+    // expensive plans are where scale growth shows; what falls off the
+    // end is the cheap scan-shaped remainder.
+    val headJson =
+      if (copies <= 0) ""
+      else gated("scaled", minSec = 420) {
+        val rank: Map[String, Int] = shuffleHeavy.zipWithIndex.toMap
+        val ordered = names
+          .filter { case (n, _) => headline.contains(n) }
+          .sortBy { case (n, _) =>
+            (rank.getOrElse(n, Int.MaxValue), -mainMed.getOrElse(n, 0.0)) }
+        scaledPass(copies, ordered, "scaled", scaleRuns)
+      }
+    val fullJson =
+      if (fullCopies <= 0) ""
+      else gated("scaled-full", minSec = 600) {
+        scaledPass(fullCopies, names, "scaled-full", fullRuns)
+      }
+    val scaledJson =
+      if (headJson.isEmpty && fullJson.isEmpty) ""
+      else if (headJson.isEmpty) s""","scaled":{"full":$fullJson}"""
+      else if (fullJson.isEmpty) s""","scaled":$headJson"""
+      else s""","scaled":${headJson.stripSuffix("}")},"full":$fullJson}"""
 
     replicaDirs.values.foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
@@ -613,27 +713,56 @@ object Bench {
         System.err.println(s"[bench] BENCHFULL write skipped: $e") }
     }
     // Stop Spark BEFORE printing so shutdown logging cannot interleave
-    // with (or follow) the result line; the JSON is the final stdout line.
+    // with (or follow) the result lines.
     spark.stop()
     println(line)
+    // Compact summary as the FINAL stdout line (round-11 verdict #2):
+    // the full line is tens of KB and the driver keeps only a ~2,000-char
+    // stdout tail, so its `parsed` field has been null for 11 straight
+    // rounds — the full line is always decapitated. This line is < ~1.5 KB
+    // by construction (headline totals, streaming steady points, scaled
+    // values, spill totals, skip count, the top-5 slowest queries, and
+    // the path of the complete artifact), so it lands inside any tail
+    // and parses. BENCHFULL.json remains the complete record.
+    val top5 = results.sortBy(-_._2).take(5)
+      .map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val sumJson = sumNum
+      .map { case (k, v) => s"\"" + k + "\":" + (if (v == v.floor && v.abs < 1e15) v.toLong.toString else v.toString) }
+      .mkString("{", ",", "}")
+    val artifactJson = benchOut.fold("null")("\"" + escJson(_) + "\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sfNum,"compact":true,"n_queries":${results.length},"runs":$runs,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"skipped_n":${skipped.length},"artifact":$artifactJson,"queries":$top5,"summary":$sumJson}""")
     System.out.flush()
   }
 
-  /** Atomic artifact write: stage the full content in a `.tmp` sibling,
-    * then rename over the destination. A run killed at ANY point leaves
-    * the destination either absent or holding a previous COMPLETE line —
-    * never a partial (the round-10 clobber). Falls back to a plain
-    * replace-move where the filesystem lacks atomic rename. */
+  /** Atomic artifact write: stage the full content in a `.tmp` sibling
+    * (fsync'd, so the rename can never publish a hole-filled staging
+    * file after a crash), then rename over the destination. A run killed
+    * at ANY point leaves the destination either absent or holding a
+    * previous COMPLETE line — never a partial (the round-10 clobber).
+    * Falls back to a plain replace-move where the filesystem lacks
+    * atomic rename; the `.tmp` sibling is removed in a finally so a
+    * failed move can't leave stale staging files behind (round-11
+    * advisory). */
   private[graft] def writeAtomic(out: String, content: String): Unit = {
     val dest = java.nio.file.Paths.get(out).toAbsolutePath
     val tmp = dest.resolveSibling(dest.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, content)
-    try java.nio.file.Files.move(tmp, dest,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      java.nio.file.Files.move(tmp, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
-    ()
+    try {
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      try java.nio.file.Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
   }
 }

@@ -59,9 +59,13 @@ object GeoQueries {
         |tiebreak; pack in DECIMAL(38,0)/HUGEINT since d2*10^11 exceeds
         |2^63, suppkey asserted < 10^11 by raise_error). Scale shape:
         |candidate pairs are bounded by cell co-location (never |C|x|S|);
-        |here the 9x-replicated supplier side broadcasts; at equal-sized
-        |sides the same plan becomes a cell-keyed shuffle join — the
-        |standard spatial-join recipe either way.""".stripMargin,
+        |the 9x-replicated supplier side carries NO broadcast hint — the
+        |threshold auto-broadcasts it at these sizes, and when the cell
+        |frame outgrows it the SAME call site flips to a cell-keyed
+        |shuffle join (round 12: a hard hint here contradicted this very
+        |sentence — AQE cannot unpin an explicit hint; flip executed in
+        |StrategyInvarianceSpec) — the standard spatial-join recipe
+        |either way.""".stripMargin,
       Some(
         s"""WITH c AS (
            |  SELECT c_custkey,
@@ -116,7 +120,7 @@ object GeoQueries {
             expr(s"((sx div $CellSz) + dx) * $CellPack + ((sy div $CellSz) + dy)"))
         val probe = cust.withColumn("cell",
           expr(s"(cx div $CellSz) * $CellPack + (cy div $CellSz)"))
-        probe.join(broadcast(sg), "cell")
+        probe.join(sg, "cell")
           .withColumn("d2",
             (col("cx") - col("sx")) * (col("cx") - col("sx"))
               + (col("cy") - col("sy")) * (col("cy") - col("sy")))
@@ -202,9 +206,11 @@ object GeoQueries {
         |multi-pass). Candidates are cell-collision-bounded, ranking is
         |a per-customer window over the in-radius candidate set only
         |(never the supplier table), ties break on supplier key —
-        |deterministic. The replicated supplier side broadcasts here;
-        |at equal-sized sides the identical plan shuffles on the cell
-        |key (the standard spatial-join recipe either way).""".stripMargin,
+        |deterministic. The replicated supplier side carries NO
+        |broadcast hint (round 12 — same rationale as geo_grid_join):
+        |the threshold auto-broadcasts it at these sizes, and at
+        |equal-sized sides the identical call site shuffles on the
+        |cell key (flip executed in StrategyInvarianceSpec).""".stripMargin,
       Some(
         s"""WITH c AS (
            |  SELECT c_custkey,
@@ -253,7 +259,7 @@ object GeoQueries {
             expr(s"((sx div $CellSz) + dx) * $CellPack + ((sy div $CellSz) + dy)"))
         val probe = cust.withColumn("cell",
           expr(s"(cx div $CellSz) * $CellPack + (cy div $CellSz)"))
-        val pairs = probe.join(broadcast(sg), "cell")
+        val pairs = probe.join(sg, "cell")
           .withColumn("d2",
             (col("cx") - col("sx")) * (col("cx") - col("sx"))
               + (col("cy") - col("sy")) * (col("cy") - col("sy")))

@@ -99,6 +99,39 @@ class StrategyInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("geo spatial joins flip to cell-keyed shuffle joins, row-identical") {
+    // geo_grid_join / geo_knn_ranked hard-hinted broadcast(sg) through
+    // round 11 while their docs claimed "at equal-sized sides the same
+    // plan becomes a cell-keyed shuffle join" — an explicit hint is
+    // exactly what makes that claim false (AQE cannot unpin it; past the
+    // broadcast ceiling the hinted job dies instead of degrading). The
+    // hints are gone; execute the degradation: with the threshold
+    // disabled both queries must plan ZERO broadcast joins (the pairs
+    // join shuffles on the cell key) and return exactly the
+    // auto-broadcast rows.
+    Seq("geo_grid_join", "geo_knn_ranked").foreach { q =>
+      withClue(q) {
+        val withBcast = rows(q)
+        withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+          val df = Catalog.byName(q).build(spark, sfSmoke)
+          val p = df.queryExecution.executedPlan
+          val bhj = collectAll(p) {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+            case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+          }
+          assert(bhj.isEmpty,
+            s"$q still broadcasts with the threshold disabled — the hint is back?")
+          val joins = collectAll(p) {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }
+          assert(joins.nonEmpty, s"$q lost its cell join under fallback")
+          assert(df.collect().map(_.toString).toSeq === withBcast,
+            s"$q changes rows when the cell join flips to shuffle")
+        }
+      }
+    }
+  }
+
   test("NearDup confirm flips to shuffled joins with hints stripped, row-identical") {
     // The near-dup confirm path (dd_lsh_confirm / dd_minhash_est /
     // DedupPipeline) force-broadcasts the candidate-derived side

@@ -114,7 +114,10 @@ import org.apache.spark.sql.SparkSession
   * timed-out driver run was killed mid-write-path and left the working
   * tree holding a main-only partial that shadowed the committed
   * full-catalog artifact. A killed run now leaves at worst a `.tmp`
-  * sibling; the destination only ever holds a complete line.
+  * sibling; the destination only ever holds a complete line. A
+  * budget-squeezed run (nonempty skip list) diverts to
+  * BENCHFULL_PARTIAL.json so the committed zero-skip record survives
+  * round snapshots (rounds 10 and 12 both clobbered it).
   */
 object Bench {
   /** The scale-curve subset: the scan/join/agg/dedup/text/ann/pipeline
@@ -775,11 +778,22 @@ object Bench {
     // repo-default path is reserved for full-catalog passes. The write
     // itself is ATOMIC (temp + rename): a run killed mid-write leaves
     // the destination untouched — kill-tested in BenchArtifactSpec.
-    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(
-      if (only.isEmpty && results.nonEmpty) Some("/root/repo/BENCHFULL.json")
-      else { System.err.println(
+    //
+    // Second guard (round-12 incident): a BUDGET-SQUEEZED full run — the
+    // main pass complete but optional passes skipped — used to overwrite
+    // the committed zero-skip record with a partial one, which the round
+    // snapshot then committed over it (twice: rounds 10 and 12). A run
+    // with a nonempty skip list now writes BENCHFULL_PARTIAL.json
+    // instead; BENCHFULL.json only ever holds a zero-skip complete run.
+    // An explicit SPARK_GRAFT_BENCH_OUT still overrides both guards.
+    val benchOut = artifactDest(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
+      narrow = only.nonEmpty || results.isEmpty, skippedN = skipped.length)
+    if (benchOut.isEmpty)
+      System.err.println(
         "[bench] narrow run: BENCHFULL write skipped (set SPARK_GRAFT_BENCH_OUT to force)")
-        None })
+    else if (benchOut.exists(_.endsWith("BENCHFULL_PARTIAL.json")))
+      System.err.println(
+        s"[bench] ${skipped.length} passes skipped: writing BENCHFULL_PARTIAL.json, complete record preserved")
     benchOut.foreach { out =>
       try writeAtomic(out, line + "\n")
       catch { case e: Throwable =>
@@ -807,6 +821,20 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","sf":$sfNum,"compact":true,"n_queries":${results.length},"runs":$runs,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"skipped_n":${skipped.length},"artifact":$artifactJson,"queries":$top5,"summary":$sumJson}""")
     System.out.flush()
   }
+
+  /** Where the complete result line lands. An explicit
+    * SPARK_GRAFT_BENCH_OUT always wins; a narrow run (SPARK_GRAFT_ONLY
+    * set, or zero queries timed) writes nowhere (round-10 clobber); a
+    * full run with skipped passes diverts to BENCHFULL_PARTIAL.json so
+    * the committed zero-skip record survives round snapshots (round-12
+    * clobber); only a zero-skip full run may claim BENCHFULL.json. */
+  private[graft] def artifactDest(explicit: Option[String], narrow: Boolean,
+                                  skippedN: Int): Option[String] =
+    explicit.orElse {
+      if (narrow) None
+      else if (skippedN == 0) Some("/root/repo/BENCHFULL.json")
+      else Some("/root/repo/BENCHFULL_PARTIAL.json")
+    }
 
   /** Atomic artifact write: stage the full content in a `.tmp` sibling
     * (fsync'd, so the rename can never publish a hole-filled staging

@@ -48,4 +48,21 @@ class BenchArtifactSpec extends AnyFunSuite {
     Bench.writeAtomic(dest.toString, "{\"value\":3}\n")
     assert(Files.readString(dest) === "{\"value\":3}\n")
   }
+
+  // Destination routing (round-12 clobber): the committed zero-skip
+  // BENCHFULL.json was twice overwritten by a budget-squeezed run whose
+  // optional passes were skipped. Only a zero-skip full run may claim
+  // the repo-default path; a skip-bearing run diverts to the PARTIAL
+  // sibling; a narrow run writes nowhere; an explicit out always wins.
+  test("artifactDest routes complete, partial, narrow, and explicit runs") {
+    assert(Bench.artifactDest(None, narrow = false, skippedN = 0)
+      === Some("/root/repo/BENCHFULL.json"))
+    assert(Bench.artifactDest(None, narrow = false, skippedN = 28)
+      === Some("/root/repo/BENCHFULL_PARTIAL.json"))
+    assert(Bench.artifactDest(None, narrow = true, skippedN = 0) === None)
+    assert(Bench.artifactDest(None, narrow = true, skippedN = 3) === None)
+    assert(Bench.artifactDest(Some("/tmp/x.json"), narrow = true, skippedN = 9)
+      === Some("/tmp/x.json"),
+      "an explicit SPARK_GRAFT_BENCH_OUT overrides both guards")
+  }
 }

@@ -787,7 +787,8 @@ object Bench {
     // instead; BENCHFULL.json only ever holds a zero-skip complete run.
     // An explicit SPARK_GRAFT_BENCH_OUT still overrides both guards.
     val benchOut = artifactDest(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
-      narrow = only.nonEmpty || results.isEmpty, skippedN = skipped.length)
+      narrow = only.nonEmpty || results.isEmpty, skippedN = skipped.length,
+      sf = sfNum)
     if (benchOut.isEmpty)
       System.err.println(
         "[bench] narrow run: BENCHFULL write skipped (set SPARK_GRAFT_BENCH_OUT to force)")
@@ -827,13 +828,18 @@ object Bench {
     * set, or zero queries timed) writes nowhere (round-10 clobber); a
     * full run with skipped passes diverts to BENCHFULL_PARTIAL.json so
     * the committed zero-skip record survives round snapshots (round-12
-    * clobber); only a zero-skip full run may claim BENCHFULL.json. */
+    * clobber); only a zero-skip full run AT THE DRIVER'S SF (0.1) may
+    * claim BENCHFULL.json — a complete run at any other scale factor
+    * lands in BENCHFULL_sfN.json so a toy-SF builder pass can never
+    * shadow the committed sf0.1 record (the remaining member of the
+    * clobber family, preempted rather than survived). */
   private[graft] def artifactDest(explicit: Option[String], narrow: Boolean,
-                                  skippedN: Int): Option[String] =
+                                  skippedN: Int, sf: String = "0.1"): Option[String] =
     explicit.orElse {
       if (narrow) None
-      else if (skippedN == 0) Some("/root/repo/BENCHFULL.json")
-      else Some("/root/repo/BENCHFULL_PARTIAL.json")
+      else if (skippedN > 0) Some("/root/repo/BENCHFULL_PARTIAL.json")
+      else if (sf == "0.1") Some("/root/repo/BENCHFULL.json")
+      else Some(s"/root/repo/BENCHFULL_sf$sf.json")
     }
 
   /** Atomic artifact write: stage the full content in a `.tmp` sibling

@@ -64,5 +64,12 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.artifactDest(Some("/tmp/x.json"), narrow = true, skippedN = 9)
       === Some("/tmp/x.json"),
       "an explicit SPARK_GRAFT_BENCH_OUT overrides both guards")
+    // a COMPLETE run at a toy SF must not shadow the committed sf0.1
+    // record — it gets an sf-suffixed sibling instead
+    assert(Bench.artifactDest(None, narrow = false, skippedN = 0, sf = "0.001")
+      === Some("/root/repo/BENCHFULL_sf0.001.json"))
+    assert(Bench.artifactDest(None, narrow = false, skippedN = 2, sf = "0.001")
+      === Some("/root/repo/BENCHFULL_PARTIAL.json"),
+      "skip-bearing runs divert to PARTIAL regardless of SF")
   }
 }

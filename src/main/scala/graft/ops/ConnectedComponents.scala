@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Lineage._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -92,7 +93,7 @@ object ConnectedComponents {
       val next = propagated
         .join(parents, propagated("component") === parents("__pid"))
         .select(col(idCol), col("__pcomp").as("component"), col("__old"))
-        .localCheckpoint(false)
+        .cutLineage(false)
       val nChanged = next
         .agg(count_if(col("component") =!= col("__old"))).first().getLong(0)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -156,7 +157,7 @@ object ConnectedComponents {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
-      .localCheckpoint(false)
+      .cutLineage(false)
     def signature(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)), coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L))).first()
       (r.getLong(0), r.getLong(1))
@@ -188,7 +189,7 @@ object ConnectedComponents {
         .select(col("m").as("a"), col("dst").as("b"))
         .unionAll(smins.select(col("m").as("a"), col("src").as("b")))
         .distinct()
-        .localCheckpoint(false)
+        .cutLineage(false)
       val nextSig = signature(small)
       stable = nextSig == sig
       sig = nextSig

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Lineage._
 import graft.functions.Text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -58,7 +59,7 @@ object NearDup {
     // shingle cache can be dropped before this frame is handed back — a
     // bare persist would otherwise pin it for the rest of the session
     // (Verify/Bench share one SparkSession)
-    val out = confirmed.localCheckpoint(true)
+    val out = confirmed.cutLineage(true)
     base.unpersist()
     out
   }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Lineage._
 import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -1164,7 +1165,7 @@ object AggWindowQueries {
             col("freq"), col("mon_micro"))
           // four consumers (three median frames + the segment pass):
           // materialize the user frame once
-          .localCheckpoint()
+          .cutLineage()
         val seg = r
           .crossJoin(broadcast(median(r, "rec_days", "r_med")))
           .crossJoin(broadcast(median(r, "freq", "f_med")))
@@ -1487,7 +1488,7 @@ object AggWindowQueries {
           // materialized once: both the probe side and the profile derive
           // from this frame — without the checkpoint the profile branch
           // re-scans the corpus and re-runs the hourly agg
-          .localCheckpoint()
+          .cutLineage()
         val prof = h.groupBy("event_type", "hod")
           .agg(sum(col("n")).as("prof_sum"), count(lit(1)).as("prof_n"))
         h.join(broadcast(prof), Seq("event_type", "hod"))
@@ -1729,7 +1730,7 @@ object AggWindowQueries {
           .withColumn("cum", sum(col("freq")).over(cw))
           .withColumn("n", sum(col("freq")).over(
             Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-          .localCheckpoint() // value frame: |distinct dollars| rows, built once
+          .cutLineage() // value frame: |distinct dollars| rows, built once
         val k = c.sparkSession.range(1, 9).select(col("id").as("bucket"))
         val b = broadcast(k).join(c, col("cum") * 8 >= col("bucket") * col("n"))
           .groupBy("bucket").agg(min(col("dollars")).as("boundary_dollars"))

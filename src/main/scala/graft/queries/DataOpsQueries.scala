@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Lineage._
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -616,10 +617,10 @@ object DataOpsQueries {
       (s, dir) => {
         val ev = Tables.events(s, dir)
         val del = ev.filter(col("user_id") % 97 === 0)
-          .select("user_id").distinct().localCheckpoint()
+          .select("user_id").distinct().cutLineage()
         def audit(surface: String, t: org.apache.spark.sql.DataFrame) = {
           val scrubbed = t.join(broadcast(del), Seq("user_id"), "left_anti")
-            .localCheckpoint() // the erasure itself, materialized once
+            .cutLineage() // the erasure itself, materialized once
           val residual = scrubbed.join(broadcast(del), Seq("user_id"), "left_semi")
           t.agg(count(lit(1)).as("n_before"))
             .crossJoin(scrubbed.agg(count(lit(1)).as("n_after")))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Lineage._
 import graft.functions.Text
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -479,7 +480,7 @@ object DedupQueries {
           // signatures once instead of re-folding the corpus per branch —
           // in production the index IS persisted state, so this is also
           // the honest cost model
-          .localCheckpoint()
+          .cutLineage()
         val idx = bands.filter(col("doc_id") % 5 =!= 0)
           .groupBy("band_id", "band_key")
           .agg(min("doc_id").as("first_hist"))
@@ -796,7 +797,7 @@ object DedupQueries {
           .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_ppm"),
             col("jacc_ppm"), abs(col("est_ppm") - col("jacc_ppm")).as("err_ppm"))
           .orderBy("doc_a", "doc_b")
-          .localCheckpoint(true)
+          .cutLineage(true)
         base.unpersist()
         out
       }),
@@ -1056,7 +1057,7 @@ object DedupQueries {
               transform(Text.shinglesOfTokens(col("toks"), 3),
                 sh => xxhash64(sh)))).as("sh"))
           .withColumn("n_sh", size(col("sh")).cast("long"))
-          .localCheckpoint()
+          .cutLineage()
         // global document frequency per shingle hash -> rarest-first rank
         val toks = sets.select(col("doc_id"), col("n_sh"),
           explode(col("sh")).as("tok"))
@@ -1068,7 +1069,7 @@ object DedupQueries {
             Window.partitionBy("doc_id").orderBy(col("dfreq"), col("tok"))))
           .filter(col("rk") <= expr("n_sh - ((n_sh + 1) div 2) + 1"))
           .select(col("tok"), col("doc_id"))
-          .localCheckpoint() // both sides of the candidate self-join
+          .cutLineage() // both sides of the candidate self-join
         val cand = pref.select(col("tok"), col("doc_id").as("doc_a"))
           .join(pref.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
           .filter(col("doc_a") < col("doc_b"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Lineage._
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -40,10 +41,10 @@ object GraphQueries {
     * (ScaleStressSpec proves the closed form on a 2·10^5-spoke star). */
   def pagerank(edgesIn: org.apache.spark.sql.DataFrame, iters: Int)
       : org.apache.spark.sql.DataFrame = {
-    val edges = edgesIn.localCheckpoint()
-    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    val edges = edgesIn.cutLineage()
+    val nodes = edges.select(col("src").as("id")).distinct().cutLineage()
     val nRow = nodes.agg(count(lit(1)).as("n"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).cutLineage()
     val base = expr(s"(15 * ($Mass div n)) div 100")
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("id"), expr(s"$Mass div n").as("r"))
@@ -103,16 +104,16 @@ object GraphQueries {
   def bfsLevels(edgesIn: org.apache.spark.sql.DataFrame,
                 seeds: org.apache.spark.sql.DataFrame,
                 maxLvl: Int): org.apache.spark.sql.DataFrame = {
-    val e = edgesIn.localCheckpoint()
-    var levels = seeds.select(col("id"), lit(0).as("lvl")).localCheckpoint()
+    val e = edgesIn.cutLineage()
+    var levels = seeds.select(col("id"), lit(0).as("lvl")).cutLineage()
     var frontier = levels.select("id")
     (1 to maxLvl).foreach { l =>
       val next = e.join(frontier.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
         .join(levels, Seq("id"), "left_anti")
         .select(col("id"), lit(l).as("lvl"))
-        .localCheckpoint()
-      levels = levels.unionAll(next).localCheckpoint()
+        .cutLineage()
+      levels = levels.unionAll(next).cutLineage()
       frontier = next.select("id")
     }
     levels
@@ -261,7 +262,7 @@ object GraphQueries {
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
           .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-          .localCheckpoint()
+          .cutLineage()
         val nodes = edges.select(col("src").as("id")).distinct()
         val rawLbl = nodes
           .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
@@ -278,7 +279,7 @@ object GraphQueries {
             .otherwise(raise_error(concat(
               lit("g_label_propagation pack overflow: label "),
               col("lbl0").cast("string"), lit(" outside [0,2^33)")))).as("lbl"))
-          .localCheckpoint()
+          .cutLineage()
         var prev = labels
         (1 to Iters).foreach { _ =>
           prev = labels
@@ -288,7 +289,7 @@ object GraphQueries {
             .agg(count(lit(1)).as("cnt"))
           labels = counts.groupBy("id")
             .agg((lit(8589934591L) - (max(col("cnt") * 8589934592L + (lit(8589934591L) - col("lbl"))) % 8589934592L)).as("lbl"))
-            .localCheckpoint()
+            .cutLineage()
         }
         val churn = labels.select(col("id"), col("lbl").as("new_lbl"))
           .join(prev.select(col("id"), col("lbl").as("old_lbl")), "id")
@@ -447,7 +448,7 @@ object GraphQueries {
           .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-          .distinct().localCheckpoint()
+          .distinct().cutLineage()
         def norm(df: org.apache.spark.sql.DataFrame, key: String,
                  v: String, out: String) =
           df.crossJoin(broadcast(df.agg(max(col(v)).as("mx"))))
@@ -460,7 +461,7 @@ object GraphQueries {
         // h2n feeds BOTH the second authority step and the output union:
         // checkpoint so the edge join above it runs once, not per branch
         val h2n = norm(pairs.join(a1n, "s").groupBy("c")
-          .agg(sum("an").as("h")), "c", "h", "hn").localCheckpoint()
+          .agg(sum("an").as("h")), "c", "h", "hn").cutLineage()
         val a2n = norm(pairs.join(h2n, "c").groupBy("s")
           .agg(sum("hn").as("a")), "s", "a", "an")
         a2n.select(lit("authority").as("side"), col("s").as("id"),
@@ -529,17 +530,17 @@ object GraphQueries {
           .agg(min(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
         val e = pe.select(col("c").as("src"), col("s").as("dst"), col("w"))
           .unionAll(pe.select(col("s").as("src"), col("c").as("dst"), col("w")))
-          .localCheckpoint()
+          .cutLineage()
         var dist = Tables.customer(s, dir)
           .agg(min("c_custkey").cast("long").as("id"))
           .select(col("id"), lit(0L).as("d"))
-          .localCheckpoint()
+          .cutLineage()
         (1 to 4).foreach { _ =>
           dist = dist
             .unionAll(e.join(dist.withColumnRenamed("id", "src"), "src")
               .select(col("dst").as("id"), (col("d") + col("w")).as("d")))
             .groupBy("id").agg(min("d").as("d"))
-            .localCheckpoint()
+            .cutLineage()
         }
         dist.select(col("id"), col("d").as("dist_cents")).orderBy("id")
       }),
@@ -588,14 +589,14 @@ object GraphQueries {
         val e0 = partEdges(s, dir)
         val ed = e0.select(col("u"), col("v"))
           .unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-          .localCheckpoint()
+          .cutLineage()
         val deg = ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-        val keep = deg.filter(col("d") <= 64).select("node").localCheckpoint()
+        val keep = deg.filter(col("d") <= 64).select("node").cutLineage()
         val ef = ed
           .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
           .select("u", "v")
-          .localCheckpoint()
+          .cutLineage()
         val d2 = ef.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
         val wedge = ef.as("a")
           .join(ef.as("b"), col("a.v") === col("b.v") && col("a.u") < col("b.u"))
@@ -746,9 +747,9 @@ object GraphQueries {
         val e0u = partEdges(s, dir)
         var edges = e0u.select(col("u"), col("v"))
           .unionAll(e0u.select(col("v").as("u"), col("u").as("v")))
-          .localCheckpoint()
+          .cutLineage()
         val allNodes = edges.select(col("u").as("node")).distinct()
-          .localCheckpoint()
+          .cutLineage()
         var peeled: org.apache.spark.sql.DataFrame = null
         (1 to 3).foreach { r =>
           val deg = edges.groupBy(col("u").as("node"))
@@ -762,14 +763,14 @@ object GraphQueries {
               .join(present, Seq("node"), "left_anti")
               .unionAll(low)
           val out = gone.distinct().withColumn("peel_round", lit(r))
-            .localCheckpoint()
+            .cutLineage()
           peeled = (if (peeled == null) out.select("node", "peel_round")
                     else peeled.unionAll(out.select("node", "peel_round")))
-            .localCheckpoint()
+            .cutLineage()
           edges = edges
             .join(out.select(col("node").as("u")), Seq("u"), "left_anti")
             .join(out.select(col("node").as("v")), Seq("v"), "left_anti")
-            .localCheckpoint()
+            .cutLineage()
         }
         allNodes
           .join(peeled, Seq("node"), "left")
@@ -790,7 +791,7 @@ object GraphQueries {
     * would fan out C(2x10^5, 2) pairs. */
   def triangleCounts(edgesIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val e = edgesIn.localCheckpoint()
+    val e = edgesIn.cutLineage()
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -808,7 +809,7 @@ object GraphQueries {
           .as("e"))
       .select(col("e.s").as("src"), col("e.d0").as("dst"),
         col("e.dd").as("dstdeg"))
-      .localCheckpoint()
+      .cutLineage()
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") &&
           (col("x.dstdeg") < col("y.dstdeg") ||

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Lineage._
 import graft.functions.Text
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -480,7 +481,7 @@ object SamplingQueries {
           // materialize the <=1001-row cutoff table ONCE: both union
           // branches below reference it, and without this each branch
           // re-runs the bucket agg (two extra corpus scans)
-          .localCheckpoint(true)
+          .cutLineage(true)
         val joined = base.join(broadcast(cuts), "bucket")
         val straddles =
           col("cum_before") < col("budget") && col("cum_before") + col("bt") > col("budget")
@@ -684,7 +685,7 @@ object SamplingQueries {
           // instead of re-scanning the corpus per branch — in production
           // this frame IS the persisted state table, so one derivation is
           // also the honest cost model
-          .localCheckpoint()
+          .cutLineage()
         val keyIndex = histManifest.select("norm_key").distinct()
         // epoch 1: the arriving batch — gate, drop dup_history via the
         // index, keep the within-batch first per key, append

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Lineage._
 import graft.functions.Vectors
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -469,7 +470,7 @@ object SimilarityQueries {
           .filter(col("cand_id") =!= col("probe_id"))
           .select(col("probe_id"), col("pbucket"), col("cand_id"), col("bucket"),
             Vectors.cosine(col("pv"), col("cv")).as("cos"))
-          .localCheckpoint() // one scoring pass serves both rankings
+          .cutLineage() // one scoring pass serves both rankings
         val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
         val brute = scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5).select("probe_id", "cand_id")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Lineage._
 import graft.functions.Vectors
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -367,10 +368,10 @@ object SketchQueries {
             coalesce(expr(s"element_at(top, $KmvK).id div 32768"),
               lit(1L << 48)).as("theta"),
             expr("transform(top, t -> t.id)").as("ids"))
-        val fa = side("view").localCheckpoint()
-        val fb = side("purchase").localCheckpoint()
-        val ska = sketch(fa).localCheckpoint()
-        val skb = sketch(fb).localCheckpoint()
+        val fa = side("view").cutLineage()
+        val fb = side("purchase").cutLineage()
+        val ska = sketch(fa).cutLineage()
+        val skb = sketch(fb).cutLineage()
         val sa = ska.select(explode(col("ids")).as("p"))
           .select(expr("p div 32768").as("v"), expr("p % 32768").as("f"))
         val sb = skb.select(explode(col("ids")).as("p"))
@@ -472,7 +473,7 @@ object SketchQueries {
             coalesce(element_at(col("top"), KmvK).getField("id"),
               lit(1L << 48)).as("theta"),
             col("top"))
-          .localCheckpoint() // sketch table: types x (k+1) values, built once
+          .cutLineage() // sketch table: types x (k+1) values, built once
         val smp = sk.select(col("event_type"),
           explode(col("top")).as("t")).select(col("event_type"),
           col("t").getField("id").as("v"))
@@ -569,7 +570,7 @@ object SketchQueries {
         // materialized once (30 rows): both the sketch and the exact
         // branch broadcast it, and without the checkpoint each branch
         // would re-derive it with its own corpus scan + distinct exchange
-        val cdays = ev.select(col("d").as("tday")).distinct().localCheckpoint()
+        val cdays = ev.select(col("d").as("tday")).distinct().cutLineage()
         val daily = hllRho(ev)
           .groupBy("event_type", "d", "reg").agg(max("rho").as("m_j"))
         val merged = daily

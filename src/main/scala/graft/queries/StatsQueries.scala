@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Lineage._
 import graft.functions.Sharding
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -1160,7 +1161,7 @@ object StatsQueries {
           .select(col("mask"),
             coalesce(expr("cast(c * 1000000 div n as bigint)"), lit(0L))
               .as("v_ppm"))
-          .localCheckpoint() // 16 rows; referenced three times below
+          .cutLineage() // 16 rows; referenced three times below
         val pairs = lat.crossJoin(broadcast(bits))
           .filter(expr("(mask & bitval) = 0"))
           .withColumn("sz", expr(

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.Lineage._
 import graft.functions.{Text, Vectors}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -367,7 +368,7 @@ object TextQueries {
           // pattern): without this the final plan carries the whole
           // scoring lineage twice — once under the cutoff branch, once
           // under the assignment branch
-          .localCheckpoint(true)
+          .cutLineage(true)
         scored.crossJoin(broadcast(cuts))
           .select(col("doc_id"),
             (col("mean_micro") / lit(1000000.0)).as("mean_p"),
@@ -950,7 +951,7 @@ object TextQueries {
           .withColumn("toks", Text.tokens(col("text")))
           .filter(col("text").isNotNull && size(col("toks")) >= 8)
           .select(col("doc_id"), col("toks"))
-          .localCheckpoint()
+          .cutLineage()
         val w = t
           .select(col("doc_id"),
             posexplode(transform(Text.shinglesOfTokens(col("toks"), 8),

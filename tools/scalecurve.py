@@ -40,58 +40,68 @@ def load(path):
         return json.load(fh)
 
 
-def curve(doc, threshold):
+def points_of(doc, tag=""):
+    """(label, copies, per-query sec, same-session 1x medians) per scale
+    pass in one artifact. eff always divides by the artifact's OWN main
+    pass — mixing denominators across runs would reintroduce the load
+    noise the same-session design removes."""
     main = doc.get("queries") or {}
     scaled = doc.get("scaled") or {}
-    rows = []
-    points = []
+    out = []
     if scaled.get("queries"):
-        points.append((int(scaled.get("copies", 10)), scaled["queries"]))
+        c = int(scaled.get("copies", 10))
+        out.append((f"{c}x{tag}", c, scaled["queries"], main))
     full = scaled.get("full") or {}
     if full.get("queries"):
-        points.append((int(full.get("copies", 5)), full["queries"]))
-    points.sort()
-    for name in sorted(main):
-        t1 = main[name]
-        if not t1:
-            continue
-        row = {"query": name, "t1": t1, "effs": {}}
-        for copies, qs in points:
-            if name in qs:
-                row["effs"][copies] = qs[name] / (copies * t1)
-        if row["effs"]:
-            row["worst"] = max(row["effs"].values())
-            rows.append(row)
-    rows.sort(key=lambda r: -r["worst"])
-    flagged = [r for r in rows if r["worst"] > threshold]
-    return rows, flagged, [c for c, _ in points]
+        c = int(full.get("copies", 5))
+        out.append((f"{c}x{tag}", c, full["queries"], main))
+    return out
 
 
-def render(rows, flagged, copies_list, threshold, src):
+def curve(points, threshold):
+    rows = {}
+    for label, copies, qs, main in points:
+        for name, sec in qs.items():
+            t1 = main.get(name)
+            if not t1:
+                continue
+            row = rows.setdefault(name, {"query": name, "t1": t1, "effs": {}})
+            row["effs"][label] = sec / (copies * t1)
+    out = []
+    for row in rows.values():
+        row["worst"] = max(row["effs"].values())
+        out.append(row)
+    out.sort(key=lambda r: -r["worst"])
+    flagged = [r for r in out if r["worst"] > threshold]
+    return out, flagged
+
+
+def render(rows, flagged, labels, threshold, src):
     n = len(rows)
     sub = sum(1 for r in rows if r["worst"] <= 1.0)
     lin = sum(1 for r in rows if 1.0 < r["worst"] <= threshold)
     out = []
     out.append(f"# Scale-efficiency report — {src}")
     out.append("")
-    out.append(f"eff(N) = t(Nx) / (N * t(1x)); one bench run, same JVM/box.")
-    out.append(f"Points: {', '.join(f'{c}x' for c in copies_list)}. "
+    out.append("eff(N) = t(Nx) / (N * t(1x)); each point divides by its own "
+               "run's same-JVM 1x pass.")
+    out.append(f"Points: {', '.join(labels)}. "
                f"Queries with a scale point: {n}.")
     out.append(f"Sub-linear (worst eff <= 1.0): {sub}  |  "
                f"linear band (<= {threshold}): {lin}  |  "
                f"super-linear (> {threshold}): {len(flagged)}")
     out.append("")
     header = "| query | t(1x) s |" + "".join(
-        f" eff({c}x) |" for c in copies_list) + " worst |"
-    sep = "|---|---|" + "---|" * len(copies_list) + "---|"
+        f" eff({l}) |" for l in labels) + " worst |"
+    sep = "|---|---|" + "---|" * len(labels) + "---|"
     out.append("Worst 15 (highest eff first — the scale-risk watchlist):")
     out.append("")
     out.append(header)
     out.append(sep)
     for r in rows[:15]:
         cells = "".join(
-            f" {r['effs'][c]:.2f} |" if c in r["effs"] else " — |"
-            for c in copies_list)
+            f" {r['effs'][l]:.2f} |" if l in r["effs"] else " — |"
+            for l in labels)
         out.append(f"| {r['query']} | {r['t1']:.2f} |{cells} {r['worst']:.2f} |")
     if flagged:
         out.append("")
@@ -102,7 +112,10 @@ def render(rows, flagged, copies_list, threshold, src):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("artifact", nargs="?", default="BENCHFULL.json")
+    ap.add_argument("artifacts", nargs="*", default=["BENCHFULL.json"],
+                    help="one or more complete bench artifacts; points from "
+                         "later files get a ' (2)', ' (3)'... suffix when "
+                         "their copies collide with an earlier file's")
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--md", help="also write the report to this file")
     ap.add_argument("--gate", action="store_true",
@@ -113,16 +126,27 @@ def main():
                          "queries (quadratic OUTPUT under replica "
                          "densification — PLANS.md)")
     args = ap.parse_args()
-    doc = load(args.artifact)
-    if doc.get("skipped"):
-        print(f"[scalecurve] warning: artifact has skipped passes "
-              f"({len(doc['skipped'])}) — curve may be incomplete",
-              file=sys.stderr)
-    rows, flagged, copies_list = curve(doc, args.threshold)
+    points = []
+    seen = {}
+    for i, path in enumerate(args.artifacts):
+        doc = load(path)
+        if doc.get("skipped"):
+            print(f"[scalecurve] warning: {path} has skipped passes "
+                  f"({len(doc['skipped'])}) — curve may be incomplete",
+                  file=sys.stderr)
+        for label, copies, qs, main in points_of(doc):
+            seen[copies] = seen.get(copies, 0) + 1
+            if seen[copies] > 1:
+                label = f"{label} ({seen[copies]})"
+            points.append((label, copies, qs, main))
+    points.sort(key=lambda p: (p[1], p[0]))
+    rows, flagged = curve(points, args.threshold)
     if not rows:
-        print("[scalecurve] no scaled points in artifact", file=sys.stderr)
+        print("[scalecurve] no scaled points in artifacts", file=sys.stderr)
         return 1
-    report = render(rows, flagged, copies_list, args.threshold, args.artifact)
+    labels = [p[0] for p in points]
+    report = render(rows, flagged, labels, args.threshold,
+                    ", ".join(args.artifacts))
     print(report)
     if args.md:
         with open(args.md, "w") as fh:

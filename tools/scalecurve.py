@@ -65,14 +65,24 @@ def curve(points, threshold):
             t1 = main.get(name)
             if not t1:
                 continue
-            row = rows.setdefault(name, {"query": name, "t1": t1, "effs": {}})
+            row = rows.setdefault(name, {"query": name, "t1": t1,
+                                         "effs": {}, "copies": {}})
             row["effs"][label] = sec / (copies * t1)
+            row["copies"][label] = copies
     out = []
     for row in rows.values():
         row["worst"] = max(row["effs"].values())
+        # Super-linearity is an ASYMPTOTIC claim, so the gate judges each
+        # query at its largest measured scale: a one-run stall at a small
+        # point inflates `worst` (seen: a 0.4 s query catching a 17 s
+        # sample in the single-run 5x pass while its 10x/20x effs sat at
+        # 0.25/0.20), but a genuinely super-linear query is super-linear
+        # at its largest N — where the quadratic term dominates most.
+        asym_label = max(row["effs"], key=lambda l: (row["copies"][l], l))
+        row["asym"] = row["effs"][asym_label]
         out.append(row)
     out.sort(key=lambda r: -r["worst"])
-    flagged = [r for r in out if r["worst"] > threshold]
+    flagged = [r for r in out if r["asym"] > threshold]
     return out, flagged
 
 
@@ -89,12 +99,14 @@ def render(rows, flagged, labels, threshold, src):
                f"Queries with a scale point: {n}.")
     out.append(f"Sub-linear (worst eff <= 1.0): {sub}  |  "
                f"linear band (<= {threshold}): {lin}  |  "
-               f"super-linear (> {threshold}): {len(flagged)}")
+               f"super-linear at the largest measured scale "
+               f"(asym eff > {threshold}): {len(flagged)}")
     out.append("")
     header = "| query | t(1x) s |" + "".join(
-        f" eff({l}) |" for l in labels) + " worst |"
-    sep = "|---|---|" + "---|" * len(labels) + "---|"
-    out.append("Worst 15 (highest eff first — the scale-risk watchlist):")
+        f" eff({l}) |" for l in labels) + " worst | asym |"
+    sep = "|---|---|" + "---|" * len(labels) + "---|---|"
+    out.append("Worst 15 (highest any-point eff first; `asym` = eff at the "
+               "largest measured scale, the gated statistic):")
     out.append("")
     out.append(header)
     out.append(sep)
@@ -102,10 +114,11 @@ def render(rows, flagged, labels, threshold, src):
         cells = "".join(
             f" {r['effs'][l]:.2f} |" if l in r["effs"] else " — |"
             for l in labels)
-        out.append(f"| {r['query']} | {r['t1']:.2f} |{cells} {r['worst']:.2f} |")
+        out.append(f"| {r['query']} | {r['t1']:.2f} |{cells} "
+                   f"{r['worst']:.2f} | {r['asym']:.2f} |")
     if flagged:
         out.append("")
-        out.append(f"FLAGGED super-linear (> {threshold}): "
+        out.append(f"FLAGGED super-linear at largest scale (> {threshold}): "
                    + ", ".join(r["query"] for r in flagged))
     return "\n".join(out) + "\n"
 

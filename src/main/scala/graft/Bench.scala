@@ -158,7 +158,12 @@ object Bench {
     // neighborhood blocking, sweep-line interval aggregate, right-
     // censored survival windows
     "g_sssp_bellman", "dd_symspell_neighbors", "w_max_concurrency",
-    "a_survival_hazard")
+    "a_survival_hazard",
+    // round-14: the kNN pair gets the same measured multi-point treatment
+    // its sibling geo_grid_join has — the ranked window form vs the
+    // bounded-heap aggregate twin, so the curve shows the candidate-stage
+    // densification quadratic AND what the adaptive form buys back
+    "geo_knn_ranked", "geo_knn_adaptive")
 
   /** The constrained-memory (spill) subset: the headliners whose plans
     * carry the largest shuffle working sets — wide aggregation
@@ -747,10 +752,19 @@ object Bench {
             (rank.getOrElse(n, Int.MaxValue), -mainMed.getOrElse(n, 0.0)) }
         scaledPass(copies, ordered, "scaled", scaleRuns)
       }
+    // scaled-full admission is value-ordered too (round-13 verdict #3:
+    // the r13 driver run's 68 budget skips included the two most
+    // expensive stream replays while the alphabetical tail ran — the r11
+    // "skip the cheap tail" principle had been applied to `scaled` but
+    // not here). DESCENDING main-pass median: expensive plans are where
+    // scale growth shows, so a budget squeeze now sheds the cheap
+    // scan-shaped remainder instead of whichever names sort last.
     val fullJson =
       if (fullCopies <= 0) ""
       else gated("scaled-full", minSec = 600) {
-        scaledPass(fullCopies, names, "scaled-full", fullRuns)
+        scaledPass(fullCopies,
+          names.sortBy { case (n, _) => -mainMed.getOrElse(n, 0.0) },
+          "scaled-full", fullRuns)
       }
     val scaledJson =
       if (headJson.isEmpty && fullJson.isEmpty) ""
@@ -837,7 +851,11 @@ object Bench {
                                   skippedN: Int, sf: String = "0.1"): Option[String] =
     explicit.orElse {
       if (narrow) None
-      else if (skippedN > 0) Some("/root/repo/BENCHFULL_PARTIAL.json")
+      // partials carry the SF suffix too (round-13 advisory: a toy-SF
+      // partial used to overwrite an sf0.1 partial record — the same
+      // shadowing the complete-run suffix already preempts)
+      else if (skippedN > 0 && sf == "0.1") Some("/root/repo/BENCHFULL_PARTIAL.json")
+      else if (skippedN > 0) Some(s"/root/repo/BENCHFULL_PARTIAL_sf$sf.json")
       else if (sf == "0.1") Some("/root/repo/BENCHFULL.json")
       else Some(s"/root/repo/BENCHFULL_sf$sf.json")
     }

@@ -105,18 +105,30 @@ object GraphQueries {
                 seeds: org.apache.spark.sql.DataFrame,
                 maxLvl: Int): org.apache.spark.sql.DataFrame = {
     val e = edgesIn.cutLineage()
-    var levels = seeds.select(col("id"), lit(0).as("lvl")).cutLineage()
-    var frontier = levels.select("id")
+    val seeded = seeds.select(col("id"), lit(0).as("lvl")).cutLineage()
+    // The visited set is an APPEND-ONLY union of per-round frontiers, so
+    // only each round's `next` is checkpointed; the anti-join and the
+    // final result read the union of those already-cut frames directly.
+    // Re-checkpointing the accumulated union every round (the pre-round-14
+    // shape) re-serialized the ENTIRE visited set every round — O(rounds²)
+    // serialize work under the MEMORY_AND_DISK_SER contract — and kept a
+    // second full copy of the visited set in the block store. The union
+    // of <= maxLvl LogicalRDDs keeps the logical plan linear in rounds
+    // (the exponential blowup cutLineage exists to stop comes from
+    // self-joins, not unions).
+    val levelFrames = scala.collection.mutable.ArrayBuffer(seeded)
+    var frontier = seeded.select("id")
     (1 to maxLvl).foreach { l =>
+      val visited = levelFrames.map(_.select("id")).reduce(_ unionAll _)
       val next = e.join(frontier.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
-        .join(levels, Seq("id"), "left_anti")
+        .join(visited, Seq("id"), "left_anti")
         .select(col("id"), lit(l).as("lvl"))
         .cutLineage()
-      levels = levels.unionAll(next).cutLineage()
+      levelFrames += next
       frontier = next.select("id")
     }
-    levels
+    levelFrames.reduce(_ unionAll _)
   }
 
   val qs: Seq[Q] = Seq(
@@ -750,7 +762,14 @@ object GraphQueries {
           .cutLineage()
         val allNodes = edges.select(col("u").as("node")).distinct()
           .cutLineage()
-        var peeled: org.apache.spark.sql.DataFrame = null
+        // the peeled set is append-only: each round's `out` is cut once
+        // and the running union reads those frames directly — re-cutting
+        // the accumulated union every round re-serialized the whole
+        // peeled set each time (see bfsLevels for the shape rationale)
+        val peeledFrames =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+        def peeled: org.apache.spark.sql.DataFrame =
+          peeledFrames.reduce(_ unionAll _)
         (1 to 3).foreach { r =>
           val deg = edges.groupBy(col("u").as("node"))
             .agg(count(lit(1)).as("d"))
@@ -758,15 +777,13 @@ object GraphQueries {
           val present = deg.select("node")
           val low = deg.filter(col("d") < 3).select("node")
           val gone =
-            if (peeled == null) low
+            if (peeledFrames.isEmpty) low
             else allNodes.join(peeled, Seq("node"), "left_anti")
               .join(present, Seq("node"), "left_anti")
               .unionAll(low)
           val out = gone.distinct().withColumn("peel_round", lit(r))
             .cutLineage()
-          peeled = (if (peeled == null) out.select("node", "peel_round")
-                    else peeled.unionAll(out.select("node", "peel_round")))
-            .cutLineage()
+          peeledFrames += out.select("node", "peel_round")
           edges = edges
             .join(out.select(col("node").as("u")), Seq("u"), "left_anti")
             .join(out.select(col("node").as("v")), Seq("v"), "left_anti")

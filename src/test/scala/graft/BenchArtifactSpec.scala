@@ -68,8 +68,11 @@ class BenchArtifactSpec extends AnyFunSuite {
     // record — it gets an sf-suffixed sibling instead
     assert(Bench.artifactDest(None, narrow = false, skippedN = 0, sf = "0.001")
       === Some("/root/repo/BENCHFULL_sf0.001.json"))
+    // ... and so must a PARTIAL at a toy SF (round-13 advisory: the
+    // un-suffixed partial path let a toy-SF squeeze overwrite an sf0.1
+    // partial record — the same shadowing, one artifact over)
     assert(Bench.artifactDest(None, narrow = false, skippedN = 2, sf = "0.001")
-      === Some("/root/repo/BENCHFULL_PARTIAL.json"),
-      "skip-bearing runs divert to PARTIAL regardless of SF")
+      === Some("/root/repo/BENCHFULL_PARTIAL_sf0.001.json"),
+      "skip-bearing toy-SF runs get an sf-suffixed PARTIAL sibling")
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{ScaleStress, SparkSpec}
+import graft.ops.Lineage._
 
 /** Pinned round/time bounds for the iterative and quadratic-prone
   * operators under adversarial shapes — one heavy-tailed duplicate group,
@@ -178,24 +179,28 @@ class ScaleStressSpec extends SparkSpec {
     // undirected degree view, both directions like the catalog query
     var edges = spokes.select(lit(0L).as("u"), col("id").as("v"))
       .unionAll(spokes.select(col("id").as("u"), lit(0L).as("v")))
-      .localCheckpoint()
-    val allNodes = edges.select(col("u").as("node")).distinct().localCheckpoint()
-    var peeled: org.apache.spark.sql.DataFrame = null
+      .cutLineage()
+    val allNodes = edges.select(col("u").as("node")).distinct().cutLineage()
+    // append-only peeled set: per-round outs stay cut once, the running
+    // union reads them directly — mirrors the catalog query's shape
+    val peeledFrames =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    def peeled: org.apache.spark.sql.DataFrame = peeledFrames.reduce(_ unionAll _)
     (1 to 3).foreach { r =>
       val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
       val present = deg.select("node")
       val low = deg.filter(col("d") < 3).select("node")
       val gone =
-        if (peeled == null) low
+        if (peeledFrames.isEmpty) low
         else allNodes.join(peeled, Seq("node"), "left_anti")
           .join(present, Seq("node"), "left_anti")
           .unionAll(low)
-      val out = gone.distinct().withColumn("peel_round", lit(r)).localCheckpoint()
-      peeled = (if (peeled == null) out else peeled.unionAll(out)).localCheckpoint()
+      val out = gone.distinct().withColumn("peel_round", lit(r)).cutLineage()
+      peeledFrames += out
       edges = edges
         .join(out.select(col("node").as("u")), Seq("u"), "left_anti")
         .join(out.select(col("node").as("v")), Seq("v"), "left_anti")
-        .localCheckpoint()
+        .cutLineage()
     }
     val byRound = peeled.groupBy("peel_round").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap

@@ -1625,4 +1625,27 @@ class PlanShapeSpec extends SparkSpec {
       "kNN ranking window must stay customer-partitioned")
     assert(shuffles(p).length <= 2, "geo_knn_ranked grew a shuffle")
   }
+
+  test("adaptive kNN: NO window/sort over the candidate set — bounded heap with map-side partial combine") {
+    // the density-adaptive twin's whole point: under densification the
+    // in-radius candidate set is quadratic, so no Sort or Window may ever
+    // see it — the top-3 must fold into partial ObjectHashAggregate
+    // buffers inside the join's own stage, and the shuffle carries heaps
+    val p = plan("geo_knn_adaptive")
+    assert(bcasts(p).nonEmpty, "geo_knn_adaptive lost its cell broadcast")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "geo_knn_adaptive must not rank with a window — that re-grows the candidate shuffle")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(ae =>
+      ae.aggregateFunction.isInstanceOf[graft.plans.TopKByScoreAggregate] &&
+        ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      "top-3 heap must run in PARTIAL mode (map-side, candidate-stage-local)")
+    // the only sort allowed is the k-bounded final output's ORDER BY
+    assert(shuffles(p).length <= 2, "geo_knn_adaptive grew a shuffle")
+  }
 }

@@ -66,9 +66,16 @@ def curve(points, threshold):
             if not t1:
                 continue
             row = rows.setdefault(name, {"query": name, "t1": t1,
-                                         "effs": {}, "copies": {}})
+                                         "effs": {}, "copies": {},
+                                         "t1s": {}})
             row["effs"][label] = sec / (copies * t1)
             row["copies"][label] = copies
+            # per-point denominator: in merged multi-artifact reports each
+            # artifact carries its own same-JVM 1x median, and they drift
+            # with box load (and code changes between runs) — displaying
+            # only the first artifact's t1 beside effs that divided by a
+            # different one misreads as arithmetic error
+            row["t1s"][label] = t1
     out = []
     for row in rows.values():
         row["worst"] = max(row["effs"].values())
@@ -94,7 +101,9 @@ def render(rows, flagged, labels, threshold, src):
     out.append(f"# Scale-efficiency report — {src}")
     out.append("")
     out.append("eff(N) = t(Nx) / (N * t(1x)); each point divides by its own "
-               "run's same-JVM 1x pass.")
+               "run's same-JVM 1x pass. The t(1x) column shows that "
+               "per-artifact denominator as a range when merged artifacts "
+               "disagree (each artifact re-times 1x on its own box state).")
     out.append(f"Points: {', '.join(labels)}. "
                f"Queries with a scale point: {n}.")
     out.append(f"Sub-linear (worst eff <= 1.0): {sub}  |  "
@@ -114,7 +123,10 @@ def render(rows, flagged, labels, threshold, src):
         cells = "".join(
             f" {r['effs'][l]:.2f} |" if l in r["effs"] else " — |"
             for l in labels)
-        out.append(f"| {r['query']} | {r['t1']:.2f} |{cells} "
+        t1s = sorted(set(r.get("t1s", {}).values()) or {r["t1"]})
+        t1txt = (f"{t1s[0]:.2f}" if len(t1s) == 1
+                 else f"{t1s[0]:.2f}–{t1s[-1]:.2f}")
+        out.append(f"| {r['query']} | {t1txt} |{cells} "
                    f"{r['worst']:.2f} | {r['asym']:.2f} |")
     if flagged:
         out.append("")

@@ -146,10 +146,14 @@ def main():
     ap.add_argument("--gate", action="store_true",
                     help="exit 1 on unexpected super-linear queries")
     ap.add_argument("--expected",
-                    default="geo_grid_join,geo_knn_ranked",
+                    default="geo_grid_join,geo_knn_ranked,geo_knn_adaptive",
                     help="comma list of known-super-linear-by-construction "
-                         "queries (quadratic OUTPUT under replica "
-                         "densification — PLANS.md)")
+                         "queries (quadratic candidates/OUTPUT under replica "
+                         "densification — PLANS.md; all three now carry "
+                         "MEASURED 20x points: grid 3.54, knn_ranked 2.75, "
+                         "knn_adaptive 1.68 — the adaptive twin's bounded "
+                         "heap flattens the window form's curve and its "
+                         "residual is the scan-side distance tests)")
     args = ap.parse_args()
     points = []
     seen = {}

@@ -35,4 +35,22 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2))
   }
+
+  test("bfsLevels: the visited set is a union of per-round checkpoints, never re-checkpointed") {
+    // round-14 shape contract: only each round's delta frame is lineage-cut
+    // (one LogicalRDD leaf per round + the seed frame), and the result is
+    // their union read directly — re-checkpointing the accumulated union
+    // every round would re-serialize the whole visited set per round
+    // (O(rounds²) serialize work under MEMORY_AND_DISK_SER) and show up
+    // here as a SINGLE LogicalRDD leaf
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val levels = GraphQueries.bfsLevels(edges, Seq(0L).toDF("id"), maxLvl = 3)
+    val leaves = levels.queryExecution.optimizedPlan.collectLeaves()
+    val rddLeaves = leaves.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(leaves.length === 4 && rddLeaves.length === 4,
+      s"expected 4 per-round LogicalRDD leaves (seed + 3 rounds), got " +
+        s"${rddLeaves.length} of ${leaves.length}: ${leaves.map(_.nodeName)}")
+  }
 }

@@ -806,9 +806,12 @@ object Bench {
     if (benchOut.isEmpty)
       System.err.println(
         "[bench] narrow run: BENCHFULL write skipped (set SPARK_GRAFT_BENCH_OUT to force)")
-    else if (benchOut.exists(_.endsWith("BENCHFULL_PARTIAL.json")))
+    else if (benchOut.exists(_.contains("BENCHFULL_PARTIAL")))
+      // contains, not endsWith: sf-suffixed partials
+      // (BENCHFULL_PARTIAL_sf0.001.json) must announce themselves too,
+      // and the message names the real destination (round-14 advisory).
       System.err.println(
-        s"[bench] ${skipped.length} passes skipped: writing BENCHFULL_PARTIAL.json, complete record preserved")
+        s"[bench] ${skipped.length} passes skipped: writing ${benchOut.get}, complete record preserved")
     benchOut.foreach { out =>
       try writeAtomic(out, line + "\n")
       catch { case e: Throwable =>

@@ -210,7 +210,17 @@ object GeoQueries {
         |broadcast hint (round 12 — same rationale as geo_grid_join):
         |the threshold auto-broadcasts it at these sizes, and at
         |equal-sized sides the identical call site shuffles on the
-        |cell key (flip executed in StrategyInvarianceSpec).""".stripMargin,
+        |cell key (flip executed in StrategyInvarianceSpec).
+        |STATUS (round 15 adjudication): this window form is the
+        |retained A/B CONTROL, not the 100 TB path. Under fixed-domain
+        |densification it shuffles and sorts the density-quadratic
+        |in-radius pair set before discarding all but 3 — measured asym
+        |eff 2.75 @20x vs the bounded-heap twin's 1.68 in the same
+        |session (SCALECURVE20_GEO). geo_knn_adaptive computes the
+        |identical answer (same oracle SQL, hash-matched) with the
+        |per-customer top-3 folded map-side, and is the CANONICAL kNN
+        |for any dense deployment; this form stays in-catalog as the
+        |measured baseline that proves the twin's advantage.""".stripMargin,
       Some(
         s"""WITH c AS (
            |  SELECT c_custkey,
@@ -298,7 +308,11 @@ object GeoQueries {
         |identical window SQL, so the hash compare doubles as the
         |aggregate's bit-equivalence proof (ann_topk_agg precedent;
         |d2 <= 2*10^12 < 2^53 is exact in the double score, tiebreak
-        |id-ascending matches ORDER BY d2, s_suppkey).""".stripMargin,
+        |id-ascending matches ORDER BY d2, s_suppkey).
+        |STATUS (round 15 adjudication): this is the CANONICAL 100 TB
+        |kNN path — measured asym eff 1.68 @20x vs the window form's
+        |2.75 in the same session; geo_knn_ranked is retained as the
+        |A/B control that proves this advantage.""".stripMargin,
       Some(
         s"""WITH c AS (
            |  SELECT c_custkey,

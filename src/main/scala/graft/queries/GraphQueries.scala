@@ -115,7 +115,14 @@ object GraphQueries {
     // second full copy of the visited set in the block store. The union
     // of <= maxLvl LogicalRDDs keeps the logical plan linear in rounds
     // (the exponential blowup cutLineage exists to stop comes from
-    // self-joins, not unions).
+    // self-joins, not unions). Retention: every per-round cut frame stays
+    // pinned in the block store until the query ends — inherent to the
+    // append-only shape (each round's anti-join and the final result
+    // reference the union of ALL prior cuts, so none is ever superseded);
+    // total footprint is ONE serialized copy of the visited set spread
+    // across <= maxLvl+1 block sets, half the pre-round-14 shape. Fine at
+    // maxLvl=3; a much deeper BFS would instead periodically coalesce the
+    // accumulated frames into one fresh cut to cap the block-set count.
     val levelFrames = scala.collection.mutable.ArrayBuffer(seeded)
     var frontier = seeded.select("id")
     (1 to maxLvl).foreach { l =>

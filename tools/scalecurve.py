@@ -85,8 +85,14 @@ def curve(points, threshold):
         # sample in the single-run 5x pass while its 10x/20x effs sat at
         # 0.25/0.20), but a genuinely super-linear query is super-linear
         # at its largest N — where the quadratic term dominates most.
-        asym_label = max(row["effs"], key=lambda l: (row["copies"][l], l))
-        row["asym"] = row["effs"][asym_label]
+        # Among multiple merged points at the SAME largest copies (two
+        # artifacts can each carry a 20x point), gate on the MAX eff —
+        # explicit and conservative: a later artifact can never silently
+        # shadow an earlier run's higher statistic (pre-r15 the tiebreak
+        # was lexicographic on label, so '20x (2)' always beat '20x').
+        max_copies = max(row["copies"].values())
+        row["asym"] = max(e for l, e in row["effs"].items()
+                          if row["copies"][l] == max_copies)
         out.append(row)
     out.sort(key=lambda r: -r["worst"])
     flagged = [r for r in out if r["asym"] > threshold]

@@ -155,11 +155,13 @@ def main():
                     default="geo_grid_join,geo_knn_ranked,geo_knn_adaptive",
                     help="comma list of known-super-linear-by-construction "
                          "queries (quadratic candidates/OUTPUT under replica "
-                         "densification — PLANS.md; all three now carry "
-                         "MEASURED 20x points: grid 3.54, knn_ranked 2.75, "
-                         "knn_adaptive 1.68 — the adaptive twin's bounded "
-                         "heap flattens the window form's curve and its "
-                         "residual is the scan-side distance tests)")
+                         "densification — PLANS.md; all three carry MEASURED "
+                         "20x points across multiple quiet sessions: grid "
+                         "1.63-3.54, knn_ranked 2.75-3.41, knn_adaptive "
+                         "1.68-2.60 — the adaptive twin's bounded heap "
+                         "flattens the window form's curve and its residual "
+                         "is the scan-side distance tests; sub-second 1x "
+                         "denominators make eff noisier than the wall gap)")
     args = ap.parse_args()
     points = []
     seen = {}

@@ -803,15 +803,7 @@ object Bench {
     val benchOut = artifactDest(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
       narrow = only.nonEmpty || results.isEmpty, skippedN = skipped.length,
       sf = sfNum)
-    if (benchOut.isEmpty)
-      System.err.println(
-        "[bench] narrow run: BENCHFULL write skipped (set SPARK_GRAFT_BENCH_OUT to force)")
-    else if (benchOut.exists(_.contains("BENCHFULL_PARTIAL")))
-      // contains, not endsWith: sf-suffixed partials
-      // (BENCHFULL_PARTIAL_sf0.001.json) must announce themselves too,
-      // and the message names the real destination (round-14 advisory).
-      System.err.println(
-        s"[bench] ${skipped.length} passes skipped: writing ${benchOut.get}, complete record preserved")
+    artifactNotice(benchOut, skipped.length).foreach(System.err.println)
     benchOut.foreach { out =>
       try writeAtomic(out, line + "\n")
       catch { case e: Throwable =>
@@ -850,6 +842,23 @@ object Bench {
     * lands in BENCHFULL_sfN.json so a toy-SF builder pass can never
     * shadow the committed sf0.1 record (the remaining member of the
     * clobber family, preempted rather than survived). */
+  /** The stderr notice that explains where (or why not) the complete
+    * result line landed. Matches on "BENCHFULL_PARTIAL" as a substring,
+    * not an exact path: sf-suffixed partials
+    * (BENCHFULL_PARTIAL_sf0.001.json) must announce themselves too, and
+    * the message names the REAL destination rather than a hardcoded one
+    * (round-14 advisory: the toy-SF partial was written silently while
+    * the notice text claimed the un-suffixed path). */
+  private[graft] def artifactNotice(benchOut: Option[String],
+                                    skippedN: Int): Option[String] =
+    benchOut match {
+      case None =>
+        Some("[bench] narrow run: BENCHFULL write skipped (set SPARK_GRAFT_BENCH_OUT to force)")
+      case Some(out) if out.contains("BENCHFULL_PARTIAL") =>
+        Some(s"[bench] $skippedN passes skipped: writing $out, complete record preserved")
+      case _ => None
+    }
+
   private[graft] def artifactDest(explicit: Option[String], narrow: Boolean,
                                   skippedN: Int, sf: String = "0.1"): Option[String] =
     explicit.orElse {

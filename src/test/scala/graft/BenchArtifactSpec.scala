@@ -75,4 +75,21 @@ class BenchArtifactSpec extends AnyFunSuite {
       === Some("/root/repo/BENCHFULL_PARTIAL_sf0.001.json"),
       "skip-bearing toy-SF runs get an sf-suffixed PARTIAL sibling")
   }
+
+  test("artifactNotice announces sf-suffixed partials and names the real path") {
+    assert(Bench.artifactNotice(None, 0).exists(_.contains("narrow run")))
+    // the un-suffixed partial still announces itself, naming its path
+    val p = Bench.artifactNotice(Some("/root/repo/BENCHFULL_PARTIAL.json"), 3)
+    assert(p.exists(m => m.contains("3 passes skipped")
+      && m.contains("/root/repo/BENCHFULL_PARTIAL.json")))
+    // round-14 advisory: an SF-SUFFIXED partial used to be written
+    // silently while the hardcoded message text named the wrong file —
+    // it must announce itself too, with the actual destination
+    val ps = Bench.artifactNotice(
+      Some("/root/repo/BENCHFULL_PARTIAL_sf0.001.json"), 2)
+    assert(ps.exists(_.contains("/root/repo/BENCHFULL_PARTIAL_sf0.001.json")))
+    // complete records and explicit destinations stay quiet
+    assert(Bench.artifactNotice(Some("/root/repo/BENCHFULL.json"), 0).isEmpty)
+    assert(Bench.artifactNotice(Some("/tmp/custom.json"), 5).isEmpty)
+  }
 }

@@ -106,6 +106,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(rounds <= 12, s"took $rounds rounds for a ${n}-chain")
   }
 
+  test("superseded per-round checkpoints are released eagerly (both loops)") {
+    // PLANS "cutLineage loop-site classification": loop-carried sites must
+    // not accumulate one block set per round — each round's checkpoint
+    // releases its predecessor as soon as the replacement materializes.
+    // Pin it via the context's persistent-RDD registry: after a multi-round
+    // run, the only NEW persisted RDD is the FINAL round's checkpoint (the
+    // returned frame still references it); every superseded round's blocks
+    // and the loop-invariant edge persist are gone. Without the eager
+    // release this diff grows linearly with rounds.
+    val sc = spark.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+
+    val members = Seq(
+      (1L, "x", "p"), (2L, "x", "q"), (3L, "y", "q"),
+      (4L, "y", "r"), (5L, "z", "r"), (6L, "z", "s")).toDF("id", "k1", "k2")
+    val edges = ConnectedComponents.starEdges(members, "id", "k1")
+      .union(ConnectedComponents.starEdges(members, "id", "k2"))
+    val base1 = persisted
+    val (labels, rounds) = ConnectedComponents.run(members, edges, "id")
+    assert(rounds >= 2, s"need a multi-round run to exercise the release (got $rounds)")
+    val extra1 = persisted -- base1
+    assert(extra1.size <= 1,
+      s"run() left ${extra1.size} new persisted RDDs after $rounds rounds — superseded checkpoints not released")
+    assert(labels.count() === 6L) // the survivor is still readable
+
+    val n = 64
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val base2 = persisted
+    val (labelsAlt, altRounds) = ConnectedComponents.alternatingComponents(nodes, chain, "id")
+    assert(altRounds >= 2)
+    val extra2 = persisted -- base2
+    assert(extra2.size <= 1,
+      s"alternatingComponents left ${extra2.size} new persisted RDDs after $altRounds rounds")
+    assert(labelsAlt.count() === n.toLong)
+  }
+
   test("dd_conn_components converges in <= 3 rounds at sf0.001") {
     // the real query shape: star edges on norm_key + winnow_fp over the
     // documents table — duplicate groups are shallow stars, so the loop

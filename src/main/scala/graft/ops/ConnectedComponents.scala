@@ -111,21 +111,15 @@ object ConnectedComponents {
     (labels, rounds)
   }
 
-  /** Unpersist the cached RDDs behind a localCheckpoint'd frame (no-op for
-    * anything else). localCheckpoint caches its RDD outside the dataset
-    * cache manager, so `Dataset.unpersist` cannot release it — the blocks
-    * otherwise linger until JVM GC drops the last reference. Traverses the
-    * analyzed plan, so it must ONLY ever be handed frames this loop
-    * checkpointed itself ([[run]] tracks them in `ownCheckpoint`;
-    * [[alternatingComponents]]' edge frame is loop-checkpointed before any
-    * release): a caller-derived frame's lineage can contain the CALLER's
-    * checkpoint-backed inputs, and releasing those mid-job is
-    * unrecoverable (truncated lineage cannot recompute). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
-      case _ => ()
-    }
+  /** Unpersist the cached RDDs behind a localCheckpoint'd frame —
+    * localCheckpoint caches its RDD outside the dataset cache manager, so
+    * `Dataset.unpersist` cannot release it. Now the shared
+    * [[Lineage.releaseCut]] (round 15: the graph-query loops adopted the
+    * same eager-release discipline); the caller-safety contract lives on
+    * its scaladoc. [[run]] tracks its own cuts in `ownCheckpoint`;
+    * [[alternatingComponents]]' edge frame is loop-checkpointed before
+    * any release. */
+  private def releaseCheckpoint(df: DataFrame): Unit = Lineage.releaseCut(df)
 
   /** Large-star/small-star alternation (the two-phase MapReduce CC of
     * Kiveris et al., "Connected Components in MapReduce and Beyond",

@@ -35,4 +35,25 @@ object Lineage {
     def cutLineage(eager: Boolean = true): Dataset[T] =
       ds.localCheckpoint(eager, StorageLevel.MEMORY_AND_DISK_SER)
   }
+
+  /** Release a superseded checkpoint's blocks eagerly instead of waiting
+    * for the ContextCleaner to notice the dead reference — the
+    * loop-carried-frame discipline (PLANS.md "cutLineage loop-site
+    * classification"): once a round's replacement frame has MATERIALIZED
+    * (eager cut), the previous round's blocks are dead weight, and
+    * releasing them bounds the loop's block-store footprint by the
+    * current frame instead of rounds × frame.
+    *
+    * ONLY call this on a frame the caller's own loop checkpointed and
+    * that nothing downstream references (a caller-derived frame's
+    * lineage can contain the CALLER's checkpoint-backed inputs, and
+    * unpersisting those mid-job is unrecoverable — truncated lineage
+    * cannot recompute). The walk unpersists every LogicalRDD in the
+    * frame's analyzed plan; for a frame returned by `cutLineage` that
+    * is exactly its own checkpoint RDD. */
+  def releaseCut(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+      case _ => ()
+    }
 }

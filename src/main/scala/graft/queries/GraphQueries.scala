@@ -301,6 +301,11 @@ object GraphQueries {
           .cutLineage()
         var prev = labels
         (1 to Iters).foreach { _ =>
+          // the round-(r-2) frame: still bound to `prev` until the line
+          // below, and the only consumer beyond the loop is the churn
+          // probe, which reads the LAST TWO rounds (labels + prev) — so
+          // anything older is dead once this round's cut materializes
+          val stale = prev
           prev = labels
           val counts = edges
             .join(labels.withColumnRenamed("id", "src"), "src")
@@ -309,7 +314,12 @@ object GraphQueries {
           labels = counts.groupBy("id")
             .agg((lit(8589934591L) - (max(col("cnt") * 8589934592L + (lit(8589934591L) - col("lbl"))) % 8589934592L)).as("lbl"))
             .cutLineage()
+          // at round 1 stale eq prev (both the seed frame) — nothing to free
+          if (stale ne prev) graft.ops.Lineage.releaseCut(stale)
         }
+        // the edge cut fed its last propagation join; churn and the
+        // output read only the last two label checkpoints
+        graft.ops.Lineage.releaseCut(edges)
         val churn = labels.select(col("id"), col("lbl").as("new_lbl"))
           .join(prev.select(col("id"), col("lbl").as("old_lbl")), "id")
           .agg(sum(when(col("new_lbl") =!= col("old_lbl"), 1L).otherwise(0L)).as("n_changed"))
@@ -555,12 +565,21 @@ object GraphQueries {
           .select(col("id"), lit(0L).as("d"))
           .cutLineage()
         (1 to 4).foreach { _ =>
+          val prev = dist
           dist = dist
             .unionAll(e.join(dist.withColumnRenamed("id", "src"), "src")
               .select(col("dst").as("id"), (col("d") + col("w")).as("d")))
             .groupBy("id").agg(min("d").as("d"))
             .cutLineage()
+          // loop-carried frame: the new cut has materialized (eager), so
+          // the previous round's checkpoint blocks are dead — release now
+          // rather than waiting for the ContextCleaner (PLANS "cutLineage
+          // loop-site classification"; pinned in GraphOpsSpec)
+          graft.ops.Lineage.releaseCut(prev)
         }
+        // the edge cut served its last join; the result reads only the
+        // final dist checkpoint
+        graft.ops.Lineage.releaseCut(e)
         dist.select(col("id"), col("d").as("dist_cents")).orderBy("id")
       }),
 
@@ -791,11 +810,20 @@ object GraphQueries {
           val out = gone.distinct().withColumn("peel_round", lit(r))
             .cutLineage()
           peeledFrames += out.select("node", "peel_round")
+          val prevEdges = edges
           edges = edges
             .join(out.select(col("node").as("u")), Seq("u"), "left_anti")
             .join(out.select(col("node").as("v")), Seq("v"), "left_anti")
             .cutLineage()
+          // the residual edge set is LOOP-CARRIED (shrinks in place): the
+          // new cut has materialized, so the previous round's blocks are
+          // dead — release eagerly. The `out` deltas are APPEND-ONLY and
+          // stay pinned: the running `peeled` union references them all.
+          graft.ops.Lineage.releaseCut(prevEdges)
         }
+        // the final residual edge frame is dead too: the output reads
+        // only allNodes and the peel deltas
+        graft.ops.Lineage.releaseCut(edges)
         allNodes
           .join(peeled, Seq("node"), "left")
           .select(col("node"),

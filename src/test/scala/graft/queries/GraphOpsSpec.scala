@@ -53,4 +53,34 @@ class GraphOpsSpec extends SparkSpec {
       s"expected 4 per-round LogicalRDD leaves (seed + 3 rounds), got " +
         s"${rddLeaves.length} of ${leaves.length}: ${leaves.map(_.nodeName)}")
   }
+
+  test("loop-carried graph loops release superseded checkpoints eagerly") {
+    // round-15 discipline (PLANS "cutLineage loop-site classification"):
+    // loop-CARRIED frames free each superseded round's blocks as soon as
+    // the replacement cut materializes, so the surviving persistent-RDD
+    // count is bounded by the live frames, not the round count. Each
+    // bound below enumerates exactly what the query's output still
+    // references; without the eager release the diffs grow by one block
+    // set per round (and per loop-invariant input left behind).
+    val sc = spark.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def newlyPersistedAfter(name: String): Set[Int] = {
+      val base = persisted
+      val df = Catalog.byName(name).build(spark, sfSmoke)
+      df.write.format("noop").mode("overwrite").save()
+      persisted -- base
+    }
+    // SSSP: 4 superseded dist rounds + the edge cut released; only the
+    // final dist checkpoint survives
+    val sssp = newlyPersistedAfter("g_sssp_bellman")
+    assert(sssp.size <= 1, s"g_sssp_bellman retained ${sssp.size} block sets (want <=1)")
+    // label propagation: churn reads the last TWO label rounds; seed and
+    // round-1 labels plus the edge cut released
+    val lp = newlyPersistedAfter("g_label_propagation")
+    assert(lp.size <= 2, s"g_label_propagation retained ${lp.size} block sets (want <=2)")
+    // k-core: 3 APPEND-ONLY peel deltas + allNodes stay (the output reads
+    // them); all 4 residual edge frames released
+    val kc = newlyPersistedAfter("g_kcore_peel")
+    assert(kc.size <= 4, s"g_kcore_peel retained ${kc.size} block sets (want <=4)")
+  }
 }

@@ -56,4 +56,64 @@ object Lineage {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
       case _ => ()
     }
+
+  /** Append-only checkpoint accumulator — the guard the loop-site
+    * classification table's APPEND-ONLY rows (PLANS.md) relied on a
+    * comment for until round 16. Loops whose result is the UNION of
+    * per-round deltas (BFS level frames, k-core peel batches) pin one
+    * block set per round by construction: every prior delta stays
+    * referenced by the running union, so nothing is ever superseded and
+    * `releaseCut` has nothing to release. Fine at 3 rounds; a 100-round
+    * loop would hold 100 live block sets. This accumulator bounds that:
+    * once more than `coalesceEvery` deltas are live, it unions them into
+    * ONE fresh cut (eager, so the data is safely re-materialized first),
+    * releases the superseded per-round blocks, and continues from the
+    * merged frame — live block sets never exceed `coalesceEvery + 1`,
+    * and each delta row is re-serialized at most once per `coalesceEvery`
+    * rounds (amortized O(1) serialize work per row, vs the O(rounds)
+    * re-cut-the-union-every-round shape round 14 removed).
+    *
+    * Every frame passed to [[add]] MUST be a frame returned by
+    * [[LineageOps.cutLineage]] — coalescing releases the added frames'
+    * blocks, and a DERIVED plan would walk to its inputs' checkpoints
+    * and release those instead (unrecoverable: truncated lineage cannot
+    * recompute). The require below fails loudly on any other shape.
+    * Callers must also re-derive any round-local view (e.g. the BFS
+    * frontier) from [[union]] when `add` reports a coalesce, because the
+    * individual delta it was derived from is gone. */
+  final class AppendOnlyCuts(coalesceEvery: Int) {
+    require(coalesceEvery >= 1, s"coalesceEvery must be >= 1, got $coalesceEvery")
+    private val frames =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    private var merges = 0
+    /** Live checkpointed frames (bounded at coalesceEvery + 1). */
+    def frameCount: Int = frames.length
+    /** How many coalesces have happened (deep-loop test observability). */
+    def coalesceCount: Int = merges
+    /** Append a freshly cut delta; returns true iff this add coalesced
+      * (callers holding views of earlier deltas must re-derive them). */
+    def add(delta: org.apache.spark.sql.DataFrame): Boolean = {
+      require(delta.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+        "AppendOnlyCuts.add requires a frame produced by cutLineage: " +
+          "coalescing releases the added frame's blocks, and a derived " +
+          "plan would release its INPUTS' checkpoints instead " +
+          s"(got plan class ${delta.queryExecution.analyzed.getClass.getSimpleName})")
+      frames += delta
+      if (frames.length > coalesceEvery) {
+        val merged = union.cutLineage() // eager: materialized BEFORE release
+        frames.foreach(releaseCut)
+        frames.clear()
+        frames += merged
+        merges += 1
+        true
+      } else false
+    }
+    /** The running union of everything appended so far. */
+    def union: org.apache.spark.sql.DataFrame = {
+      require(frames.nonEmpty, "AppendOnlyCuts.union on an empty accumulator")
+      frames.reduce(_ unionAll _)
+    }
+    def isEmpty: Boolean = frames.isEmpty
+  }
 }

@@ -103,7 +103,8 @@ object GraphQueries {
     * [[pagerank]] and ops/ConnectedComponents. */
   def bfsLevels(edgesIn: org.apache.spark.sql.DataFrame,
                 seeds: org.apache.spark.sql.DataFrame,
-                maxLvl: Int): org.apache.spark.sql.DataFrame = {
+                maxLvl: Int,
+                coalesceEvery: Int = 8): org.apache.spark.sql.DataFrame = {
     val e = edgesIn.cutLineage()
     val seeded = seeds.select(col("id"), lit(0).as("lvl")).cutLineage()
     // The visited set is an APPEND-ONLY union of per-round frontiers, so
@@ -113,29 +114,37 @@ object GraphQueries {
     // shape) re-serialized the ENTIRE visited set every round — O(rounds²)
     // serialize work under the MEMORY_AND_DISK_SER contract — and kept a
     // second full copy of the visited set in the block store. The union
-    // of <= maxLvl LogicalRDDs keeps the logical plan linear in rounds
-    // (the exponential blowup cutLineage exists to stop comes from
-    // self-joins, not unions). Retention: every per-round cut frame stays
-    // pinned in the block store until the query ends — inherent to the
-    // append-only shape (each round's anti-join and the final result
-    // reference the union of ALL prior cuts, so none is ever superseded);
-    // total footprint is ONE serialized copy of the visited set spread
-    // across <= maxLvl+1 block sets, half the pre-round-14 shape. Fine at
-    // maxLvl=3; a much deeper BFS would instead periodically coalesce the
-    // accumulated frames into one fresh cut to cap the block-set count.
-    val levelFrames = scala.collection.mutable.ArrayBuffer(seeded)
+    // of <= coalesceEvery LogicalRDDs keeps the logical plan linear in
+    // rounds (the exponential blowup cutLineage exists to stop comes from
+    // self-joins, not unions). Retention (round-16 guard, was a comment):
+    // the AppendOnlyCuts accumulator coalesces the live deltas into ONE
+    // fresh cut every `coalesceEvery` rounds and releases the superseded
+    // blocks, so a deep BFS holds at most coalesceEvery + 1 block sets —
+    // one serialized copy of the visited set plus the uncoalesced tail —
+    // instead of one per round. Each visited row is re-serialized at most
+    // once per coalesceEvery rounds (amortized O(1) per row). At the
+    // catalog's maxLvl=3 no coalesce ever fires and the plan is
+    // byte-identical to rounds 14–15; LineageSpec/GraphOpsSpec pin both
+    // the deep-loop bound and the correctness of coalesced levels.
+    val acc = new graft.ops.Lineage.AppendOnlyCuts(coalesceEvery)
+    acc.add(seeded)
     var frontier = seeded.select("id")
     (1 to maxLvl).foreach { l =>
-      val visited = levelFrames.map(_.select("id")).reduce(_ unionAll _)
+      val visited = acc.union.select("id")
       val next = e.join(frontier.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .select(col("id"), lit(l).as("lvl"))
         .cutLineage()
-      levelFrames += next
-      frontier = next.select("id")
+      // a coalesce releases the individual delta the frontier view would
+      // have aliased — re-derive this round's frontier from the merged
+      // frame instead (filter on the lvl column of a cut frame: cheap,
+      // scan-local, no shuffle)
+      frontier =
+        if (acc.add(next)) acc.union.filter(col("lvl") === l).select("id")
+        else next.select("id")
     }
-    levelFrames.reduce(_ unionAll _)
+    acc.union
   }
 
   val qs: Seq[Q] = Seq(
@@ -791,11 +800,13 @@ object GraphQueries {
         // the peeled set is append-only: each round's `out` is cut once
         // and the running union reads those frames directly — re-cutting
         // the accumulated union every round re-serialized the whole
-        // peeled set each time (see bfsLevels for the shape rationale)
-        val peeledFrames =
-          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-        def peeled: org.apache.spark.sql.DataFrame =
-          peeledFrames.reduce(_ unionAll _)
+        // peeled set each time (see bfsLevels for the shape rationale).
+        // Round 16: the deltas live in the shared AppendOnlyCuts guard —
+        // at 3 rounds it never coalesces (plan unchanged), but a deeper
+        // peel inherits the bounded block-set contract instead of a
+        // comment (LineageSpec pins the bound).
+        val peeledAcc = new graft.ops.Lineage.AppendOnlyCuts(8)
+        def peeled: org.apache.spark.sql.DataFrame = peeledAcc.union
         (1 to 3).foreach { r =>
           val deg = edges.groupBy(col("u").as("node"))
             .agg(count(lit(1)).as("d"))
@@ -803,13 +814,13 @@ object GraphQueries {
           val present = deg.select("node")
           val low = deg.filter(col("d") < 3).select("node")
           val gone =
-            if (peeledFrames.isEmpty) low
+            if (peeledAcc.isEmpty) low
             else allNodes.join(peeled, Seq("node"), "left_anti")
               .join(present, Seq("node"), "left_anti")
               .unionAll(low)
-          val out = gone.distinct().withColumn("peel_round", lit(r))
+          val out = gone.distinct().select(col("node"), lit(r).as("peel_round"))
             .cutLineage()
-          peeledFrames += out.select("node", "peel_round")
+          peeledAcc.add(out)
           val prevEdges = edges
           edges = edges
             .join(out.select(col("node").as("u")), Seq("u"), "left_anti")

@@ -123,6 +123,10 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // publish the per-batch state-store trace (round-15 verdict #2: the
+    // watermark-bounded-state claim must be measured, not plan-asserted);
+    // driver-side only, the hashed result is untouched
+    graft.streaming.StreamProbe.record(sinkName, q.recentProgress)
     s.table(sinkName)
   }
 

@@ -88,8 +88,51 @@ class BenchArtifactSpec extends AnyFunSuite {
     val ps = Bench.artifactNotice(
       Some("/root/repo/BENCHFULL_PARTIAL_sf0.001.json"), 2)
     assert(ps.exists(_.contains("/root/repo/BENCHFULL_PARTIAL_sf0.001.json")))
-    // complete records and explicit destinations stay quiet
+    // zero-skip complete records and zero-skip explicit destinations
+    // stay quiet
     assert(Bench.artifactNotice(Some("/root/repo/BENCHFULL.json"), 0).isEmpty)
-    assert(Bench.artifactNotice(Some("/tmp/custom.json"), 5).isEmpty)
+    assert(Bench.artifactNotice(Some("/tmp/custom.json"), 0).isEmpty)
+  }
+
+  // Round-15 advisory: the notice used to key on the destination's NAME,
+  // so an explicit SPARK_GRAFT_BENCH_OUT aimed at the complete-record
+  // path silently took a skip-bearing line, and an explicit path that
+  // merely contained "BENCHFULL_PARTIAL" claimed "complete record
+  // preserved" with zero skips. The notice now keys on the skip count.
+  test("artifactNotice keys on the skip count, not the destination name") {
+    // a skip-bearing write to ANY explicit destination announces itself
+    val c = Bench.artifactNotice(Some("/tmp/custom.json"), 5)
+    assert(c.exists(m => m.contains("5 passes skipped")
+      && m.contains("/tmp/custom.json")))
+    // ... and over a complete-record path it additionally warns
+    val w = Bench.artifactNotice(Some("/root/repo/BENCHFULL.json"), 2)
+    assert(w.exists(m => m.contains("2 passes skipped")
+      && m.contains("WARNING")))
+    // a zero-skip write never uses the "passes skipped" wording, even
+    // when the explicit destination contains the partial marker
+    val z = Bench.artifactNotice(Some("/tmp/BENCHFULL_PARTIAL_copy.json"), 0)
+    assert(z.exists(m => !m.contains("passes skipped")
+      && m.contains("/tmp/BENCHFULL_PARTIAL_copy.json")))
+    assert(z.exists(_.contains("zero-skip")))
+  }
+
+  // Round-15 verdict #6: under the driver's budget the headline pass ran
+  // at full fidelity and scaled-full — 238 queries of 5× evidence — was
+  // skipped whole. The lookahead drops headline runs (never below 1)
+  // exactly when that rescues scaled-full's admission.
+  test("lookaheadScaleRuns drops runs only when that rescues scaled-full") {
+    // linear cost model: 100 s replica + 300 s per run
+    val est = (r: Int) => 100.0 + 300.0 * r
+    // plenty of budget: keep the requested fidelity
+    assert(Bench.lookaheadScaleRuns(2, 2000.0, est, 600.0) === 2)
+    // r15 driver shape: 2 runs + floor overshoot, 1 run + floor fits
+    assert(Bench.lookaheadScaleRuns(2, 1200.0, est, 600.0) === 1)
+    // even 1 run can't fit both: keep fidelity, let the gate skip full
+    assert(Bench.lookaheadScaleRuns(2, 700.0, est, 600.0) === 2)
+    // no scaled-full configured: nothing to protect
+    assert(Bench.lookaheadScaleRuns(2, 100.0, est, 0.0) === 2)
+    // degrades to the LARGEST run count that fits, not straight to 1
+    assert(Bench.lookaheadScaleRuns(3, 1600.0, est, 600.0) === 3)
+    assert(Bench.lookaheadScaleRuns(3, 1550.0, est, 600.0) === 2)
   }
 }

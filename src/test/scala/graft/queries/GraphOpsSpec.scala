@@ -54,6 +54,36 @@ class GraphOpsSpec extends SparkSpec {
         s"${rddLeaves.length} of ${leaves.length}: ${leaves.map(_.nodeName)}")
   }
 
+  test("bfsLevels: a deep loop coalesces level frames and stays block-bounded") {
+    // Round-16 guard (r15 verdict #3): the append-only visited set pins
+    // one block set per round — fine at the catalog's maxLvl=3, silent
+    // accumulation at depth. A 24-round path walk must coalesce through
+    // AppendOnlyCuts (coalesceEvery=8 → merges after rounds 8, 16, 24),
+    // keep the levels exact across the merges, and finish holding a
+    // BOUNDED block-set count instead of one per round.
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.keySet
+    val n = 30
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val got = GraphQueries.bfsLevels(edges, Seq(0L).toDF("id"),
+      maxLvl = 24, coalesceEvery = 8)
+    val rows = got.as[(Long, Int)].collect().toMap
+    assert(rows === (0 to 24).map(i => i.toLong -> i).toMap,
+      "deep-path hop counts wrong after coalescing")
+    // 25 deltas (seed + 24 rounds) merged down: the result plan must NOT
+    // union one frame per round
+    val rddLeaves = got.queryExecution.optimizedPlan.collectLeaves().length
+    assert(rddLeaves <= 9,
+      s"deep BFS result unions $rddLeaves frames (want <= coalesceEvery + 1)")
+    // retained blocks: the edge cut + the live level frames, not 25 sets
+    val retained = sc.getPersistentRDDs.keySet.diff(base)
+    assert(retained.size <= 10,
+      s"deep BFS retained ${retained.size} block sets (want bounded <= 10)")
+    sc.getPersistentRDDs
+      .filterNot { case (id, _) => base.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   test("loop-carried graph loops release superseded checkpoints eagerly") {
     // round-15 discipline (PLANS "cutLineage loop-site classification"):
     // loop-CARRIED frames free each superseded round's blocks as soon as

@@ -189,6 +189,10 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
     def remainingSec: Double = budgetSec - elapsedSec
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    // set when the lookahead reduced the headline pass's run count: the
+    // run is still zero-skip but not full-fidelity, so it must not claim
+    // the committed BENCHFULL record (see artifactDest)
+    var degradedRuns = false
     def loadavg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -788,10 +792,12 @@ object Bench {
           else math.max(600.0, estPassSec(names.map(_._1), fullCopies, fullRuns))
         val runsEff = lookaheadScaleRuns(scaleRuns, remainingSec,
           r => estPassSec(ordered.map(_._1), copies, r), fullFloor)
-        if (runsEff < scaleRuns)
+        if (runsEff < scaleRuns) {
+          degradedRuns = true
           System.err.println(f"[bench] scaled lookahead: $runsEff of $scaleRuns " +
             f"runs (est ${estPassSec(ordered.map(_._1), copies, scaleRuns)}%.0f s " +
             f"+ scaled-full floor $fullFloor%.0f s > ${remainingSec}%.0f s left)")
+        }
         scaledPass(copies, ordered, "scaled", runsEff, runsRequested = scaleRuns)
       }
     // scaled-full admission is value-ordered too (round-13 verdict #3:
@@ -844,8 +850,9 @@ object Bench {
     // An explicit SPARK_GRAFT_BENCH_OUT still overrides both guards.
     val benchOut = artifactDest(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
       narrow = only.nonEmpty || results.isEmpty, skippedN = skipped.length,
-      sf = sfNum)
-    artifactNotice(benchOut, skipped.length).foreach(System.err.println)
+      sf = sfNum, degraded = degradedRuns)
+    artifactNotice(benchOut, skipped.length, degradedRuns)
+      .foreach(System.err.println)
     benchOut.foreach { out =>
       try writeAtomic(out, line + "\n")
       catch { case e: Throwable =>
@@ -896,7 +903,8 @@ object Bench {
     * record survives, and a skip-bearing write landing anywhere ELSE a
     * BENCHFULL record lives gets an explicit overwrite warning. */
   private[graft] def artifactNotice(benchOut: Option[String],
-                                    skippedN: Int): Option[String] =
+                                    skippedN: Int,
+                                    degraded: Boolean = false): Option[String] =
     benchOut match {
       case None =>
         Some("[bench] narrow run: BENCHFULL write skipped (set SPARK_GRAFT_BENCH_OUT to force)")
@@ -907,6 +915,9 @@ object Bench {
             " — WARNING: skip-bearing line over a complete-record path"
           else ""
         Some(s"[bench] $skippedN passes skipped: writing $out$suffix")
+      case Some(out) if degraded =>
+        Some(s"[bench] zero-skip but lookahead-degraded run: writing $out, " +
+          "full-fidelity record preserved")
       case Some(out) if out.contains("BENCHFULL_PARTIAL") =>
         Some(s"[bench] zero-skip run writing to explicit partial path $out")
       case _ => None
@@ -939,14 +950,24 @@ object Bench {
       .getOrElse(requested)
 
   private[graft] def artifactDest(explicit: Option[String], narrow: Boolean,
-                                  skippedN: Int, sf: String = "0.1"): Option[String] =
+                                  skippedN: Int, sf: String = "0.1",
+                                  degraded: Boolean = false): Option[String] =
     explicit.orElse {
       if (narrow) None
       // partials carry the SF suffix too (round-13 advisory: a toy-SF
       // partial used to overwrite an sf0.1 partial record — the same
-      // shadowing the complete-run suffix already preempts)
-      else if (skippedN > 0 && sf == "0.1") Some("/root/repo/BENCHFULL_PARTIAL.json")
-      else if (skippedN > 0) Some(s"/root/repo/BENCHFULL_PARTIAL_sf$sf.json")
+      // shadowing the complete-run suffix already preempts). A
+      // lookahead-DEGRADED run (headline runs reduced to rescue
+      // scaled-full) is zero-skip but not full-fidelity: routing it to
+      // the PARTIAL sibling preempts the remaining clobber variant —
+      // without this, the first budget-squeezed driver run after the
+      // lookahead landed would overwrite the committed quiet record
+      // with a load-contaminated min-of-1 line (the r12 clobber family,
+      // zero-skip edition).
+      else if ((skippedN > 0 || degraded) && sf == "0.1")
+        Some("/root/repo/BENCHFULL_PARTIAL.json")
+      else if (skippedN > 0 || degraded)
+        Some(s"/root/repo/BENCHFULL_PARTIAL_sf$sf.json")
       else if (sf == "0.1") Some("/root/repo/BENCHFULL.json")
       else Some(s"/root/repo/BENCHFULL_sf$sf.json")
     }

@@ -90,7 +90,14 @@ object ClusterQueries {
          |Output: per vector its cluster, the max cosine to any smaller-id
          |cluster-mate, and the keep verdict. The pairwise term is bounded
          |by |cluster| ≈ n/k — k grows with the corpus, the per-cluster
-         |work does not.""".stripMargin,
+         |work does not. Scale adjudication (r16): the catalog pins k=8
+         |for oracle determinism, so on an N× replica the within-cluster
+         |pair term n²/2k grows quadratically BY CONSTRUCTION — measured
+         |eff 1.63 at 10× / 1.94 at 20× (SCALECURVE20_SEMDEDUP_r16.json),
+         |on scalecurve's expected list alongside the geo density trio.
+         |The 100 TB path is SemDeDup's own recipe, k ∝ corpus size;
+         |ScaleStress.semdedupStress measures that knob (pairs and wall
+         |time ∝ 1/k, pinned in ScaleStressSpec).""".stripMargin,
       Some(
         s"""$kmeansCtes,
            |p AS (

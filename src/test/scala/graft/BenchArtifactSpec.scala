@@ -135,4 +135,28 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.lookaheadScaleRuns(3, 1600.0, est, 600.0) === 3)
     assert(Bench.lookaheadScaleRuns(3, 1550.0, est, 600.0) === 2)
   }
+
+  // A lookahead-degraded run is zero-skip but NOT full-fidelity: letting
+  // it claim BENCHFULL.json would hand the committed quiet record to the
+  // first load-contaminated driver run whose budget squeezed the
+  // headline pass (the r12 clobber family, zero-skip edition).
+  test("a degraded zero-skip run routes to the PARTIAL sibling and announces itself") {
+    assert(Bench.artifactDest(None, narrow = false, skippedN = 0,
+      degraded = true) === Some("/root/repo/BENCHFULL_PARTIAL.json"))
+    assert(Bench.artifactDest(None, narrow = false, skippedN = 0,
+      sf = "0.001", degraded = true)
+      === Some("/root/repo/BENCHFULL_PARTIAL_sf0.001.json"))
+    // undegraded routing unchanged
+    assert(Bench.artifactDest(None, narrow = false, skippedN = 0,
+      degraded = false) === Some("/root/repo/BENCHFULL.json"))
+    val n = Bench.artifactNotice(Some("/root/repo/BENCHFULL_PARTIAL.json"),
+      0, degraded = true)
+    assert(n.exists(m => m.contains("degraded")
+      && m.contains("/root/repo/BENCHFULL_PARTIAL.json")
+      && !m.contains("passes skipped")))
+    // skip-bearing wording still wins when both apply
+    val both = Bench.artifactNotice(Some("/root/repo/BENCHFULL_PARTIAL.json"),
+      2, degraded = true)
+    assert(both.exists(_.contains("2 passes skipped")))
+  }
 }

@@ -152,16 +152,26 @@ def main():
     ap.add_argument("--gate", action="store_true",
                     help="exit 1 on unexpected super-linear queries")
     ap.add_argument("--expected",
-                    default="geo_grid_join,geo_knn_ranked,geo_knn_adaptive",
+                    default="geo_grid_join,geo_knn_ranked,geo_knn_adaptive,"
+                            "dd_semdedup",
                     help="comma list of known-super-linear-by-construction "
                          "queries (quadratic candidates/OUTPUT under replica "
-                         "densification — PLANS.md; all three carry MEASURED "
-                         "20x points across multiple quiet sessions: grid "
-                         "1.63-3.54, knn_ranked 2.75-3.41, knn_adaptive "
-                         "1.68-2.60 — the adaptive twin's bounded heap "
-                         "flattens the window form's curve and its residual "
-                         "is the scan-side distance tests; sub-second 1x "
-                         "denominators make eff noisier than the wall gap)")
+                         "densification — PLANS.md; the geo three carry "
+                         "MEASURED 20x points across multiple quiet "
+                         "sessions: grid 1.63-3.54, knn_ranked 2.75-3.41, "
+                         "knn_adaptive 1.68-2.60 — the adaptive twin's "
+                         "bounded heap flattens the window form's curve and "
+                         "its residual is the scan-side distance tests; "
+                         "sub-second 1x denominators make eff noisier than "
+                         "the wall gap. dd_semdedup (added r16, surfaced by "
+                         "the quiet 10x denominators: eff 1.63 at 10x) "
+                         "carries the fixed-k pairwise term n^2/2k by "
+                         "construction — the catalog pins k=8 for the "
+                         "oracle, so replica growth densifies clusters "
+                         "quadratically; the 100 TB path is SemDeDup's own "
+                         "recipe, k scaling with the corpus, measured by "
+                         "ScaleStress.semdedupStress (pairs and wall time "
+                         "~1/k) and pinned in ScaleStressSpec)")
     args = ap.parse_args()
     points = []
     seen = {}

@@ -16,6 +16,16 @@ object Explain {
     names.foreach { n =>
       println(s"\n================ $n ================")
       Catalog.byName(n).build(spark, sfDir).explain("formatted")
+      // streaming replay queries: the batch explain above only shows the
+      // memory-sink tail — also print the executed micro-batch plan the
+      // replay recorded (state operators, partitioning, store count)
+      Seq(s"${n}_sink", n.replace("_replay", "_sink"),
+          s"${n.stripSuffix("_enrich")}_sink")
+        .flatMap(graft.streaming.StreamProbe.plan).headOption
+        .foreach { p =>
+          println(s"---- executed micro-batch plan ($n) ----")
+          println(p)
+        }
     }
     spark.stop()
   }

@@ -24,6 +24,8 @@ object StreamProbe {
 
   private val runs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[BatchState]]()
+  private val plans =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Record a finished streaming query's progress under `name`
     * (latest run wins — each catalog build replays from scratch). */
@@ -37,6 +39,22 @@ object StreamProbe {
     runs.put(name, batches); ()
   }
 
+  /** Record the executed micro-batch physical plan under `name` — the
+    * streaming twin of `.explain("formatted")` (batch explain on a replay
+    * query only ever shows the memory-sink tail; the stateful plan and its
+    * partitioning live in the micro-batch execution). Driver-side string
+    * capture of StreamingQuery.explain(), a few ms after the run ends. */
+  def recordPlan(name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    try {
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) { q.explain() }
+      plans.put(name, bos.toString("UTF-8")); ()
+    } catch { case _: Throwable => () } // evidence only — never fail the query
+  }
+
   /** The per-batch state trace of the most recent run named `name`. */
   def get(name: String): Option[Seq[BatchState]] = Option(runs.get(name))
+
+  /** The executed micro-batch plan of the most recent run named `name`. */
+  def plan(name: String): Option[String] = Option(plans.get(name))
 }

@@ -80,8 +80,11 @@ object NearDup {
     // per-shingle md5 computed ONCE and cached: the signature branch
     // (seed-mins) and the confirm branch (sorted hashed sets) both read
     // this frame, and without the cache Spark recomputes the shingle+md5
-    // pass once per branch
-    val base = documents
+    // pass once per branch. Par.spread first: the corpus arrives as one
+    // scan split (single-row-group testdata), which would run the whole
+    // shingle+md5 fold single-threaded (guide §2.5 unsplittable-input
+    // repartition; width is size-derived, see Par)
+    val base = Par.spread(documents)
       .withColumn("ws", Text.tokens(col("text")))
       .filter(size(col("ws")) >= shingleSize)
       .withColumn("toks", array_distinct(
@@ -91,8 +94,17 @@ object NearDup {
     val sig = base.select(col("doc_id") +: (0 until nSeeds).map(minHash): _*)
     val band0 = md5(concat((0 until bandSize).map(i => col(s"h$i")): _*))
     val band1 = md5(concat((bandSize until nSeeds).map(i => col(s"h$i")): _*))
-    val allBands = sig.select(col("doc_id"), lit(0).as("band_id"), band0.as("band_key"))
-      .unionAll(sig.select(col("doc_id"), lit(1).as("band_id"), band1.as("band_key")))
+    // both band keys in ONE projection over sig, exploded to two rows —
+    // the union-of-two-selects form evaluated the 8 per-doc minhash folds
+    // (8 md5s per shingle) TWICE, once per union branch (guide §1.2 step
+    // 2 / the CollapseProject gotcha: each branch re-inlines the sig
+    // expressions). The two keys read disjoint halves of the signature,
+    // so this projection still evaluates each fold exactly once.
+    val allBands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band_id"), band0.as("band_key")),
+        struct(lit(1).as("band_id"), band1.as("band_key")))).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"),
+        col("b.band_key").as("band_key"))
     // hot-band guard: count members per band ONCE (a key-sized agg) and
     // drop over-cap groups before the quadratic pairing step
     val bands = maxBandGroup match {

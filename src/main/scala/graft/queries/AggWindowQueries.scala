@@ -1274,9 +1274,14 @@ object AggWindowQueries {
           |FROM pr JOIN ic ix ON pr.x = ix.p JOIN ic iy ON pr.y = iy.p CROSS JOIN nn
           |ORDER BY x, y""".stripMargin),
       (s, dir) => {
+        // materialized once: the basket frame feeds FOUR consumers (the
+        // basket count, item supports, and both self-join sides) — only
+        // the self-join shared an exchange, so the scan + distinct ran
+        // three times without the cut
         val op = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
+          .cutLineage()
         val nn = op.agg(countDistinct(col("o")).as("n"))
         val ic = op.groupBy("p").agg(count(lit(1)).as("sup"))
         val pr = op.as("a")

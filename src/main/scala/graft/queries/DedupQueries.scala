@@ -409,8 +409,15 @@ object DedupQueries {
           .select(col("doc_id") +: (0 until nSeeds).map(minHash): _*)
         val band0 = md5(concat((0 until bandSize).map(i => col(s"h$i")): _*))
         val band1 = md5(concat((bandSize until nSeeds).map(i => col(s"h$i")): _*))
-        val bands = sig.select(col("doc_id"), lit(0).as("band_id"), band0.as("band_key"))
-          .unionAll(sig.select(col("doc_id"), lit(1).as("band_id"), band1.as("band_key")))
+        // one projection + explode, not a union of two sig selects: the
+        // union form re-evaluated all 8 per-doc minhash folds (one md5
+        // per token per seed) once PER BRANCH — the band keys read
+        // disjoint signature halves, so this evaluates each fold once
+        val bands = sig.select(col("doc_id"), explode(array(
+            struct(lit(0).as("band_id"), band0.as("band_key")),
+            struct(lit(1).as("band_id"), band1.as("band_key")))).as("b"))
+          .select(col("doc_id"), col("b.band_id").as("band_id"),
+            col("b.band_key").as("band_key"))
         bands.groupBy("band_id", "band_key")
           .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
           .filter(col("n_docs") >= 2)
@@ -758,12 +765,25 @@ object DedupQueries {
             transform(Text.shinglesOfTokens(col("ws"), 3), sh => md5(sh))))
           .select("doc_id", "toks")
           .persist()
+        // the signature frame feeds FOUR consumers (both band branches +
+        // the sa/sb signature-compare sides): persist it so the 8 per-doc
+        // minhash folds (8 md5s per shingle) run once, not once per
+        // consumer — the same cost-model honesty as the persisted shingle
+        // base above (guide §1.2 step 2; unpersisted below after the
+        // collision-sized result materializes)
         val sig = base.select(col("doc_id") +: (0 until nSeeds).map(minHash): _*)
           .withColumn("sig", array((0 until nSeeds).map(i => col(s"h$i")): _*))
+          .persist()
         val band0 = md5(concat((0 until bandSize).map(i => col(s"h$i")): _*))
         val band1 = md5(concat((bandSize until nSeeds).map(i => col(s"h$i")): _*))
-        val bands = sig.select(col("doc_id"), lit(0).as("band_id"), band0.as("band_key"))
-          .unionAll(sig.select(col("doc_id"), lit(1).as("band_id"), band1.as("band_key")))
+        // both band keys from one cached-sig scan (explode), not a union
+        // of two selects — the union form scans (and without the persist,
+        // recomputes) sig once per branch
+        val bands = sig.select(col("doc_id"), explode(array(
+            struct(lit(0).as("band_id"), band0.as("band_key")),
+            struct(lit(1).as("band_id"), band1.as("band_key")))).as("b"))
+          .select(col("doc_id"), col("b.band_id").as("band_id"),
+            col("b.band_key").as("band_key"))
         val cand = bands.as("x")
           .join(bands.as("y"),
             col("x.band_id") === col("y.band_id") &&
@@ -799,6 +819,7 @@ object DedupQueries {
           .orderBy("doc_a", "doc_b")
           .cutLineage(true)
         base.unpersist()
+        sig.unpersist()
         out
       }),
 

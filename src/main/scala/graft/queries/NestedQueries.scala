@@ -37,7 +37,10 @@ object NestedQueries {
           |     LATERAL (SELECT unnest(range(1, CAST(2 + l.l_linenumber % 2 AS BIGINT))) AS b) t
           |ORDER BY action_id, ingredient_id, batch_number, vessel, qty""".stripMargin),
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
+        // Par.spread: the single-row-group lineitem scan ran the whole
+        // nested struct+map build (the map side of the collect_list
+        // shuffle) on one task — measured 1.95 s of the query's 2.9 s
+        val li = graft.ops.Par.spread(Tables.lineitem(s, dir))
         // batches: 1 or 2 per line depending on parity of l_linenumber
         val batches = when(pmod(col("l_linenumber"), lit(2)) === 1,
           array(

@@ -82,15 +82,24 @@ object ScalarQueries {
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
         val qtyCol = dec(col("l_quantity")) * dec(col("l_discount"))
-        li.select(
-          col("l_orderkey"), col("l_linenumber"),
-          Quantities.normalizeQty(qtyCol).as("norm_qty"),
-          Quantities.uniqueTransactionId(
-            concat(lit("item"), col("l_partkey").cast("string")),
-            col("l_linenumber").cast("string"),
-            col("l_suppkey").cast("string"),
-            qtyCol).as("txn_id"))
+        // sort FIRST on the raw key columns, project the expensive
+        // decimal->string identity expressions AFTER: a global orderBy is
+        // a range exchange whose key-sampling pass executes the full
+        // child — projecting before the sort evaluated normalizeQty /
+        // uniqueTransactionId twice (sample pass + map pass) and shuffled
+        // the built strings; (l_orderkey, l_linenumber) is the lineitem
+        // PK, so the order (and every row) is unchanged
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_discount"))
           .orderBy("l_orderkey", "l_linenumber")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            Quantities.normalizeQty(qtyCol).as("norm_qty"),
+            Quantities.uniqueTransactionId(
+              concat(lit("item"), col("l_partkey").cast("string")),
+              col("l_linenumber").cast("string"),
+              col("l_suppkey").cast("string"),
+              qtyCol).as("txn_id"))
       }),
 
     Q(

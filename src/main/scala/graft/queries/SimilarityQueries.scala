@@ -171,9 +171,14 @@ object SimilarityQueries {
               expr("slice(pv, 1, d)"), expr("slice(cv, 1, d)")).as("cos"))
         val w = Window.partitionBy("d", "probe_id")
           .orderBy(col("cos").desc, col("cand_id"))
+        // materialize best (dims x probes rows) once: `full` re-derived
+        // it otherwise — the d=64 partition of the window (and its slice
+        // of the cosine pass) was computed a second time for the join's
+        // broadcast side
         val best = scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("d", "probe_id", "cand_id")
+          .cutLineage(true)
         val full = best.filter(col("d") === 64)
           .select(col("probe_id"), col("cand_id").as("full_cand"))
         best.join(broadcast(full), "probe_id")

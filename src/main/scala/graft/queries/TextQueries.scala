@@ -343,12 +343,20 @@ object TextQueries {
           .select(col("prev"), col("tok"),
             floor((lit(2000000L) * col("c_bt") + col("c_p"))
               / (lit(2) * col("c_p"))).cast("long").as("p_micro"))
+        // materialize the DOC-SIZED score table once: both the cutoff
+        // branch and the bucket-assignment branch read it, and without
+        // the cut each branch re-ran the whole tokenize → bigram-explode
+        // → model-join → per-doc-agg pipeline (measured: the two halves
+        // of this query were stage-for-stage mirrors). Cutting scored
+        // (doc_id, mean_micro — two longs per doc) subsumes the previous
+        // one-row cutoff cut.
         val scored = bi.join(model, Seq("prev", "tok"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("s_micro"))
           .select(col("doc_id"),
             floor((lit(2) * col("s_micro") + col("n_bigrams"))
               / (lit(2) * col("n_bigrams"))).cast("long").as("mean_micro"))
+          .cutLineage(true)
         // cutoff pass: histogram over distinct micro-values (value-sized,
         // never doc-sized), cumulative window over that frame, collapsed
         // to ONE (c1, c2) row — broadcast below so assignment is row-local
@@ -364,11 +372,6 @@ object TextQueries {
               col("mean_micro"))).as("c1"),
             max(when(col("cum") >= expr("(2 * total + 2) div 3"),
               col("mean_micro"))).as("c2"))
-          // materialize the ONE-ROW cutoff table now (s_token_budget
-          // pattern): without this the final plan carries the whole
-          // scoring lineage twice — once under the cutoff branch, once
-          // under the assignment branch
-          .cutLineage(true)
         scored.crossJoin(broadcast(cuts))
           .select(col("doc_id"),
             (col("mean_micro") / lit(1000000.0)).as("mean_p"),
@@ -946,7 +949,8 @@ object TextQueries {
           |ORDER BY n.doc_id""".stripMargin),
       (s, dir) => {
         // toks arrays feed both the window fan-out and the per-doc token
-        // count: materialize once (tokenize is the expensive half)
+        // count: materialize once (tokenize is the expensive half); the
+        // cut inherits the spread scan's partitioning (Tables.documents)
         val t = Tables.documents(s, dir)
           .withColumn("toks", Text.tokens(col("text")))
           .filter(col("text").isNotNull && size(col("toks")) >= 8)
@@ -1112,8 +1116,20 @@ object TextQueries {
     val wf = Tables.documents(s, dir)
       .select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-    var st = wf.withColumn("syms", split(col("word"), ""))
-    (1 to 3).foreach { _ =>
+    // Rounds 1..n-1 are lineage-cut (the pagerank/CC iterative
+    // discipline): un-cut, round r's pair count re-derived rounds
+    // 1..r-1's merge folds — and t_bpe_apply's final segmentation re-ran
+    // all three — over the vocabulary, serially in the one AQE-coalesced
+    // partition (measured ~1 s of the query at sf0.1). The LAST round
+    // stays chained so the final plan keeps the sort-limit + broadcast
+    // best-pair shape PlanShapeSpec pins (the cut rounds run the
+    // identical shape inside their materialization jobs); superseded
+    // round cuts are released eagerly (loop-carried frames).
+    // the seed state is cut too: round 1 reads it twice (best-pair
+    // subtree + merge subtree), and un-cut both re-ran the corpus
+    // word-count map
+    var st = wf.withColumn("syms", split(col("word"), "")).cutLineage()
+    (1 to 3).foreach { round =>
       val pairs = st
         .select(col("n"), expr(
           """CASE WHEN size(syms) >= 2
@@ -1127,13 +1143,19 @@ object TextQueries {
         .agg(sum(col("n")).as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("x"), col("y"))
         .limit(1).select(col("x").as("bx"), col("y").as("by"))
-      st = st.crossJoin(broadcast(best))
+      val stale = st
+      val merged = st.crossJoin(broadcast(best))
         .withColumn("syms", expr(
           """aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) ->
             |  IF(size(acc) > 0 AND element_at(acc, -1) = bx AND s = by,
             |     concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by))),
             |     concat(acc, array(s))))""".stripMargin))
         .drop("bx", "by")
+      st = if (round < 3) merged.cutLineage() else merged
+      // the replacement cut materialized eagerly; release the superseded
+      // round's blocks (round 1's stale frame is the uncut wf projection
+      // — releaseCut is a no-op on plans without checkpoint RDDs)
+      if (round < 3) graft.ops.Lineage.releaseCut(stale)
     }
     st
   }

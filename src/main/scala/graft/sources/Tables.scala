@@ -92,6 +92,18 @@ object Tables {
           "(nanos-as-long), TimestampType, or TimestampNTZType; testdata " +
           "schema drifted further than the loader knows how to adapt")
   }
-  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** documents is the one table whose consumers are dominated by
+    * CPU-heavy row-local text work (tokenize/shingle/hash folds), and the
+    * driver testdata ships it as a single parquet row group — an
+    * unsplittable scan that would pin all of that work to ONE task
+    * (optimization guide §2.5). Par.spread round-robins it to a
+    * size-derived width, and no-ops whenever the scan already splits at
+    * least that wide (any real multi-row-group table). */
+  def documents(s: SparkSession, d: String): DataFrame =
+    graft.ops.Par.spread(t(s, d, "documents"))
+  /** Same treatment as [[documents]]: per-vector distance/fold math
+    * dominates every consumer, and the single-row-group scan would pin
+    * it to one task. */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.ops.Par.spread(t(s, d, "embeddings"))
 }

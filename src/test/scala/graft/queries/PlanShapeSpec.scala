@@ -25,7 +25,17 @@ class PlanShapeSpec extends SparkSpec {
     self ++ nested
   }
 
-  private def shuffles(p: SparkPlan) = collectAll(p) { case e: ShuffleExchangeExec => e }
+  // Round-robin exchanges are excluded: the only round-robin in the
+  // engine is Par.spread's deliberate scan-spread over the single-row-
+  // group testdata (round 16, guide §2.5) — a no-op on real multi-split
+  // tables — and counting it would make every shuffle pin assert the
+  // testdata's file layout rather than the query's shape. Every KEYED
+  // exchange still counts.
+  private def shuffles(p: SparkPlan) = collectAll(p) {
+    case e: ShuffleExchangeExec
+      if !e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+  }
   private def bcasts(p: SparkPlan) = collectAll(p) { case e: BroadcastHashJoinExec => e }
 
   test("dimension lookups broadcast (no shuffled join)") {
@@ -886,14 +896,20 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("bpe training: each round's best pair is a one-row sort-limit broadcast, no window") {
+    // round 16: merge rounds 1-2 materialize behind per-round lineage
+    // cuts (they re-derived the whole merge history each round
+    // otherwise), so only the LAST round's shape is visible in the final
+    // plan — bpeSegmentation deliberately leaves it un-cut to keep this
+    // pin honest; the cut rounds run the identical plan inside their
+    // materialization jobs
     val p = plan("t_bpe_train_merges")
     val topk = collectAll(p) {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }
-    assert(topk.size >= 3, "bpe best-pair selection lost its sort-limit form")
+    assert(topk.size >= 1, "bpe best-pair selection lost its sort-limit form")
     assert(collectAll(p) {
       case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
-    }.size >= 3, "bpe merge rounds lost their best-pair broadcasts")
+    }.size >= 1, "bpe merge rounds lost their best-pair broadcasts")
     assert(collectAll(p) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, "bpe training must not plan a window")
